@@ -1,0 +1,461 @@
+"""Oracle-paired query registry.
+
+Every operator from SURVEY §2 (plus the LLM-data-pipeline extensions)
+is exposed here as a named query: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a DuckDB
+oracle SQL string over the same parquet tables. The driver compares
+row-count + schema + order-insensitive value hash at sf0.01.
+
+Determinism rules (so Spark and DuckDB hash identically):
+
+- outputs use only BIGINT/INT/DATE/VARCHAR/BOOLEAN/DOUBLE;
+- every DOUBLE either passes through stored values untouched or is
+  produced by *exact* decimal arithmetic then a single cast to double
+  (float summation order is engine-dependent; decimal sums are not);
+- ordered/limited queries always tie-break on a unique key;
+- no raw timestamps in outputs (engines disagree on tz/precision) —
+  only dates or formatted strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import SeasonConfig
+from ..functions.scalar import active_flag, days_left_expr, parse_duration_days
+from ..operators.calendar import date_grid
+from ..operators.forward_fill import forward_fill_daily
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False  # run in bench.py at sf0.1
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# exact money/measure arithmetic: cast to decimal before any +/*/sum,
+# cast the final aggregate back to double (see module docstring).
+DEC = "decimal(15,3)"
+DECQ = "decimal(10,2)"  # narrower, for 3-factor products that must fit p<=38
+
+
+def _dsum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# T6/J2/A1/A2 — flagship: forward-fill daily densification over events
+# (reference forward_fill_daily_grid, pricenow_etl.py:199-240)
+# --------------------------------------------------------------------------
+
+GRID_START, GRID_END = "2024-01-10", "2024-02-10"
+
+
+@register(
+    "t6_forward_fill_daily",
+    headline=True,
+    tags=("T6", "J2", "A1", "A2", "T7"),
+    oracle=f"""
+WITH chg AS (
+  SELECT user_id, CAST(ts AS DATE) AS cd, ts, event_id, value
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+    AND CAST(ts AS DATE) <= DATE '{GRID_END}'
+), clamped AS (
+  SELECT user_id, GREATEST(cd, DATE '{GRID_START}') AS day, cd, ts, event_id, value
+  FROM chg
+), dedup AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY cd DESC, ts DESC, event_id DESC) AS rn
+    FROM clamped) t WHERE rn = 1
+), grid AS (
+  SELECT u.user_id, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM chg) u,
+       LATERAL generate_series(DATE '{GRID_START}', DATE '{GRID_END}', INTERVAL 1 DAY) g(d)
+)
+SELECT user_id, day, price FROM (
+  SELECT g.user_id, g.day,
+         last_value(d.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+  FROM grid g LEFT JOIN dedup d ON g.user_id = d.user_id AND g.day = d.day
+) f WHERE price IS NOT NULL
+""",
+)
+def t6_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse purchase events -> dense per-user daily price series.
+
+    Exercises seed lookback (changes before {GRID_START} participate),
+    leading-null suppression, and same-day last-wins tie-breaking —
+    the full reference T6 semantics at testdata scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("cd"), "ts", "event_id", "value"
+    )
+    out = forward_fill_daily(
+        changes,
+        key_cols=["user_id"],
+        date_col="cd",
+        value_col="value",
+        grid_start=GRID_START,
+        grid_end=GRID_END,
+        tie_break_cols=["ts", "event_id"],
+    )
+    return out.select("user_id", "day", F.col("value").alias("price"))
+
+
+@register(
+    "t7_calendar_grid",
+    tags=("T7",),
+    oracle=f"""
+SELECT CAST(g.d AS DATE) AS day,
+       CAST(date_diff('day', DATE '{GRID_START}', CAST(g.d AS DATE)) AS INT) AS day_index,
+       CAST(EXTRACT(month FROM CAST(g.d AS DATE)) AS INT) AS month
+FROM generate_series(DATE '{GRID_START}', DATE '{GRID_END}', INTERVAL 1 DAY) g(d)
+""",
+)
+def t7_calendar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense inclusive daily calendar (reference py:193-197)."""
+    return date_grid(spark, GRID_START, GRID_END).select(
+        F.col("day"),
+        F.datediff(F.col("day"), F.lit(GRID_START).cast("date")).alias("day_index"),
+        F.month("day").alias("month"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T3/T8/T9 — scalar derivations (duration grammar, active flag)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t3_duration_parse",
+    tags=("T3",),
+    oracle="""
+SELECT p_partkey, duration_str,
+       CASE WHEN duration_str = '4h' THEN 1
+            ELSE CAST(regexp_replace(duration_str, 'd$', '') AS INT) END AS duration_days
+FROM (
+  SELECT p_partkey,
+         CASE WHEN p_size % 7 = 0 THEN '4h'
+              ELSE CAST(p_size AS VARCHAR) || 'd' END AS duration_str
+  FROM part) t
+""",
+)
+def t3_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-grammar parse ('4h'->1, '13d'->13; reference py:315-318),
+    applied to a duration string synthesized from part.p_size."""
+    part = _t(spark, sf_dir, "part")
+    dur = F.when(F.col("p_size") % 7 == 0, F.lit("4h")).otherwise(
+        F.concat(F.col("p_size").cast("string"), F.lit("d"))
+    )
+    df = part.select("p_partkey", dur.alias("duration_str"))
+    return df.withColumn("duration_days", parse_duration_days("duration_str"))
+
+
+SEASON_TEST = SeasonConfig(
+    start=__import__("datetime").date(1995, 1, 1),
+    end=__import__("datetime").date(2001, 12, 31),
+    day_overrides={
+        __import__("datetime").date(1998, 12, 25): 2,
+        __import__("datetime").date(1998, 12, 26): 1,
+    },
+    closed_open_intervals=[
+        (__import__("datetime").date(1998, 12, 26), __import__("datetime").date(1999, 1, 5))
+    ],
+)
+
+
+@register(
+    "t8_active_flag",
+    tags=("T8", "T9"),
+    oracle="""
+SELECT o_orderkey, valid_from, days_left, duration_days,
+       days_left >= duration_days AS active
+FROM (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS valid_from,
+         CASE WHEN CAST(o_orderdate AS DATE) = DATE '1998-12-25' THEN 2
+              WHEN CAST(o_orderdate AS DATE) = DATE '1998-12-26' THEN 1
+              WHEN CAST(o_orderdate AS DATE) > DATE '1998-12-26'
+               AND CAST(o_orderdate AS DATE) < DATE '1999-01-05' THEN 0
+              ELSE CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS INT) + 1
+         END AS days_left,
+         CAST(substr(o_orderpriority, 1, 1) AS INT) * 365 AS duration_days
+  FROM orders) t
+""",
+)
+def t8_active_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-flag derivation with closure-calendar overrides
+    (reference py:349-367), parameterized via SeasonConfig."""
+    orders = _t(spark, sf_dir, "orders")
+    vf = F.col("o_orderdate").cast("date")
+    dur = F.substring("o_orderpriority", 1, 1).cast("int") * F.lit(365)
+    df = orders.select(
+        "o_orderkey",
+        vf.alias("valid_from"),
+        days_left_expr(vf, SEASON_TEST).alias("days_left"),
+        dur.alias("duration_days"),
+    )
+    return df.withColumn("active", active_flag(F.col("days_left"), F.col("duration_days")))
+
+
+# --------------------------------------------------------------------------
+# T4/T5 — predicate + null-validity filters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t4_t5_filter_valid",
+    tags=("T4", "T5"),
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+""",
+)
+def t4_t5_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate filter + null-validity drop (reference py:322, py:204-208).
+    Both predicates push down to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .na.drop(subset=["user_id", "value"])
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 — payload/JSON normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s5_json_extract",
+    tags=("S5",),
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""",
+)
+def s5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field extraction from a JSON payload column
+    (envelope probing analog of reference py:153-161)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/J3 — joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_join",
+    headline=True,
+    tags=("J1",),
+    oracle=f"""
+SELECT p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join of the fact table to a small dimension
+    (reference duration_map probe, py:320/349/424) + grouped rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "j2_asof_join",
+    headline=True,
+    tags=("J2",),
+    oracle="""
+SELECT event_id, user_id, purchase_value FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+  FROM events) t
+WHERE event_type = 'click' AND purchase_value IS NOT NULL
+""",
+)
+def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join: each click picks up the most
+    recent purchase value of the same user (reference J2 two-pointer
+    merge, py:216-231). One window, one shuffle — no join at all."""
+    ev = _t(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("purchase_value", F.last(marker, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "click") & F.col("purchase_value").isNotNull())
+        .select("event_id", "user_id", "purchase_value")
+    )
+
+
+@register(
+    "j3_semi_join",
+    tags=("J3", "T13"),
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+""",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: facts restricted to keys from a filtered dimension
+    (reference's collected-id-list pushdown, py:324/439/145 — expressed
+    relationally instead of via driver collect)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# A1/A3 + standard aggregate surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_pricing_summary",
+    headline=True,
+    tags=("A1",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ})) * (1 + CAST(l_tax AS {DECQ}))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate battery (SURVEY §2.4 notes the
+    reference has no numeric aggregates; Spark supplies them natively)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    q = F.col("l_quantity").cast(DEC)
+    ep = F.col("l_extendedprice").cast(DEC)
+    epq = F.col("l_extendedprice").cast(DECQ)
+    disc = F.col("l_discount").cast(DECQ)
+    tax = F.col("l_tax").cast(DECQ)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(q).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(epq * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(epq * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        (F.sum(q).cast("double") / n).alias("avg_qty"),
+        (F.sum(ep).cast("double") / n).alias("avg_price"),
+        (_dsum(F.col("l_discount")) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "a3_distinct_keys",
+    tags=("A3",),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def a3_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-key accumulation (reference py:291/324/439)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# --------------------------------------------------------------------------
+# R1/R2 — sort + limit; U1 — union
+# --------------------------------------------------------------------------
+
+
+@register(
+    "r1_r2_sort_limit",
+    tags=("R1", "R2"),
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def r1_r2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (reference delegates ordering to the server,
+    py:116-122; Spark does a TakeOrderedAndProject — no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "u1_union_pages",
+    tags=("U1", "R2"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type FROM events WHERE event_id < 2000
+  UNION ALL
+  SELECT event_type FROM events WHERE event_id >= 2000 AND event_id < 4000
+) t GROUP BY event_type
+""",
+)
+def u1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of page batches (reference py:186) + count per type."""
+    ev = _t(spark, sf_dir, "events")
+    p1 = ev.filter(F.col("event_id") < 2000).select("event_type")
+    p2 = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select("event_type")
+    return p1.unionByName(p2).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

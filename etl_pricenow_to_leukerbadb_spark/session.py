@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the test/bench environment (``local[N]``,
+one JVM); the same settings are sane on a real cluster because the
+scale-sensitive knobs (AQE, adaptive coalescing, skew-join handling)
+are runtime-adaptive rather than hardcoded to a data size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are safe (and necessary) to apply to an externally
+#: provided session at runtime — e.g. the driver harness's session.
+RUNTIME_CONFS = {
+    # testdata parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as int64 nanos and convert explicitly
+    # (sources/tables.py normalizes back to TimestampType).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session; loaders have fallbacks
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-pricenow-to-leukerbadb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Shuffle partitions default to the local core count — at cluster
+    scale this is overridden by AQE's partition coalescing anyway.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

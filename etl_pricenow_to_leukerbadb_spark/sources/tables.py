@@ -1,0 +1,60 @@
+"""Loaders for the local testdata parquet tables.
+
+Scans stay fully declarative (``spark.read.parquet``) so Catalyst
+applies column pruning and predicate pushdown; the only normalization
+is the ``events.ts`` column, which is stored as parquet
+TIMESTAMP(NANOS) — Spark's vectorized reader rejects that type, so we
+read it as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+convert to a microsecond timestamp (same truncation DuckDB applies,
+keeping oracle comparisons exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # Fallback for sessions where the nanos legacy conf cannot be
+        # applied: go through pyarrow -> pandas -> createDataFrame.
+        # Only viable at test scale; the primary path is the native scan.
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path).to_pandas()
+        return spark.createDataFrame(pdf)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing timestamp columns."""
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so operators can also be expressed in SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,27 @@
+"""Every oracle-paired registry query must match DuckDB exactly at
+sf0.001 — a local replica of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pricenow_to_leukerbadb_spark.plans.analytics import REGISTRY
+
+from .oracle_util import compare_query
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_small, name):
+    compare_query(spark, sf_small, name, REGISTRY[name])
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 10
+
+
+def test_all_queries_return_rows(spark, sf_small):
+    for name, spec in REGISTRY.items():
+        n = spec.fn(spark, sf_small).count()
+        assert n >= 0, name
