@@ -1,0 +1,156 @@
+"""REST source connector semantics (SURVEY S1-S7) with fake transports."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_pricenow_to_leukerbadb_spark.config import RestSourceConfig
+from etl_pricenow_to_leukerbadb_spark.sources.rest import (
+    PaginatedRestSource,
+    TokenProvider,
+    extract_rows,
+    fetch_pages_distributed,
+)
+
+CFG = RestSourceConfig(
+    base_url="https://api.example.test",
+    auth_url="https://auth.example.test/token",
+    client_id="id",
+    client_secret="secret",
+    page_size=3,
+    max_pages=10,
+)
+
+
+class FakeApi:
+    """60 rows, served 3 per page, auth-checked."""
+
+    def __init__(self, n_rows=8, expires_in=3600, fail_first_get_with_401=False):
+        self.rows = [{"productDefinitionId": i, "validAt": "2026-01-01", "price": i * 10} for i in range(n_rows)]
+        self.token_calls = 0
+        self.get_calls = 0
+        self.expires_in = expires_in
+        self.fail_first = fail_first_get_with_401
+        self.seen_params: list[dict] = []
+
+    def __call__(self, method, url, params=None, headers=None, data=None):
+        if method == "POST":
+            self.token_calls += 1
+            return 200, {"access_token": f"tok{self.token_calls}", "expires_in": self.expires_in}
+        self.get_calls += 1
+        if self.fail_first and self.get_calls == 1:
+            return 401, None
+        if headers.get("Authorization", "").startswith("Bearer tok") is False:
+            return 401, None
+        self.seen_params.append(dict(params))
+        page, ps = params["page"], params["pageSize"]
+        return 200, {"data": self.rows[page * ps : (page + 1) * ps]}
+
+
+def test_envelope_variants():
+    rows = [{"a": 1}]
+    assert extract_rows(rows) == rows
+    assert extract_rows({"data": rows}) == rows
+    assert extract_rows({"items": rows}) == rows
+    assert extract_rows({"results": rows}) == rows
+    assert extract_rows({"other": rows}) == []
+    assert extract_rows("garbage") == []
+
+
+def test_pagination_stops_on_short_page():
+    api = FakeApi(n_rows=8)  # pages: 3,3,2 -> short page ends the loop
+    src = PaginatedRestSource(CFG, transport=api)
+    rows = src.fetch_all("/prices", {"ids": "1,2"})
+    assert [r["productDefinitionId"] for r in rows] == list(range(8))
+    assert api.get_calls == 3  # no extra empty-page probe
+
+
+def test_pagination_exact_page_boundary_probes_next():
+    api = FakeApi(n_rows=6)  # pages: 3,3,0 -> empty page ends the loop
+    src = PaginatedRestSource(CFG, transport=api)
+    assert len(src.fetch_all("/prices", {})) == 6
+    assert api.get_calls == 3
+
+
+def test_max_pages_bound():
+    api = FakeApi(n_rows=1000)
+    src = PaginatedRestSource(CFG, transport=api)
+    rows = src.fetch_all("/prices", {})
+    assert len(rows) == CFG.max_pages * CFG.page_size  # bounded, no runaway
+
+
+def test_pushdown_params_reach_the_wire():
+    api = FakeApi(n_rows=1)
+    src = PaginatedRestSource(CFG, transport=api)
+    src.fetch_all("/prices", {"ids": "1,2,3", "dateFrom": "2026-01-01", "dateTo": "2026-04-12"})
+    assert api.seen_params[0]["ids"] == "1,2,3"
+    assert api.seen_params[0]["dateFrom"] == "2026-01-01"
+
+
+def test_token_cached_in_memory_and_file(tmp_path):
+    clock = [1000.0]
+    cache = str(tmp_path / "tok.json")
+    cfg = RestSourceConfig(**{**CFG.__dict__, "token_cache_path": cache})
+    api = FakeApi()
+    tp = TokenProvider(cfg, api, clock=lambda: clock[0])
+    t1 = tp.get()
+    t2 = tp.get()  # memory cache hit
+    assert t1 == t2 and api.token_calls == 1
+    # a new provider instance reads the file cache
+    tp2 = TokenProvider(cfg, api, clock=lambda: clock[0])
+    assert tp2.get() == t1 and api.token_calls == 1
+    assert json.load(open(cache))["token"] == t1
+
+
+def test_token_refreshed_before_expiry_skew():
+    clock = [0.0]
+    api = FakeApi(expires_in=100)
+    tp = TokenProvider(CFG, api, clock=lambda: clock[0])
+    tp.get()
+    clock[0] = 45.0  # valid (100 - 60s skew = 40s boundary crossed at 40)
+    assert api.token_calls == 1
+    tp.get()
+    assert api.token_calls == 2  # refreshed early, 55 s before expiry
+
+
+def test_401_triggers_single_refresh_retry():
+    api = FakeApi(n_rows=1, fail_first_get_with_401=True)
+    src = PaginatedRestSource(CFG, transport=api)
+    rows = src.fetch_all("/prices", {})
+    assert len(rows) == 1
+    assert api.token_calls == 2  # initial token + refresh after 401
+
+
+def test_driver_side_dataframe(spark):
+    api = FakeApi(n_rows=5)
+    src = PaginatedRestSource(CFG, transport=api)
+    schema = T.StructType(
+        [
+            T.StructField("productDefinitionId", T.LongType()),
+            T.StructField("validAt", T.StringType()),
+            T.StructField("price", T.LongType()),
+        ]
+    )
+    df = src.to_dataframe(spark, "/prices", {}, schema)
+    assert df.count() == 5
+    assert df.columns == ["productDefinitionId", "validAt", "price"]
+
+
+def test_distributed_page_fetch(spark):
+    schema = T.StructType(
+        [
+            T.StructField("productDefinitionId", T.LongType()),
+            T.StructField("validAt", T.StringType()),
+            T.StructField("price", T.LongType()),
+        ]
+    )
+    # the fake transport must be constructible on executors
+    def make_source():
+        return PaginatedRestSource(CFG, transport=FakeApi(n_rows=30))
+
+    df = fetch_pages_distributed(spark, make_source, "/prices", {}, n_pages=10, schema=schema)
+    assert df.count() == 30
+    assert df.agg({"price": "max"}).collect()[0][0] == 290
