@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pricenow_to_leukerbadb_spark.plans.analytics import REGISTRY
+from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Text-analysis column builders for large-scale document pipelines.
+
+All pure Catalyst expressions (split/transform/filter/aggregate array
+lambdas, regexp_count, md5) — JVM-side, no Python in the hot path.
+Shared building blocks for quality scoring, language ID, token
+counting, fingerprinting, and the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-vote
+#: language heuristic; order = tie-break priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "des"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+#: BPE-style pre-tokenizer: word pieces or single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for fingerprinting: collapse whitespace, trim, lower."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def word_shingles(toks: Column, k: int, sep: str = " ") -> Column:
+    """All k-gram word shingles of a token array (empty if < k tokens)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(k)), sep))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles_min_md5(c: Column | str, k: int = 8) -> Column:
+    """Winnowing-style fingerprint: the minimum md5 over all k-char
+    shingles of the normalized text (deterministic, order-free)."""
+    t = normalize_text(c)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.md5(t.substr(i, F.lit(k)).cast("binary"))))
+
+
+def content_fingerprint(c: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(c).cast("binary"))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_predict(toks: Column) -> Column:
+    """Stopword-vote language ID with deterministic priority-order
+    tie-breaking (the dict order of LANG_STOPWORDS)."""
+    scores = lang_scores(toks)
+    langs = list(scores)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        cond = cond if cond is not None else F.lit(True)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def quality_features(c: Column | str) -> dict[str, Column]:
+    """Deterministic quality features: all ratios are double divisions
+    of integer counts, so they compare exactly across engines."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_toks,
+        "avg_token_len": n_chars.cast("double") / n_toks,
+        "punct_ratio": F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / n_chars,
+        "stop_ratio": stopword_count(toks, LANG_STOPWORDS["en"]).cast("double") / n_toks,
+    }

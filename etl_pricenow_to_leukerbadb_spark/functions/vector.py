@@ -1,0 +1,27 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+Dot products and cosines are computed with ``zip_with`` +
+``aggregate`` in *double* precision with left-to-right accumulation —
+deterministic and engine-portable (matches an ordered SQL sum), unlike
+float-accumulated library kernels. All JVM-side; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity, written exactly as ``dot / (sqrt(na) * sqrt(nb))``
+    so an oracle SQL with the same shape produces bit-identical doubles."""
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))

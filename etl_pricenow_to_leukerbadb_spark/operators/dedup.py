@@ -1,0 +1,197 @@
+"""Document deduplication operators for LLM-training-data pipelines.
+
+Four families, all expressed as DataFrame compositions (no UDFs):
+
+- **exact**: md5 fingerprint of normalized text, hash group-by.
+- **MinHash + LSH**: word-shingle minhash signatures (min over
+  seed-salted md5 hex strings — portable across engines), banded into
+  LSH buckets; candidate pairs come from a bucket self-join.
+- **n-gram Jaccard**: shingle inverted-index self-join with exact
+  Jaccard on distinct-shingle sets.
+- **SimHash**: 64-bit (16-nibble) bit-majority fingerprint over
+  per-token md5s.
+
+Scale notes: every pair-producing join is blocked (LSH buckets or
+shared shingles), never a cross join; shingle explosion is the
+dominant cost and shuffles once per group-by. For skewed buckets
+(very common shingles), ``max_shingle_df`` caps inverted-index
+fan-out the way production near-dup pipelines drop ubiquitous
+shingles. Hash values are hex *strings* (md5) rather than engine
+hashes so DuckDB oracles can reproduce them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import content_fingerprint, tokens, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content fingerprint: (fingerprint, keep_id,
+    n_docs) with the minimum id as the canonical representative."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct (id, shingle) pairs of k-gram word shingles."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """Per-document minhash signature: for each seed i, the minimum
+    ``md5(i || ':' || shingle)`` hex string over the document's
+    shingles. One shuffle (group-by id); documents with fewer than
+    ``k_shingle`` tokens produce no signature."""
+    sh = doc_shingles(df, id_col, text_col, k_shingle)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes // bands) and emit
+    distinct candidate pairs sharing any band bucket. The self-join is
+    blocked on (band, bucket_key) — no quadratic blow-up unless the
+    data genuinely collides."""
+    rows_per_band = n_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-shingle sets for every
+    pair sharing at least one (sufficiently rare) shingle.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the inverted-index join — the standard guard
+    against hot-shingle skew at scale (changes candidate recall, not
+    the Jaccard values of surviving pairs' shared-rare-shingle sets).
+    """
+    sh = doc_shingles(df, id_col, text_col, k_shingle)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-hex-character SimHash over the document's distinct tokens.
+
+    For nibble position p (0..15) of each token's md5, each of its 4
+    bits votes +1/-1; the fingerprint bit is 1 iff the vote sum is
+    positive. Pure expression pipeline: explode tokens x positions,
+    two group-bys (doc,pos) then (doc)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    pos = toks.select(
+        id_col,
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+    )
+    nib = pos.withColumn(
+        "nib", F.conv(F.col("h").substr(F.col("p") + 1, F.lit(1)), 16, 10).cast("int")
+    )
+    votes = nib.groupBy(id_col, "p").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("nib"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(4)
+        ]
+    )
+    nibble_out = (
+        F.when(F.col("s0") > 0, 1).otherwise(0)
+        + F.when(F.col("s1") > 0, 2).otherwise(0)
+        + F.when(F.col("s2") > 0, 4).otherwise(0)
+        + F.when(F.col("s3") > 0, 8).otherwise(0)
+    )
+    chars = votes.withColumn(
+        "ch", F.lit("0123456789abcdef").substr(nibble_out + 1, F.lit(1))
+    )
+    return chars.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("ch")))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("simhash")
+    )

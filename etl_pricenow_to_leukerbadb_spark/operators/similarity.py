@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k of every query vector
+  against the corpus. The query side is broadcast (queries are small
+  by construction); the corpus side streams — no shuffle of the big
+  side, score computation is a JVM-side ``zip_with``/``aggregate``
+  expression with double accumulation.
+- ``lsh_topk``: sign-random-projection (hyperplane) LSH — deterministic
+  pseudo-random planes derived from md5 nibbles, bucket equi-join, then
+  exact cosine re-rank within buckets. This is the 100 TB path: the
+  candidate join is blocked on the bucket key instead of |Q| x |C|.
+
+Determinism: scores are rounded to 6 decimals and ties broken by
+vector id, so rankings are stable across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: component i is the
+    (i mod 32)-th nibble of md5(plane:i//32) centered at 7.5."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.lit(f"{plane}:{i // 32}").cast("binary")), (i % 32) + 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                - F.lit(7.5)
+            )
+            for i in range(dim)
+        ]
+    )
+
+
+def sign_lsh_bucket(vec_col: F.Column, n_planes: int, dim: int) -> F.Column:
+    """Bit-string bucket key: sign of the projection onto each plane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, _hyperplane(p, dim), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket in any
+    of ``n_tables`` independent hash tables, then exact re-rank.
+    Returns the same schema as ``brute_force_topk`` (rank <= k; fewer
+    rows possible when recall misses)."""
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            # each table uses its own slice of the deterministic plane space
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            _hyperplane(t * n_planes + p, dim),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ]
+            out = out.withColumn(f"{prefix}b{t}", F.concat(*bits))
+        return out
+
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "q"
+    )
+    c = with_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "c"
+    )
+    qb = q.select(
+        "query_id",
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"qb{t}")) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    cb = c.select(
+        "neighbor_id",
+        F.col(vec_col).alias("__cvec"),
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"cb{t}")) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

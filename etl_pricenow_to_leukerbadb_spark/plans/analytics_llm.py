@@ -1,0 +1,382 @@
+"""LLM-training-data pipeline queries: text analysis, deduplication,
+similarity search, multimodal plumbing, and streaming — the
+beyond-the-reference operator families, each oracle-paired where
+SQL-expressible (BASELINE.json "north_star")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    char_shingles_min_md5,
+    content_fingerprint,
+    lang_predict,
+    lang_scores,
+    quality_features,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..operators.multimodal import attach_binary, binary_meta, fake_decode_media
+from ..operators.similarity import brute_force_topk, lsh_topk
+from .analytics import DEC, _t, register
+
+#: normalized text, SQL form (DuckDB regexp_replace needs the 'g' flag;
+#: Spark's replaces all matches by default).
+NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+EN = "('the','a','and','of','to','in','is')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_token_count",
+    tags=("TX",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
+       n_chars
+FROM documents
+""",
+)
+def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-pre-tokenizer token counting."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
+        "n_chars",
+    )
+
+
+@register(
+    "tx_quality_score",
+    tags=("TX",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split({NORM}, ' ')) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split({NORM}, ' '), x -> x IN {EN})) AS DOUBLE)
+         / len(string_split({NORM}, ' ')) AS stop_ratio
+FROM documents
+""",
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length/punctuation/stopword ratios (exact
+    integer-count divisions -> engine-portable doubles)."""
+    feats = quality_features("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stop_ratio"].alias("stop_ratio"),
+    )
+
+
+def _lang_case_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    score = {
+        lang: f"len(list_filter(string_split({NORM}, ' '), x -> x IN "
+        f"({','.join(repr(w) for w in LANG_STOPWORDS[lang])})))"
+        for lang in langs
+    }
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} >= {score[o]}" for o in langs[i + 1 :]]
+        whens.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case = "CASE " + " ".join(whens) + " END"
+    cols = ", ".join(f"CAST({score[l]} AS INT) AS s_{l}" for l in langs)
+    return f"SELECT doc_id, lang, {case} AS lang_pred, {cols} FROM documents"
+
+
+@register("tx_lang_id", tags=("TX",), oracle=_lang_case_sql())
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification with deterministic
+    priority tie-breaking; per-language scores exposed for audit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scores = lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_predict(toks).alias("lang_pred"),
+        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+    )
+
+
+@register(
+    "tx_fingerprint",
+    tags=("TX",),
+    oracle=f"""
+SELECT doc_id,
+       md5({NORM}) AS fingerprint,
+       list_min(list_transform(
+         generate_series(1, greatest(length({NORM}) - 7, 1)),
+         i -> md5(substr({NORM}, i, 8)))) AS winnow_min
+FROM documents
+""",
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 + winnowing-style
+    minimum over 8-char shingle hashes."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        content_fingerprint("text").alias("fingerprint"),
+        char_shingles_min_md5("text", 8).alias("winnow_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact",
+    headline=True,
+    tags=("DD",),
+    oracle=f"""
+SELECT md5({NORM}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-fingerprint groups with canonical ids."""
+    return exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_MINHASH_SH = f"""
+  toks AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS tk FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                   i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      FROM toks) t
+  )"""
+
+_SIG_COLS = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8))
+_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS bucket FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "dd_minhash_lsh",
+    headline=True,
+    tags=("DD",),
+    oracle=f"""
+WITH {_MINHASH_SH},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes over 3-word shingles) + LSH(4 bands x 2 rows)
+    candidate pairs. Hashes are seed-salted md5 hex strings, portable
+    across engines."""
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+
+
+@register(
+    "dd_ngram_jaccard",
+    tags=("DD",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+                                 i -> array_to_string(tk[i:i+4], ' '))) AS sh
+    FROM toks) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs via shingle inverted index."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=5, min_jaccard=0.2
+    )
+
+
+@register(
+    "dd_simhash",
+    tags=("DD",),
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents) t
+), pos AS (
+  SELECT doc_id, md5(tok) AS h, unnest(generate_series(0, 15)) AS p FROM toks
+), nib AS (
+  SELECT doc_id, p, strpos('0123456789abcdef', substr(h, p + 1, 1)) - 1 AS nib FROM pos
+), votes AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN (nib >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+         SUM(CASE WHEN (nib >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+         SUM(CASE WHEN (nib >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+         SUM(CASE WHEN (nib >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3
+  FROM nib GROUP BY doc_id, p
+), chars AS (
+  SELECT doc_id, p,
+         substr('0123456789abcdef',
+                (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS ch
+  FROM votes
+)
+SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash FROM chars GROUP BY doc_id
+""",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-nibble fingerprints (bit-majority over token md5s)."""
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "(SELECT SUM(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) "
+    "FROM generate_series(1, 64) g(i))"
+)
+
+
+@register(
+    "ann_topk_bruteforce",
+    headline=True,
+    tags=("ANN",),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})), 6) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10) —
+    the correctness baseline for the LSH variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_lsh_topk", tags=("ANN",))  # approximate: rows-only check; recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (the 100 TB path: candidates
+    are bucket-joined, never |Q| x |C|). No SQL oracle — approximate by
+    design; recall vs brute force is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal + streaming
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_meta",
+    tags=("MM",),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing, JVM-side metadata path."""
+    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return binary_meta(docs, "doc_id")
+
+
+@register(
+    "mm_fake_decode",
+    tags=("MM",),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(16 + ascii(substr(text, 1, 1)) AS INT) AS width,
+       CAST(16 + ascii(substr(text, length(text), 1)) AS INT) AS height,
+       CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+FROM documents
+""",
+)
+def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stub (deterministic fake codec:
+    dimensions derived from payload bytes — ASCII corpus makes the
+    byte/char equivalence in the oracle exact)."""
+    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fake_decode_media(docs, "doc_id")
+
+
+@register(
+    "st_windowed_counts",
+    tags=("ST",),
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming query (readStream -> watermark ->
+    tumbling window -> availableNow) whose final state must equal the
+    equivalent batch aggregation."""
+    from ..streaming.jobs import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")

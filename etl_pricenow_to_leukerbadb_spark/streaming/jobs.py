@@ -1,0 +1,120 @@
+"""Structured Streaming jobs (SURVEY §2.9).
+
+The reference is batch-only (its "incremental" behavior is a
+twice-daily idempotent re-upsert); the streaming-native equivalents
+here are:
+
+- ``windowed_event_counts``: tumbling-window aggregation over the
+  events stream with a watermark, driven to completion with
+  ``trigger(availableNow=True)`` — batch parquet in, streaming
+  semantics throughout.
+- ``stream_upsert_job``: the reference's snapshot-upsert shape as a
+  stream: ``foreachBatch`` feeding the keyed merge sink, giving
+  exactly-once-per-key upserts per micro-batch.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_RAW_PARQUET
+from ..sinks.upsert import merge_upsert_parquet
+
+DEC = "decimal(15,3)"
+
+
+def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet (ts arrives as int64 nanos).
+
+    The file stream source requires a *directory*; when given
+    ``.../events.parquet`` we stream its parent with a glob filter."""
+    import os
+
+    if events_path.endswith(".parquet"):
+        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
+        reader = (
+            spark.readStream.schema(EVENTS_RAW_PARQUET)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        reader = spark.readStream.schema(EVENTS_RAW_PARQUET).parquet(events_path)
+    return reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type, computed by a real
+    streaming query (availableNow + in-memory sink), returned as a
+    static DataFrame with engine-portable types."""
+    agg = (
+        _event_stream(spark, events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def stream_upsert_job(
+    spark: SparkSession,
+    events_path: str,
+    target_path: str,
+    keys: list[str] = ("user_id",),
+) -> None:
+    """Streaming keyed upsert: per micro-batch, reduce to one row per
+    key (latest by ts) and merge into the parquet target — the
+    streaming-native form of the reference's whole-snapshot upsert."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        w = Window.partitionBy(*keys).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_upsert_parquet(batch_df.sparkSession, latest, target_path, keys)
+
+    q = (
+        _event_stream(spark, events_path)
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_path + "_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

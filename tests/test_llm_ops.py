@@ -1,0 +1,117 @@
+"""Behavioral tests for the LLM-data-pipeline operators beyond oracle
+parity: LSH recall, dedup detection power, multimodal plumbing,
+streaming upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    fake_decode_media,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+from etl_pricenow_to_leukerbadb_spark.streaming.jobs import stream_upsert_job
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+            (3, "completely different content about spark query engines and shuffles"),
+            (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+            (5, "tiny"),  # fewer tokens than any shingle size
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.keep_id: r.n_docs for r in exact_duplicates(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", k_shingle=3, n_hashes=8)
+    assert sigs.count() == 4  # doc 5 has no 3-shingles
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 4) in pairs  # exact dups always collide
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by some band
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_ngram_jaccard_scores(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", k_shingle=5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical shingle sets
+    assert 0.5 < pairs[(1, 2)] < 1.0  # one-word difference
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dups_close(spark):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark), "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical docs, identical fingerprint
+    assert len(fps[1]) == 16
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])  # near-dup closer than unrelated
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_fake_decode_plumbing(spark):
+    docs = attach_binary(_docs(spark), "doc_id", "text")
+    out = {r.doc_id: r for r in fake_decode_media(docs, "doc_id").collect()}
+    assert len(out) == 5
+    r = out[5]  # "tiny"
+    assert r.n_bytes == 4
+    assert r.width == 16 + ord("t") and r.height == 16 + ord("y")
+    assert r.n_frames == 1 + 4 % 7
+    assert len(r.sha256) == 64
+
+
+def test_real_decode_is_honest_stub(spark):
+    docs = attach_binary(_docs(spark), "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        decode_media(docs, "doc_id").collect()
+
+
+def test_stream_upsert(spark, sf_small, tmp_path):
+    target = str(tmp_path / "latest_events")
+    stream_upsert_job(spark, f"{sf_small}/events.parquet", target, keys=["user_id"])
+    got = spark.read.parquet(target)
+    ev = load_table(spark, sf_small, "events")
+    assert got.count() == ev.select("user_id").distinct().count()
+    # the kept row per user is the latest by (ts, event_id)
+    latest = (
+        ev.groupBy("user_id").agg(F.max(F.struct("ts", "event_id")).alias("m")).select(
+            "user_id", F.col("m.event_id").alias("event_id")
+        )
+    )
+    mismatch = got.select("user_id", "event_id").exceptAll(latest).count()
+    assert mismatch == 0

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from etl_pricenow_to_leukerbadb_spark.plans.analytics import REGISTRY
+from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
 
 from .oracle_util import compare_query
 
