@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import content_fingerprint, tokens, word_shingles
+from ..sources.tables import fan_out
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -38,9 +39,14 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Distinct (id, shingle) pairs of k-gram word shingles."""
+    """Distinct (id, shingle) pairs of k-gram word shingles.
+
+    The explode multiplies each document into ~|tokens| rows, so the
+    input is fanned out across the cluster first (no-op when the scan
+    is already parallel — see ``fan_out``)."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
         .distinct()
     )
 
@@ -158,7 +164,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     bits votes +1/-1; the fingerprint bit is 1 iff the vote sum is
     positive. Pure expression pipeline: explode tokens x positions,
     two group-bys (doc,pos) then (doc)."""
-    toks = df.select(
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     pos = toks.select(

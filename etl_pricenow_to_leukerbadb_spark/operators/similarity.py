@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine
+from ..sources.tables import fan_out
 
 
 def brute_force_topk(
@@ -33,7 +34,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
+    # per corpus row we compute |Q| dot products — fan the corpus scan
+    # out before the broadcast join (no-op on an already-parallel scan)
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -132,8 +135,9 @@ def lsh_topk(
     q = with_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "q"
     )
+    # n_tables x n_planes projections per corpus row: fan the scan out
     c = with_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "c"
+        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "c"
     )
     qb = q.select(
         "query_id",

@@ -46,6 +46,26 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition a narrow input before compute-heavy fan-out work.
+
+    Use ONLY upstream of operators whose per-row cost dwarfs a shuffle
+    of the input (shingle explosion + salted hashing, per-vector math):
+    the testdata tables are single-row-group parquet files, so their
+    scans yield 1-3 partitions and the expensive map stage would run
+    on one core. For narrow scan->aggregate plans this would be a
+    pessimization (the vectorized partial agg beats a full-row
+    shuffle), so ``load_table`` deliberately does NOT call it. When the
+    scan is already at least as parallel as the cluster (the 100 TB
+    case: thousands of splits) this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing timestamp columns."""
     df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
