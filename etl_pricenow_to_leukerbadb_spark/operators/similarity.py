@@ -58,6 +58,114 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a, id_b)
+    with ``cosine >= threshold`` and ``id_a < id_b``.
+
+    This is the exact baseline: an all-pairs comparison with one side
+    broadcast — O(n^2) scoring, only viable when one side fits in a
+    broadcast. The 100 TB path blocks candidates through sign-LSH
+    buckets first (``lsh_topk``'s bucketing) and applies the same
+    exact threshold to the survivors, trading recall for a
+    bucket-equi-join instead of a cross product."""
+    a = fan_out(corpus).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    inverted lists by nearest centroid; each query probes only its
+    ``n_probe`` closest lists, then exact cosine re-ranks the
+    candidates.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic (no k-means iterations) so results are stable across
+    runs; on a real deployment the centroid table would come from a
+    trained quantizer but the dataflow is identical: broadcast the
+    (tiny) centroid table, one linear assign pass over the corpus, and
+    a candidate join blocked on the centroid id instead of |Q| x |C|.
+    Returns the ``brute_force_topk`` schema; recall < 1 by design."""
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+        )
+    )
+    # one linear pass: nearest centroid per corpus vector (argmax cosine,
+    # ties broken toward the lower centroid id)
+    order = F.struct(
+        F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("c"),
+        (-F.col("cent_id")).alias("t"),
+    )
+    assign = (
+        fan_out(corpus)
+        .crossJoin(cents)
+        .groupBy(F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.max_by(F.struct(F.col("cent_id"), F.col(vec_col).alias("v")), order).alias("m")
+        )
+        .select("neighbor_id", F.col("m.cent_id").alias("cent_id"), F.col("m.v").alias("__cvec"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(cents)
+        .select(
+            "query_id",
+            "__qvec",
+            "cent_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cent")), 6).alias("cos_c"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "__qvec", "cent_id")
+    )
+    scored = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component i is the
     (i mod 32)-th nibble of md5(plane:i//32) centered at 7.5."""

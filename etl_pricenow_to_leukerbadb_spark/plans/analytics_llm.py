@@ -27,7 +27,12 @@ from ..operators.dedup import (
     simhash_fingerprints,
 )
 from ..operators.multimodal import attach_binary, binary_meta, fake_decode_media
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from .analytics import DEC, _t, register
 
 #: normalized text, SQL form (DuckDB regexp_replace needs the 'g' flag;
@@ -309,6 +314,38 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness baseline for the LSH variant."""
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "dd_embedding_cosine",
+    tags=("DD", "ANN"),
+    oracle=f"""
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT.format(a='a.embedding', b='b.embedding')}
+               / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                  * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+WHERE cos_sim >= 0.4
+""",
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline). The
+    synthetic corpus's max pairwise cosine is ~0.51, so the threshold
+    is 0.4 here; a real near-dup pass would use ~0.95 with the
+    LSH-blocked variant as the at-scale candidate generator."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+@register("ann_ivf_topk", tags=("ANN",))  # approximate: rows-only; recall vs brute force in pytest
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: corpus partitioned into inverted
+    lists by nearest deterministic centroid, queries probe 4 lists,
+    exact re-rank inside. No SQL oracle — approximate by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @register("ann_lsh_topk", tags=("ANN",))  # approximate: rows-only check; recall tested in pytest

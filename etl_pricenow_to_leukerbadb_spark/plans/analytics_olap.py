@@ -202,6 +202,217 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w1_running_total",
+    tags=("A2",),
+    oracle=f"""
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS {DEC})) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+""",
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time — cumulative window frame
+    (decimal accumulation so the sum is order-independent exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("run_sum"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "w2_lag_delta",
+    tags=("A2",),
+    oracle="""
+SELECT event_id, user_id,
+       value - lag(value) OVER w AS delta_value,
+       CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag deltas: value change and seconds since the previous
+    event (single IEEE subtraction — engine-portable without rounding)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "w3_sessionize",
+    tags=("A1", "A2"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): mark session
+    starts with lag(), number sessions with a cumulative sum, then
+    aggregate per session. The batch twin of the streaming
+    session-window operator; one shuffle on user_id feeds both
+    windows and the final group-by."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = _t(spark, sf_dir, "events").withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_s"),
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    tags=("A1", "T4"),
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DECQ}) * CAST(l_discount AS {DECQ})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped selective scan-aggregate: every predicate is
+    sargable and pushes to the parquet scan; no shuffle at all beyond
+    the final single-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DECQ) * F.col("l_discount").cast(DECQ))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    tags=("J1", "A1", "R1"),
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: returned-item revenue by customer, top 20.
+    Facts join on shuffle keys; the nation dim broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "a7_percentiles",
+    tags=("A1",),
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same p*(n-1) linear interpolation; rounded to 4 decimals). The
+    100 TB variant is approx_percentile — a8, rows-only, since
+    engines' sketches differ."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@register("a8_approx_sketches", tags=("A1", "A3"))  # sketch-based: rows-only
+def a8_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale forms of a6/a7: HLL++ approximate distinct count
+    and quantile-sketch percentiles per event type. No SQL oracle —
+    sketch values are engine-specific; bounds asserted in pytest."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("value_q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "k1_upsert_merge",
     tags=("K1", "K2", "K3"),
     oracle=f"""

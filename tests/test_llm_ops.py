@@ -19,7 +19,7 @@ from etl_pricenow_to_leukerbadb_spark.operators.multimodal import (
     decode_media,
     fake_decode_media,
 )
-from etl_pricenow_to_leukerbadb_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_pricenow_to_leukerbadb_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
 from etl_pricenow_to_leukerbadb_spark.streaming.jobs import stream_upsert_job
 
@@ -82,6 +82,21 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
     approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    rows = ivf_topk(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # every query must come back with a full candidate list...
+    assert len(rows) == 10 * 5
+    # ...and probing 4/16 lists must beat random-candidate recall
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
 
 
 def test_fake_decode_plumbing(spark):
