@@ -417,3 +417,37 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import windowed_event_counts
 
     return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "st_sessionize",
+    tags=("ST",),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (per-user open-session state across
+    micro-batches). On the finite test input the final state equals
+    the batch w3 sessionization, so it shares w3's oracle."""
+    from ..streaming.stateful import sessionize_stream
+
+    return sessionize_stream(spark, f"{sf_dir}/events.parquet")

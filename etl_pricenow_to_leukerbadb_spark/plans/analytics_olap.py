@@ -202,6 +202,53 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j4_anti_join",
+    tags=("J3",),
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (completes the join
+    family beyond the reference's inner/semi shapes)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "u2_except_intersect",
+    tags=("U1",),
+    oracle="""
+SELECT 'only_buyers' AS side, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  EXCEPT
+  SELECT DISTINCT user_id FROM events) t
+UNION ALL
+SELECT 'both' AS side, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  INTERSECT
+  SELECT DISTINCT user_id FROM events) t
+""",
+)
+def u2_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set operations over key domains."""
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    actors = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    only = buyers.exceptAll(actors).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_buyers").alias("side"), "n"
+    )
+    both = buyers.intersect(actors).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    return only.unionByName(both)
+
+
+@register(
     "w1_running_total",
     tags=("A2",),
     oracle=f"""

@@ -23,6 +23,9 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # let Python DataSources (sources/rest_datasource.py) receive
+    # pushed-down filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

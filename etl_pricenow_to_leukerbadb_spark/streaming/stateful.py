@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY §2.9 — the reference is batch-only;
+this is the streaming-native form of the w3 batch sessionizer).
+
+Per-user state carries the open session across micro-batches
+(session counter, event count, start/last seconds); each batch's
+events extend or close sessions, closed sessions are emitted
+immediately and the still-open session is emitted too (update mode),
+so a run over a finite input converges to exactly the batch answer.
+
+Arrow moves rows to Python in column batches — the per-key loop is
+pandas-vectorized except the unavoidable sequential gap walk, which is
+O(events-per-user-per-batch) and runs in parallel across users (the
+stream is hash-partitioned on the group key by the state operator).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start_s", LongType()),
+        StructField("session_end_s", LongType()),
+    ]
+)
+
+#: open-session carry-over: (session_id, n_events, start_s, last_s)
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_s", LongType()),
+        StructField("last_s", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_s: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        # floor to epoch seconds FIRST, then diff — matches the batch
+        # twin's unix_timestamp() semantics on sub-second timestamps
+        ts_ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]")
+        secs = (ts_ns.astype("int64") // 1_000_000_000).to_list()
+
+        if state.exists:
+            sid, n, start, last = state.get
+        else:
+            sid, n, start, last = 0, 0, None, None
+
+        out: list[tuple[int, int, int, int, int]] = []
+        for t in secs:
+            if last is None:
+                sid, n, start, last = sid + 1, 1, t, t
+            elif t - last > gap_s:
+                out.append((user_id, sid, n, start, last))
+                sid, n, start, last = sid + 1, 1, t, t
+            else:
+                n, last = n + 1, t
+        # emit the still-open session too (update mode): re-emitted
+        # with more events if a later batch extends it
+        out.append((user_id, sid, n, start, last))
+        state.update((sid, n, start, last))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "session_start_s", "session_end_s"],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession, events_path: str, gap_s: int = 1800
+) -> DataFrame:
+    """Run the stateful sessionizer over the events stream to
+    completion (availableNow) and return the final per-session rows.
+
+    The memory sink in update mode appends every emission, so the
+    final state per (user_id, session_id) is the row with the highest
+    n_events — deduplicated here. On a finite input this equals the
+    batch w3 sessionization exactly.
+    """
+    from .jobs import _event_stream
+
+    stream = _event_stream(spark, events_path).select("user_id", "event_id", "ts")
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_s),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id", "session_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

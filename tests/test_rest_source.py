@@ -154,3 +154,86 @@ def test_distributed_page_fetch(spark):
     df = fetch_pages_distributed(spark, make_source, "/prices", {}, n_pages=10, schema=schema)
     assert df.count() == 30
     assert df.agg({"price": "max"}).collect()[0][0] == 290
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource (rest_datasource.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    GreaterThanOrEqual,
+    In,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType  # noqa: E402
+
+from etl_pricenow_to_leukerbadb_spark.sources.rest_datasource import (  # noqa: E402
+    PRICES_SCHEMA,
+    RestPricesDataSource,
+    RestPricesReader,
+)
+
+FIXTURE_TRANSPORT = "etl_pricenow_to_leukerbadb_spark.sources.rest_fixtures:fixture_transport"
+
+
+def test_datasource_pushdown_param_mapping(spark):
+    reader = RestPricesReader(StructType.fromDDL(PRICES_SCHEMA), {})
+    filters = [
+        In(("product_definition_id",), (3, 1, 2)),
+        GreaterThanOrEqual(("valid_at",), "2025-12-10"),
+        LessThanOrEqual(("valid_at",), "2025-12-20"),
+    ]
+    leftover = list(reader.pushFilters(filters))
+    assert reader.pushed_params == {
+        "ids": "1,2,3",
+        "date_from": "2025-12-10",
+        "date_to": "2025-12-20",
+    }
+    assert leftover == filters  # conservative: Spark re-checks everything
+
+
+def test_datasource_end_to_end_with_pushdown(spark):
+    spark.dataSource.register(RestPricesDataSource)
+    df = (
+        spark.read.format("pricenow_prices")
+        .option("transport", FIXTURE_TRANSPORT)
+        .option("base_url", "https://api.example.test")
+        .option("auth_url", "https://auth.example.test/token")
+        .option("client_id", "id")
+        .option("client_secret", "secret")
+        .option("page_size", "40")
+        .option("max_pages", "4")
+        .load()
+    )
+    filtered = df.filter(
+        F.col("product_definition_id").isin(2, 3)
+        & (F.col("valid_at") >= "2025-12-05")
+        & (F.col("valid_at") <= "2025-12-31")
+    )
+    rows = filtered.collect()
+    assert len(rows) > 0
+    assert all(r.product_definition_id in (2, 3) for r in rows)
+    assert all("2025-12-05" <= r.valid_at <= "2025-12-31" for r in rows)
+    # the fixture's sentinel (price = -1) appears only when the id
+    # filter was NOT pushed into the request: its absence proves the
+    # predicate reached the remote source, not just the post-scan filter
+    assert not any(r.price == -1 for r in rows)
+
+
+def test_datasource_unfiltered_scan_sees_sentinel(spark):
+    spark.dataSource.register(RestPricesDataSource)
+    df = (
+        spark.read.format("pricenow_prices")
+        .option("transport", FIXTURE_TRANSPORT)
+        .option("base_url", "https://api.example.test")
+        .option("auth_url", "https://auth.example.test/token")
+        .option("client_id", "id")
+        .option("client_secret", "secret")
+        .option("page_size", "300")
+        .option("max_pages", "2")
+        .load()
+    )
+    prices = [r.price for r in df.collect()]
+    assert -1 in prices  # no pushdown params -> sentinel present
+    assert len(prices) == 251
