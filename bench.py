@@ -31,10 +31,17 @@ def main() -> None:
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, spec in headline.items():
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min over a couple of runs: first execution of a plan pays JVM
+        # JIT + codegen compilation that run-to-run would misattribute
+        # to the operator (observed 3-4x first-run noise locally)
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

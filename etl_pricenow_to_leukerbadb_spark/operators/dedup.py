@@ -38,17 +38,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Distinct (id, shingle) pairs of k-gram word shingles.
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs of k-gram word shingles, distinct by default.
 
     The explode multiplies each document into ~|tokens| rows, so the
     input is fanned out across the cluster first (no-op when the scan
-    is already parallel — see ``fan_out``)."""
-    return (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
-        .distinct()
+    is already parallel — see ``fan_out``). Pass ``distinct=False``
+    when the consumer is duplicate-insensitive (e.g. a ``min`` over
+    shingle hashes): it removes an entire (id, shingle)-keyed shuffle
+    from the plan."""
+    sh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -58,7 +62,10 @@ def minhash_signatures(
     ``md5(i || ':' || shingle)`` hex string over the document's
     shingles. One shuffle (group-by id); documents with fewer than
     ``k_shingle`` tokens produce no signature."""
-    sh = doc_shingles(df, id_col, text_col, k_shingle)
+    # duplicate shingles can't change a min, so skip the distinct and
+    # its (id, shingle)-keyed shuffle: explode feeds the partial agg
+    # map-side and only the per-id minima shuffle.
+    sh = doc_shingles(df, id_col, text_col, k_shingle, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
         for i in range(n_hashes)

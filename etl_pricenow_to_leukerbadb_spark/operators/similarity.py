@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, cosine_prenormed, norm_sq
 from ..sources.tables import fan_out
 
 
@@ -30,14 +30,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim)."""
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    Norms are computed once per vector before the pair join (linear),
+    so the quadratic scoring stage does one dot product per pair
+    instead of three array reductions."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
     )
     # per corpus row we compute |Q| dot products — fan the corpus scan
     # out before the broadcast join (no-op on an already-parallel scan)
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -45,7 +53,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -74,16 +87,25 @@ def embedding_near_dup_pairs(
     exact threshold to the survivors, trading recall for a
     bucket-equi-join instead of a cross product."""
     a = fan_out(corpus).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__na"),
     )
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__nb"),
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -112,39 +134,62 @@ def ivf_topk(
     Returns the ``brute_force_topk`` schema; recall < 1 by design."""
     cents = F.broadcast(
         corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
         )
     )
     # one linear pass: nearest centroid per corpus vector (argmax cosine,
-    # ties broken toward the lower centroid id)
+    # ties broken toward the lower centroid id); norms precomputed per row
+    corpus_n = fan_out(corpus).withColumn("__vn", F.sqrt(norm_sq(F.col(vec_col))))
     order = F.struct(
-        F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("c"),
+        F.round(
+            cosine_prenormed(F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")),
+            6,
+        ).alias("c"),
         (-F.col("cent_id")).alias("t"),
     )
     assign = (
-        fan_out(corpus)
-        .crossJoin(cents)
+        corpus_n.crossJoin(cents)
         .groupBy(F.col(id_col).alias("neighbor_id"))
         .agg(
-            F.max_by(F.struct(F.col("cent_id"), F.col(vec_col).alias("v")), order).alias("m")
+            F.max_by(
+                F.struct(
+                    F.col("cent_id"), F.col(vec_col).alias("v"), F.col("__vn").alias("vn")
+                ),
+                order,
+            ).alias("m")
         )
-        .select("neighbor_id", F.col("m.cent_id").alias("cent_id"), F.col("m.v").alias("__cvec"))
+        .select(
+            "neighbor_id",
+            F.col("m.cent_id").alias("cent_id"),
+            F.col("m.v").alias("__cvec"),
+            F.col("m.vn").alias("__cn"),
+        )
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc()
     )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
+        )
         .crossJoin(cents)
         .select(
             "query_id",
             "__qvec",
+            "__qn",
             "cent_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cent")), 6).alias("cos_c"),
+            F.round(
+                cosine_prenormed(F.col("__qvec"), F.col("__cent"), F.col("__qn"), F.col("__centn")),
+                6,
+            ).alias("cos_c"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "__qvec", "cent_id")
+        .select("query_id", "__qvec", "__qn", "cent_id")
     )
     scored = (
         probes.join(assign, "cent_id")
@@ -152,7 +197,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -250,6 +298,7 @@ def lsh_topk(
     qb = q.select(
         "query_id",
         F.col(vec_col).alias("__qvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
         F.explode(
             F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"qb{t}")) for t in range(n_tables)])
         ).alias("bucket"),
@@ -257,6 +306,7 @@ def lsh_topk(
     cb = c.select(
         "neighbor_id",
         F.col(vec_col).alias("__cvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
         F.explode(
             F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"cb{t}")) for t in range(n_tables)])
         ).alias("bucket"),
@@ -264,13 +314,16 @@ def lsh_topk(
     cand = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qn", "__cn")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenormed(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
