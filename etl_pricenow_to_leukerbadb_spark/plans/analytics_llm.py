@@ -420,6 +420,20 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_dedup_keys",
+    tags=("ST", "DD"),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark); on the finite input equals batch
+    SELECT DISTINCT."""
+    from ..streaming.jobs import stream_distinct_keys
+
+    return stream_distinct_keys(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "st_sessionize",
     tags=("ST",),
     oracle="""

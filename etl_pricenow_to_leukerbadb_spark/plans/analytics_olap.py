@@ -443,6 +443,60 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a9_portable_stats",
+    tags=("A1",),
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS {DEC}) * CAST(l_quantity AS {DEC})) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS {DEC}) * CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+       round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+FROM m
+""",
+)
+def a9_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and Pearson correlation from decimal moments.
+
+    Built-in stddev/corr use Welford-style streaming updates whose
+    float error depends on partitioning — not reproducible across
+    engines (or even across two Spark runs with different partition
+    counts). Summing the moments as decimals (exact, order-independent)
+    and applying the closed-form in double precision makes the result
+    bit-stable and oracle-comparable."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_qty"),
+        F.round(
+            (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
 @register("a8_approx_sketches", tags=("A1", "A3"))  # sketch-based: rows-only
 def a8_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale forms of a6/a7: HLL++ approximate distinct count

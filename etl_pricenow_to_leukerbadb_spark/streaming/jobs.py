@@ -83,6 +83,41 @@ def windowed_event_counts(
     )
 
 
+def stream_distinct_keys(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` evicts keys older than the
+    watermark — the at-scale requirement (plain ``dropDuplicates`` on
+    a stream holds every key forever and OOMs on an infinite stream).
+    A key recurring *beyond* the watermark horizon re-emits; within it,
+    and on any finite input processed as one availableNow batch, the
+    key-column output equals batch ``SELECT DISTINCT`` exactly."""
+    keys = list(keys)
+    deduped = (
+        _event_stream(spark, events_path)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_upsert_job(
     spark: SparkSession,
     events_path: str,

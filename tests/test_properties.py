@@ -1,0 +1,139 @@
+"""Property-based checks (SURVEY §5.3) with hypothesis: invariants of
+the flagship forward-fill, the merge sink, and the dedup family that
+hold for *any* input, not just the golden fixtures.
+
+Spark jobs are slow per-example, so each property runs a small number
+of generated cases (max_examples) with deadline disabled — the point
+is shrinking counterexamples, not fuzz volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.operators.dedup import minhash_signatures
+from etl_pricenow_to_leukerbadb_spark.operators.forward_fill import forward_fill_daily
+from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_df
+
+GRID_START = dt.date(2026, 1, 10)
+GRID_END = dt.date(2026, 1, 24)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# change points: per-key lists of (day offset from 2026-01-01, price)
+change_sets = st.dictionaries(
+    keys=st.integers(min_value=1, max_value=4),  # product ids
+    values=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _changes_df(spark, data):
+    rows = [
+        (pid, dt.date(2026, 1, 1) + dt.timedelta(days=off), price, seq)
+        for pid, pts in data.items()
+        for seq, (off, price) in enumerate(pts)
+    ]
+    return spark.createDataFrame(rows, "pid long, d date, price long, seq long")
+
+
+@given(data=change_sets)
+@SETTINGS
+def test_forward_fill_is_dense_step_function(spark, data):
+    changes = _changes_df(spark, data)
+    out = forward_fill_daily(
+        changes,
+        key_cols=["pid"],
+        date_col="d",
+        value_col="price",
+        grid_start=GRID_START,
+        grid_end=GRID_END,
+        tie_break_cols=["seq"],
+    ).collect()
+
+    by_pid: dict[int, dict[dt.date, int]] = {}
+    for r in out:
+        by_pid.setdefault(r.pid, {})[r.day] = r.price
+
+    for pid, pts in data.items():
+        # reference semantics: price on day D = value of the latest
+        # change with date <= D (ties: last by seq), None if no such change
+        def expected(day):
+            cands = [
+                (dt.date(2026, 1, 1) + dt.timedelta(days=off), seq, price)
+                for seq, (off, price) in enumerate(pts)
+                if dt.date(2026, 1, 1) + dt.timedelta(days=off) <= day
+            ]
+            return max(cands, key=lambda c: (c[0], c[1]))[2] if cands else None
+
+        got = by_pid.get(pid, {})
+        day = GRID_START
+        while day <= GRID_END:
+            exp = expected(day)
+            assert got.get(day) == exp, (pid, day, got.get(day), exp)
+            day += dt.timedelta(days=1)
+        # denseness: once a value exists, every later grid day has a row
+        first = min((d for d in got), default=None)
+        if first is not None:
+            n_days = (GRID_END - first).days + 1
+            assert len(got) == n_days
+
+
+upsert_tables = st.tuples(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 100), max_size=15),  # base
+    st.dictionaries(st.integers(0, 20), st.integers(0, 100), max_size=15),  # updates
+)
+
+
+@given(tables=upsert_tables)
+@SETTINGS
+def test_merge_upsert_properties(spark, tables):
+    base_d, upd_d = tables
+    base = spark.createDataFrame(list(base_d.items()) or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    upd = spark.createDataFrame(list(upd_d.items()) or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    once = merge_upsert_df(base, upd, keys=["k"])
+    got = {r.k: r.v for r in once.collect()}
+    assert got == {**base_d, **upd_d}  # updates win, others survive
+    # idempotence: applying the same updates again changes nothing
+    twice = merge_upsert_df(once, upd, keys=["k"])
+    assert {r.k: r.v for r in twice.collect()} == got
+
+
+texts = st.lists(
+    st.text(alphabet="abcdefg ", min_size=12, max_size=60),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=texts)
+@SETTINGS
+def test_minhash_signature_invariants(spark, docs):
+    # duplicate every doc under a new id: signatures must be identical
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (1000 + i, t) for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(df, "doc_id", "text").collect()}
+    for i, t in enumerate(docs):
+        if len([w for w in t.split() if w]) >= 3:  # has at least one 3-shingle
+            assert sigs[i] == sigs[1000 + i], t
+        else:
+            assert i not in sigs  # too short -> no signature, not a junk one
