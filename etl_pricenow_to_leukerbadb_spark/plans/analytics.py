@@ -459,3 +459,45 @@ def u1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = ev.filter(F.col("event_id") < 2000).select("event_type")
     p2 = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select("event_type")
     return p1.unionByName(p2).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_E2_PAYLOAD = """
+{"data": [
+  {"name": "skitickets", "productDefinitions": [
+    {"id": 1, "attributes": {"age": {"value": "adult"},       "duration": {"value": "1d"}}},
+    {"id": 2, "attributes": {"age": {"value": "child"},       "duration": {"value": "13d"}}},
+    {"id": 3, "attributes": {"age": {"value": "small_child"}, "duration": {"value": "1d"}}}]},
+  {"name": "wintercard", "productDefinitions": [
+    {"id": 4, "attributes": {"age": {"value": "adult"},       "duration": {"value": "4h"}}},
+    {"id": 5, "attributes": {"age": {"value": "child"},       "duration": {"value": "2d"}}}]}
+]}
+"""
+
+
+@register(
+    "e2_products_flatten",
+    tags=("E2", "S5", "T1", "T2", "T3", "T4"),
+    oracle="""
+SELECT CAST(product_id AS BIGINT) AS product_id, category, age, duration,
+       CAST(duration_days AS INT) AS duration_days
+FROM (VALUES
+  (1, 'skitickets', 'adult', '1d', 1),
+  (2, 'skitickets', 'child', '13d', 13),
+  (4, 'wintercard', 'adult', '4h', 1),
+  (5, 'wintercard', 'child', '2d', 2)
+) AS t(product_id, category, age, duration, duration_days)
+""",
+)
+def e2_products_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E2 products pipeline end-to-end on a canonical
+    payload: envelope probe (S5) -> explode productDefinitions (T1) ->
+    nested attribute projection (T2) -> duration grammar '4h'->1 /
+    '<n>d'->n (T3) -> small_child filter (T4). Oracle is the
+    hand-derived expected table (reference py:287-326)."""
+    import datetime as _dt
+
+    from .pricenow import build_products
+
+    return build_products(
+        spark, [_E2_PAYLOAD], _dt.datetime(2026, 1, 1, 6, 0, 0)
+    ).drop("updated_at")

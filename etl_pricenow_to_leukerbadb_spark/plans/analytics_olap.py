@@ -418,6 +418,94 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q9_product_profit",
+    headline=True,
+    tags=("J1", "A1"),
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))
+                - CAST(p_retailprice AS {DECQ}) * CAST(l_quantity AS {DECQ})) AS DOUBLE) AS profit
+FROM lineitem, orders, part, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_type LIKE '%ECO%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped 5-way join: profit by supplier nation and order
+    year for a part-type family. The lineitem fact joins orders on the
+    shuffle key; part (filtered by LIKE before the join), supplier,
+    and nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%ECO%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast(DECQ) * (
+        F.lit(1) - F.col("l_discount").cast(DECQ)
+    ) - F.col("p_retailprice").cast(DECQ) * F.col("l_quantity").cast(DECQ)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    tags=("J1", "A1", "R1"),
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds a
+    threshold (HAVING feeding a semi join), top-100 by price. The
+    HAVING aggregate runs once and semi-joins back into the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
     "a7_percentiles",
     tags=("A1",),
     oracle="""
