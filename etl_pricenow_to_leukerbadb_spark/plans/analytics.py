@@ -501,3 +501,147 @@ def e2_products_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_products(
         spark, [_E2_PAYLOAD], _dt.datetime(2026, 1, 1, 6, 0, 0)
     ).drop("updated_at")
+
+
+@register(
+    "e3_prices_daily",
+    tags=("E3", "T6", "J1", "T8", "T12"),
+    oracle=f"""
+WITH chg AS (
+  SELECT user_id, CAST(ts AS DATE) AS cd, ts, event_id, value
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+    AND CAST(ts AS DATE) <= DATE '{GRID_END}'
+), clamped AS (
+  SELECT user_id, GREATEST(cd, DATE '{GRID_START}') AS day, cd, ts, event_id, value
+  FROM chg
+), dedup AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY cd DESC, ts DESC, event_id DESC) AS rn
+    FROM clamped) t WHERE rn = 1
+), grid AS (
+  SELECT u.user_id, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM chg) u,
+       LATERAL generate_series(DATE '{GRID_START}', DATE '{GRID_END}', INTERVAL 1 DAY) g(d)
+), filled AS (
+  SELECT user_id, day, price FROM (
+    SELECT g.user_id, g.day,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+    FROM grid g LEFT JOIN dedup d ON g.user_id = d.user_id AND g.day = d.day
+  ) x WHERE price IS NOT NULL
+), dim AS (
+  SELECT c_custkey AS user_id, CAST(c_custkey % 13 + 1 AS INT) AS duration_days
+  FROM customer
+)
+SELECT f.user_id, f.day AS valid_from, f.price,
+       (CASE WHEN f.day = DATE '{GRID_START}' + INTERVAL 2 DAY THEN 2
+             WHEN f.day = DATE '{GRID_START}' + INTERVAL 3 DAY THEN 1
+             WHEN f.day > DATE '{GRID_START}' + INTERVAL 3 DAY
+              AND f.day < DATE '{GRID_START}' + INTERVAL 6 DAY THEN 0
+             ELSE date_diff('day', f.day, DATE '{GRID_END}') + 1
+        END) >= d.duration_days AS active
+FROM filled f JOIN dim d ON f.user_id = d.user_id
+""",
+)
+def e3_prices_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E3 prices pipeline end-to-end at testdata scale:
+    forward-fill densification (T6) -> broadcast duration-dim join (J1,
+    the reference's duration_map dict) -> season/closure active flag
+    (T8, with day overrides and a closed interval) -> sink projection
+    (T12). Reference py:329-376."""
+    import datetime as _dt
+
+    from ..config import SeasonConfig
+    from ..functions.scalar import active_flag, days_left_expr
+    from ..operators.forward_fill import forward_fill_daily
+
+    gs = _dt.date.fromisoformat(GRID_START)
+    ge = _dt.date.fromisoformat(GRID_END)
+    season = SeasonConfig(
+        start=gs,
+        end=ge,
+        day_overrides={
+            gs + _dt.timedelta(days=2): 2,
+            gs + _dt.timedelta(days=3): 1,
+        },
+        closed_open_intervals=[
+            (gs + _dt.timedelta(days=3), gs + _dt.timedelta(days=6))
+        ],
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("cd"), "ts", "event_id", "value"
+    )
+    filled = forward_fill_daily(
+        changes,
+        key_cols=["user_id"],
+        date_col="cd",
+        value_col="value",
+        grid_start=gs,
+        grid_end=ge,
+        tie_break_cols=["ts", "event_id"],
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        ((F.col("c_custkey") % 13) + 1).cast("int").alias("duration_days"),
+    )
+    return (
+        filled.join(F.broadcast(dim), "user_id")
+        .withColumn("days_left", days_left_expr(F.col("day"), season))
+        .select(
+            "user_id",
+            F.col("day").alias("valid_from"),
+            F.col("value").alias("price"),
+            active_flag(F.col("days_left"), F.col("duration_days")).alias("active"),
+        )
+    )
+
+
+@register(
+    "s2_rest_pushdown_scan",
+    tags=("S1", "S2", "S3", "S5", "S6", "S7", "R2"),
+    oracle="""
+SELECT CAST((i % 8) + 1 AS BIGINT) AS product_definition_id,
+       strftime(DATE '2025-12-01' + INTERVAL (i % 45) DAY, '%Y-%m-%d') AS valid_at,
+       CAST(1000 + i AS BIGINT) AS price
+FROM generate_series(0, 249) g(i)
+WHERE (i % 8) + 1 IN (2, 3)
+  AND strftime(DATE '2025-12-01' + INTERVAL (i % 45) DAY, '%Y-%m-%d') >= '2025-12-10'
+  AND strftime(DATE '2025-12-01' + INTERVAL (i % 45) DAY, '%Y-%m-%d') <= '2025-12-31'
+""",
+)
+def s2_rest_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated REST connector as a registered Spark 4 Python
+    DataSource, read with predicates that push down onto API query
+    parameters (id IN-list -> ids CSV, date bounds -> date_from/to;
+    reference py:145,165-168). The deterministic fixture transport
+    serves the reference API's shape (token endpoint, bearer auth,
+    page/pageSize, envelope) so the scan itself — auth, pagination,
+    envelope probing, pushdown — is oracle-checked, not just the
+    post-scan relational ops."""
+    from ..sources.rest_datasource import RestPricesDataSource
+
+    spark.dataSource.register(RestPricesDataSource)
+    df = (
+        spark.read.format("pricenow_prices")
+        .option(
+            "transport",
+            "etl_pricenow_to_leukerbadb_spark.sources.rest_fixtures:fixture_transport",
+        )
+        .option("base_url", "https://api.example.test")
+        .option("auth_url", "https://auth.example.test/token")
+        .option("client_id", "id")
+        .option("client_secret", "secret")
+        .option("page_size", "32")
+        .option("max_pages", "8")
+        .load()
+    )
+    return df.filter(
+        F.col("product_definition_id").isin(2, 3)
+        & (F.col("valid_at") >= "2025-12-10")
+        & (F.col("valid_at") <= "2025-12-31")
+    )
