@@ -645,3 +645,91 @@ def s2_rest_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_at") >= "2025-12-10")
         & (F.col("valid_at") <= "2025-12-31")
     )
+
+
+@register(
+    "e1_full_pipeline",
+    tags=("E1", "T10", "T11", "K1", "K2", "K3"),
+    oracle="""
+WITH chg(product_id, valid_at, price, seq) AS (
+  VALUES (1, DATE '2026-01-05', 100, 1), (1, DATE '2026-01-15', 110, 2),
+         (2, DATE '2026-01-12', 200, 1),
+         (3, DATE '2026-01-10', 999, 1),
+         (4, DATE '2026-01-10', 400, 1), (4, DATE '2026-01-10', 410, 2),
+         (4, DATE '2026-01-18', 420, 3)
+), dim(product_id, duration_days) AS (
+  VALUES (1, 1), (2, 13), (4, 1), (5, 2)
+), clamped AS (
+  SELECT product_id, GREATEST(valid_at, DATE '2026-01-10') AS day, valid_at, seq, price
+  FROM chg WHERE valid_at <= DATE '2026-01-20'
+), dedup AS (
+  SELECT product_id, day, price FROM (
+    SELECT product_id, day, price,
+           row_number() OVER (PARTITION BY product_id, day
+                              ORDER BY valid_at DESC, seq DESC) AS rn
+    FROM clamped) t WHERE rn = 1
+), grid AS (
+  SELECT d.product_id, CAST(g.d AS DATE) AS day
+  FROM dim d,
+       LATERAL generate_series(DATE '2026-01-10', DATE '2026-01-20', INTERVAL 1 DAY) g(d)
+), filled AS (
+  SELECT product_id, day, price FROM (
+    SELECT g.product_id, g.day,
+           last_value(dd.price IGNORE NULLS) OVER (
+             PARTITION BY g.product_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+    FROM grid g LEFT JOIN dedup dd ON g.product_id = dd.product_id AND g.day = dd.day
+  ) x WHERE price IS NOT NULL
+)
+SELECT CAST(f.product_id AS BIGINT) AS product_id, f.day AS valid_from,
+       CAST(f.price AS BIGINT) AS price,
+       (CASE WHEN f.day = DATE '2026-01-12' THEN 2
+             WHEN f.day = DATE '2026-01-13' THEN 1
+             WHEN f.day > DATE '2026-01-13' AND f.day < DATE '2026-01-16' THEN 0
+             ELSE date_diff('day', f.day, DATE '2026-01-20') + 1
+        END) >= d.duration_days AS active,
+       TIMESTAMP '2026-01-01 06:00:00' AS updated_at
+FROM filled f JOIN dim d ON f.product_id = d.product_id
+""",
+)
+def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 end-to-end (reference py:426-453): E2 products from the
+    canonical payload, E3 prices from deterministic change points
+    (pre-season seed, leading nulls, same-day tie-break, an id not in
+    the product dim, a product with no changes), one snapshot
+    timestamp (T11), keyed upserts into parquet tables with PK guards
+    (K1-K3, write order prices-then-products), read back the prices
+    table. Oracle recomputes the expected table from the same VALUES."""
+    import datetime as _dt
+    import tempfile
+
+    from ..config import SeasonConfig
+    from .pricenow import run_pipeline
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2026-01-05", 100, 1),
+            (1, "2026-01-15", 110, 2),
+            (2, "2026-01-12", 200, 1),
+            (3, "2026-01-10", 999, 1),
+            (4, "2026-01-10", 400, 1),
+            (4, "2026-01-10", 410, 2),
+            (4, "2026-01-18", 420, 3),
+        ],
+        "productDefinitionId long, validAt string, price long, seq long",
+    )
+    season = SeasonConfig(
+        start=_dt.date(2026, 1, 10),
+        end=_dt.date(2026, 1, 20),
+        day_overrides={_dt.date(2026, 1, 12): 2, _dt.date(2026, 1, 13): 1},
+        closed_open_intervals=[(_dt.date(2026, 1, 13), _dt.date(2026, 1, 16))],
+    )
+    out = run_pipeline(
+        spark,
+        payloads=[_E2_PAYLOAD],
+        changes=changes,
+        season=season,
+        out_dir=tempfile.mkdtemp(prefix="e1_"),
+        run_ts=_dt.datetime(2026, 1, 1, 6, 0, 0),
+    )
+    return spark.read.parquet(out["pricenow_prices"])
