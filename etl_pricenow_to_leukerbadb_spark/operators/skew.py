@@ -1,0 +1,87 @@
+"""Skew-mitigation operators: salted aggregation and bucketed joins.
+
+AQE's skew-join splitting handles most runtime skew automatically
+(enabled in ``session.py``), but two techniques remain worth owning
+explicitly at 100 TB:
+
+- **Salted two-stage aggregation** for heavy-hitter GROUP BY keys:
+  stage 1 aggregates on ``(key, salt)`` so a hot key's rows spread
+  over ``n_salts`` reducers; stage 2 merges the partials per key.
+  Results are identical to a plain groupBy for any algebraic
+  aggregate (sum/count/min/max) — the registry query proves it
+  against the plain-SQL oracle.
+- **Bucketed tables** for repeated co-located joins: write both fact
+  tables bucketed by the join key; Spark then sort-merge-joins
+  bucket-to-bucket with NO exchange on either side (verified in
+  tests by asserting the join plan has no shuffle). At 100 TB this
+  converts every subsequent join/agg on the bucket key from a full
+  shuffle into a local merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str | Column,
+    n_salts: int = 16,
+    sum_alias: str = "sum_value",
+    count_alias: str = "n",
+) -> DataFrame:
+    """GROUP BY ``key_cols`` computing sum+count through a salted
+    two-stage aggregation.
+
+    The salt is derived from a high-cardinality hash of the whole row
+    (``spark_partition_id`` + a per-row monotonic component would be
+    nondeterministic under retries; a hash of all columns is stable),
+    so hot keys fan out over ``n_salts`` partial groups. Exact for
+    algebraic aggregates; decimal accumulation keeps the sum
+    order-independent so salting cannot change the result.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("__salt")
+    partial = (
+        df.select(*key_cols, value.alias("__v"), salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(25,6)")).alias("__ps"),
+            F.count(F.lit(1)).alias("__pc"),
+        )
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(
+            F.sum("__ps").cast("double").alias(sum_alias),
+            F.sum("__pc").alias(count_alias),
+        )
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+optionally sorted) managed table.
+
+    Joins and aggregations on ``bucket_cols`` between tables bucketed
+    with the same count read bucket-to-bucket with no exchange.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two pre-bucketed tables on their bucket key — plans as a
+    shuffle-free sort-merge join when bucket specs line up."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -638,3 +638,25 @@ def k1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert_df(base, updates, keys=["okey"])
+
+
+@register(
+    "a10_salted_agg",
+    tags=("A1",),
+    oracle=f"""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def a10_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation for heavy-hitter keys: partial agg
+    on (key, salt) spreads a hot key over 16 reducers, final agg
+    merges partials. Decimal accumulation makes it bit-identical to
+    the plain GROUP BY oracle — salting is a pure physical rewrite."""
+    from ..operators.skew import salted_sum_count
+
+    return salted_sum_count(
+        _t(spark, sf_dir, "events"), ["user_id"], "value", n_salts=16
+    )
