@@ -68,6 +68,60 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_META_SCHEMA)
 
 
+def resize_media_fake(
+    decoded: DataFrame, id_col: str = "doc_id", max_dim: int = 64
+) -> DataFrame:
+    """Resize step over decoded metadata (Arrow-batched, like a real
+    resampler would be): clamp each dimension to ``max_dim`` and scale
+    the byte estimate by the pixel ratio. Deterministic integer math so
+    the distributed path is oracle-checkable; a real implementation
+    swaps the body for PIL/opencv calls with the same batch shape."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            new_w = pdf["width"].clip(upper=max_dim)
+            new_h = pdf["height"].clip(upper=max_dim)
+            scaled = (
+                pdf["n_bytes"] * (new_w * new_h) // (pdf["width"] * pdf["height"])
+            )
+            yield type(pdf)(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": new_w.astype("int32"),
+                    "height": new_h.astype("int32"),
+                    "n_bytes_est": scaled.astype("int64"),
+                }
+            )
+
+    return decoded.select(id_col, "width", "height", "n_bytes").mapInPandas(
+        run, schema="doc_id long, width int, height int, n_bytes_est long"
+    )
+
+
+def sample_frames(
+    decoded: DataFrame, id_col: str = "doc_id", every_k: int = 2
+) -> DataFrame:
+    """Frame sampling over decoded metadata: one row per every-k-th
+    frame with its byte offset into the payload — the JVM-side
+    (explode) half of a video pipeline; a real frame extractor would
+    follow as a mapInPandas over (payload, frame_offset) slices."""
+    stride = decoded.select(
+        F.col(id_col),
+        F.col("n_bytes"),
+        F.col("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    )
+    return stride.select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_idx") * (F.col("n_bytes") / F.col("n_frames")).cast("long")).alias(
+            "byte_offset"
+        ),
+    )
+
+
 def fake_decode_media(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -26,7 +26,13 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from ..operators.multimodal import attach_binary, binary_meta, fake_decode_media
+from ..operators.multimodal import (
+    attach_binary,
+    binary_meta,
+    fake_decode_media,
+    resize_media_fake,
+    sample_frames,
+)
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -397,6 +403,57 @@ def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte/char equivalence in the oracle exact)."""
     docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return fake_decode_media(docs, "doc_id")
+
+
+@register(
+    "mm_resize",
+    tags=("MM",),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(16 + ascii(substr(text, 1, 1)) AS INT) AS width,
+         CAST(16 + ascii(substr(text, length(text), 1)) AS INT) AS height
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEAST(width, 64) AS INT) AS width,
+       CAST(LEAST(height, 64) AS INT) AS height,
+       CAST((n_bytes * (LEAST(width, 64) * LEAST(height, 64))) // (width * height) AS BIGINT) AS n_bytes_est
+FROM d
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over the decoded metadata (Arrow-batched
+    mapInPandas with deterministic integer math — the batch shape of a
+    real PIL/opencv resampler)."""
+    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return resize_media_fake(fake_decode_media(docs, "doc_id"), "doc_id", max_dim=64)
+
+
+@register(
+    "mm_frame_sample",
+    tags=("MM",),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * (n_bytes // n_frames) AS BIGINT) AS byte_offset
+FROM (SELECT doc_id, n_bytes, n_frames,
+             unnest(generate_series(0, n_frames - 1, 2)) AS i
+      FROM d) t
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling with byte offsets — the explode half of
+    a video pipeline (a real extractor follows as mapInPandas over
+    payload slices)."""
+    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return sample_frames(fake_decode_media(docs, "doc_id"), "doc_id", every_k=2)
 
 
 @register(

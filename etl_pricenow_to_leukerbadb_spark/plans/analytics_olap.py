@@ -660,3 +660,71 @@ def a10_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(
         _t(spark, sf_dir, "events"), ["user_id"], "value", n_salts=16
     )
+
+
+@register(
+    "q12_priority_by_flag",
+    tags=("A1", "T4"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation: priority-class counts
+    per return flag (CASE inside COUNT, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    tags=("A1", "J1"),
+    oracle=f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))
+                             ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-06-01' AND l_shipdate < DATE '1996-07-01'
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped ratio-of-sums: promo revenue share for one
+    month; the part dim broadcasts, the division happens once on the
+    decimal sums (exact), cast to double on BOTH sides before the
+    ratio so no engine-specific decimal-division scale rules leak into
+    the result."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DECQ))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
