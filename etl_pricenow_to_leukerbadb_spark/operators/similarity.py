@@ -214,6 +214,66 @@ def ivf_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Throughput-oriented brute-force top-k: the query matrix is
+    collected (it is small by contract) and broadcast into an
+    Arrow-batched ``mapInPandas`` that scores each corpus batch against
+    ALL queries with one BLAS matmul — the vectorized-Python path the
+    JVM expression tree can't match once |Q| grows.
+
+    Not oracle-paired: BLAS reorders the dot-product accumulation, so
+    the last float ulp can differ from sequential summation; parity
+    with ``brute_force_topk`` is asserted in pytest under a 1e-9
+    tolerance instead. Same output schema."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, qn = b.value
+        for pdf in batches:
+            c_mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ mat.T) / np.outer(cn, qn)  # |batch| x |Q|
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(ids, n_c),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
+                    "cos_sim": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = (
+        fan_out(corpus.select(id_col, vec_col))
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cos_sim double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component i is the
     (i mod 32)-th nibble of md5(plane:i//32) centered at 7.5."""

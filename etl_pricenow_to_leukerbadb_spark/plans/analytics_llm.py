@@ -35,6 +35,7 @@ from ..operators.multimodal import (
 )
 from ..operators.similarity import (
     brute_force_topk,
+    brute_force_topk_arrow,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
@@ -343,6 +344,16 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
+
+
+@register("ann_topk_arrow", tags=("ANN",))  # BLAS-summed floats: tolerance-tested in pytest
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force top-5: one BLAS matmul per corpus batch
+    against the broadcast query matrix — the throughput path when the
+    query set is large. No SQL oracle (BLAS accumulation order differs
+    in the last ulp); parity with the JVM-exact variant is pytest-gated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @register("ann_ivf_topk", tags=("ANN",))  # approximate: rows-only; recall vs brute force in pytest

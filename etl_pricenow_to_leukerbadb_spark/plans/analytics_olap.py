@@ -728,3 +728,29 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "q20_correlated_max",
+    tags=("A1", "J1"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def q20_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL API: each customer's
+    max-price order(s). Catalyst decorrelates this into an aggregate +
+    join — no per-row re-execution (the plan contains a single
+    aggregate over orders, not a nested loop)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q20_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM q20_orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM q20_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

@@ -130,3 +130,24 @@ def test_stream_upsert(spark, sf_small, tmp_path):
     )
     mismatch = got.select("user_id", "event_id").exceptAll(latest).count()
     assert mismatch == 0
+
+
+def test_arrow_topk_matches_jvm_exact(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cos_sim)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cos_sim)
+        for r in brute_force_topk_arrow(emb, queries, k=5).collect()
+    }
+    assert set(arrow) == set(exact)  # same neighbor sets and ranks
+    for key, (rank, sim) in arrow.items():
+        assert rank == exact[key][0]
+        assert abs(sim - exact[key][1]) <= 1e-9  # BLAS ulp tolerance
