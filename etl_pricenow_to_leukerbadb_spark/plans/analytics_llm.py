@@ -488,6 +488,28 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_static_join",
+    tags=("ST", "J1"),
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+       c_mktsegment,
+       COUNT(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    customer dim (broadcast per micro-batch, no join state) with a
+    windowed count — equals the batch join+agg on finite input."""
+    from ..streaming.jobs import stream_static_enriched_counts
+
+    return stream_static_enriched_counts(
+        spark, f"{sf_dir}/events.parquet", _t(spark, sf_dir, "customer")
+    )
+
+
+@register(
     "st_dedup_keys",
     tags=("ST", "DD"),
     oracle="SELECT DISTINCT user_id, event_type FROM events",

@@ -118,6 +118,45 @@ def stream_distinct_keys(
     return spark.table(name)
 
 
+def stream_static_enriched_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    dim_col: str = "c_mktsegment",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: the event stream is
+    enriched against a static dimension (broadcast per micro-batch —
+    no stream state for the join side) and counted per 1-day window
+    and dimension value. On finite input equals the batch join+agg."""
+    joined = (
+        _event_stream(spark, events_path)
+        .withWatermark("ts", watermark)
+        .join(
+            F.broadcast(dim.select(F.col(dim_key).alias("user_id"), F.col(dim_col))),
+            "user_id",
+        )
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col(dim_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), dim_col, "n"
+    )
+
+
 def stream_upsert_job(
     spark: SparkSession,
     events_path: str,
