@@ -1,0 +1,70 @@
+"""Storage-layout operators: partitioned writes and small-file
+compaction — the two table-layout levers that decide whether a 100 TB
+table is scannable.
+
+- **Partitioned writes** (`write_partitioned`): hive-style
+  ``partitionBy`` directories so date/tenant predicates prune whole
+  partitions at planning time (``PartitionFilters`` in the scan,
+  verified in tests) instead of reading and discarding rows.
+- **Compaction** (`compact_parquet`): streaming ingests and keyed
+  upserts accumulate small files; a scan pays per-file open cost and
+  the driver pays per-file planning cost. Compaction rewrites a
+  partition to ~target-sized files with one job. At 100 TB this runs
+  per-partition (bounded work), never whole-table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a hive-partitioned parquet table. ``max_records_per_file``
+    bounds file size without an extra repartition job."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def parquet_file_count(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int, partition: str | None = None
+) -> int:
+    """Rewrite a parquet directory (or one hive partition of it) down
+    to ``target_files`` files. Returns the resulting file count.
+
+    The rewrite goes through a temp dir + atomic-ish swap so readers
+    never see a half-written table — same pattern as the upsert sink.
+    """
+    target_path = os.path.join(path, partition) if partition else path
+    df = spark.read.parquet(target_path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(target_path.rstrip("/")))
+    # coalesce, not repartition: narrowing to fewer files needs no shuffle
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = target_path + ".old"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+    return parquet_file_count(target_path)
