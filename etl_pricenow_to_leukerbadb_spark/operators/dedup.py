@@ -164,6 +164,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    near-dup pair graph via iterative min-label propagation.
+
+    Each node starts labeled with itself; every iteration each node
+    takes the minimum label among itself and its neighbors, until a
+    fixpoint (checked with a driver-side count of changed labels —
+    an O(1)-row action per iteration, not a data collect). Converges
+    in O(diameter) iterations; near-dup cluster diameters are tiny in
+    practice. ``localCheckpoint`` truncates lineage each iteration so
+    the plan doesn't grow exponentially — the standard pattern for
+    iterative DataFrame algorithms Spark has no native operator for.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    edges = (
+        pairs.select(src.alias("a"), dst.alias("b"))
+        .unionByName(pairs.select(dst.alias("a"), src.alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_component") != F.col("component")).count()
+        labels = new_labels.select("node", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-hex-character SimHash over the document's distinct tokens.
 

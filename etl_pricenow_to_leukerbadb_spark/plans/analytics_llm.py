@@ -20,6 +20,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -213,6 +214,46 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
     )
     return lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+
+
+@register(
+    "dd_cluster_components",
+    tags=("DD",),
+    oracle=f"""
+WITH {_MINHASH_SH},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+)
+SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+""",
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate-pair graph via iterative min-label propagation (the
+    dedup step that picks one canonical doc per near-dup cluster).
+    Spark has no native CC operator — this is the iterative-DataFrame
+    pattern with per-iteration localCheckpoint; the oracle computes
+    the same components with a recursive CTE."""
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+    return connected_components(pairs)
 
 
 @register(

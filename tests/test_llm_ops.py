@@ -151,3 +151,14 @@ def test_arrow_topk_matches_jvm_exact(spark, sf_small):
     for key, (rank, sim) in arrow.items():
         assert rank == exact[key][0]
         assert abs(sim - exact[key][1]) <= 1e-9  # BLAS ulp tolerance
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, singleton edges 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

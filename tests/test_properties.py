@@ -25,6 +25,7 @@ GRID_END = dt.date(2026, 1, 24)
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # stable example set: the CI gate must not flake
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
