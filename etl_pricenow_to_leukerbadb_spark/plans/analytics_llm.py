@@ -596,3 +596,59 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import sessionize_stream
 
     return sessionize_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "llm_prep_pipeline",
+    tags=("TX", "DD", "A1"),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source, lang, text,
+         len(string_split({NORM}, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split({NORM}, ' '), x -> x IN {EN})) AS DOUBLE)
+           / len(string_split({NORM}, ' ')) AS stop_ratio,
+         md5({NORM}) AS fp
+  FROM documents
+), canonical AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM feats GROUP BY fp
+), kept AS (
+  SELECT f.* FROM feats f JOIN canonical c
+    ON f.fp = c.fp AND f.doc_id = c.keep_id
+  WHERE f.n_tokens >= 30 AND f.stop_ratio >= 0.01
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_ish
+FROM kept GROUP BY source, lang
+""",
+)
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data prep over the documents table:
+    quality gate (min tokens + stopword-ratio floor) -> exact-dedup
+    keep-list (canonical doc per content fingerprint) -> per
+    (source, lang) corpus stats with both tokenizations. The
+    composition every reference-scale data pipeline runs before
+    training; one shuffle for the dedup group, one for the final
+    rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        content_fingerprint("text").alias("fp"),
+    )
+    canonical = enriched.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = enriched.join(
+        canonical,
+        (enriched.fp == canonical.fp) & (enriched.doc_id == canonical.keep_id),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01))
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("total_bpe_ish"),
+    )
