@@ -600,6 +600,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_prep_pipeline",
+    headline=True,
     tags=("TX", "DD", "A1"),
     oracle=f"""
 WITH feats AS (

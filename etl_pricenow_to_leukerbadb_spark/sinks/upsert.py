@@ -86,23 +86,49 @@ def merge_upsert_parquet(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _psycopg2_connect(dsn: str):  # pragma: no cover - no driver in test env
+    try:
+        import psycopg2  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "jdbc_upsert requires a DB-API driver on the executors"
+        ) from e
+    return psycopg2.connect(dsn)
+
+
 def jdbc_upsert(
     df: DataFrame,
     *,
-    dsn: str,
     table: str,
     keys: list[str],
+    dsn: str | None = None,
+    connect=None,
     chunk_size: int = 1000,
+    paramstyle: str = "%s",
 ) -> None:
     """JDBC-style upsert: per-partition batched ``INSERT ... ON CONFLICT
-    (keys) DO UPDATE SET ...`` with ``chunk_size``-row batches
-    (reference chunking, py:107-112). Requires a DB-API driver
-    (psycopg2 etc.) importable on the executors — gated here because
-    none ships in this environment."""
+    (keys) DO UPDATE SET ...`` with ``chunk_size``-row batches — the
+    direct analog of the reference's chunked Supabase upsert
+    (``pricenow_etl.py:98-112``).
+
+    ``connect`` is a picklable zero-arg DB-API connection factory
+    (e.g. ``functools.partial(psycopg2.connect, dsn)``); passing
+    ``dsn`` alone defaults to psycopg2. ``paramstyle`` is the driver's
+    placeholder token (``%s`` postgres, ``?`` sqlite) — the ON
+    CONFLICT clause itself is standard and tested against a real
+    DB-API engine in the suite. Each partition writes through its own
+    connection, so write parallelism scales with the cluster while
+    chunking bounds per-statement size."""
     assert_keys_not_null(df, keys, table)
+    if connect is None:
+        if dsn is None:
+            raise ValueError("jdbc_upsert needs either `connect` or `dsn`")
+        import functools
+
+        connect = functools.partial(_psycopg2_connect, dsn)
     cols = df.columns
     collist = ", ".join(cols)
-    placeholders = ", ".join(["%s"] * len(cols))
+    placeholders = ", ".join([paramstyle] * len(cols))
     conflict = ", ".join(keys)
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c not in keys)
     sql = (
@@ -111,13 +137,7 @@ def jdbc_upsert(
     )
 
     def write_partition(rows) -> None:
-        try:
-            import psycopg2  # type: ignore
-        except ImportError as e:  # pragma: no cover - no driver in test env
-            raise NotImplementedError(
-                "jdbc_upsert requires a DB-API driver on the executors"
-            ) from e
-        conn = psycopg2.connect(dsn)
+        conn = connect()
         try:
             cur = conn.cursor()
             batch = []

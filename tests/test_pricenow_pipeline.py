@@ -183,3 +183,55 @@ def test_full_pipeline_e1(spark, tmp_path):
         run_ts=RUN_TS,
     )
     assert spark.read.parquet(paths["pricenow_prices"]).count() == 11 + 7
+
+
+# ---------------------------------------------------------------------------
+# JDBC ON CONFLICT upsert against a real DB-API engine (sqlite)
+# ---------------------------------------------------------------------------
+
+import functools  # noqa: E402
+import sqlite3  # noqa: E402
+
+
+def _sqlite_connect(path: str):
+    return sqlite3.connect(path, timeout=30)
+
+
+def test_jdbc_upsert_on_conflict_sqlite(spark, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import jdbc_upsert
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE prices (product_id INTEGER, valid_from TEXT, price INTEGER,"
+            " PRIMARY KEY (product_id, valid_from))"
+        )
+    base = spark.createDataFrame(
+        [(1, "2026-01-10", 100), (1, "2026-01-11", 110), (2, "2026-01-10", 200)],
+        "product_id long, valid_from string, price long",
+    ).coalesce(1)  # sqlite: single-writer file — serialize partitions
+    connect = functools.partial(_sqlite_connect, db)
+    jdbc_upsert(
+        base, table="prices", keys=["product_id", "valid_from"],
+        connect=connect, chunk_size=2, paramstyle="?",
+    )
+    # second run: one update, one insert — composite-key merge semantics
+    delta = spark.createDataFrame(
+        [(1, "2026-01-11", 999), (3, "2026-01-10", 300)],
+        "product_id long, valid_from string, price long",
+    ).coalesce(1)
+    jdbc_upsert(
+        delta, table="prices", keys=["product_id", "valid_from"],
+        connect=connect, chunk_size=2, paramstyle="?",
+    )
+    with sqlite3.connect(db) as c:
+        got = dict(
+            ((pid, vf), p)
+            for pid, vf, p in c.execute("SELECT product_id, valid_from, price FROM prices")
+        )
+    assert got == {
+        (1, "2026-01-10"): 100,
+        (1, "2026-01-11"): 999,  # updated
+        (2, "2026-01-10"): 200,
+        (3, "2026-01-10"): 300,  # inserted
+    }
