@@ -107,3 +107,81 @@ def forward_fill_daily(
         filled.filter((F.col("__is_grid") == 1) & F.col("__filled").isNotNull())
         .select(*key_cols, F.col(out_date_col), F.col("__filled").alias(value_col))
     )
+
+
+def linear_interpolate_daily(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    grid_start: dt.date | str,
+    grid_end: dt.date | str,
+    tie_break_cols: list[str] | None = None,
+    out_date_col: str = "day",
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION between change points — the
+    hypertable-style companion to ``forward_fill_daily``.
+
+    Per key and grid day: value = prev + (next - prev) * elapsed/span
+    between the nearest anchors; days after the last anchor hold its
+    value (trailing forward-fill); days before the first anchor are
+    dropped. Anchors are in-range change points only (one per key+day,
+    last by ``(date, *tie_break_cols)``).
+
+    One shuffle on the keys feeds both window passes (the ascending
+    prev-scan and the descending next-scan share the partitioning;
+    Catalyst reuses the exchange and only re-sorts), then everything
+    is arithmetic — no joins beyond the grid construction.
+    """
+    start = dt.date.fromisoformat(grid_start) if isinstance(grid_start, str) else grid_start
+    end = dt.date.fromisoformat(grid_end) if isinstance(grid_end, str) else grid_end
+    ties = tie_break_cols or []
+
+    d = F.col(date_col)
+    in_range = changes.filter((d >= F.lit(start)) & (d <= F.lit(end)))
+    pick = Window.partitionBy(*key_cols, date_col).orderBy(
+        *[F.col(c).desc() for c in [date_col, *ties]]
+    )
+    dedup = (
+        in_range.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, d.alias("__d"), F.col(value_col).alias("__v"))
+    )
+    keys_df = dedup.select(*key_cols).distinct()
+    grid = with_date_grid(keys_df, start, end, out_date_col)
+    joined = grid.join(
+        dedup,
+        on=[*[grid[k] == dedup[k] for k in key_cols], grid[out_date_col] == dedup["__d"]],
+        how="left",
+    ).select(*[grid[k] for k in key_cols], grid[out_date_col], "__d", "__v")
+
+    w_asc = (
+        Window.partitionBy(*key_cols)
+        .orderBy(out_date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_desc = (
+        Window.partitionBy(*key_cols)
+        .orderBy(out_date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(w_asc)
+    prev_d = F.last("__d", ignorenulls=True).over(w_asc)
+    next_v = F.first("__v", ignorenulls=True).over(w_desc)
+    next_d = F.first("__d", ignorenulls=True).over(w_desc)
+    day = F.col(out_date_col)
+    ratio = F.datediff(day, prev_d).cast("double") / F.datediff(next_d, prev_d).cast(
+        "double"
+    )
+    interp = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(next_v.isNull(), prev_v)
+        .when(next_d == prev_d, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * ratio)
+    )
+    return (
+        joined.withColumn("__interp", F.round(interp, 6))
+        .filter(F.col("__interp").isNotNull())
+        .select(*key_cols, out_date_col, F.col("__interp").alias(value_col))
+    )

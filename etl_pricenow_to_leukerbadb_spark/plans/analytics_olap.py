@@ -754,3 +754,66 @@ def q20_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "w4_linear_interp",
+    tags=("T6", "A2"),
+    oracle=f"""
+WITH chg AS (
+  SELECT user_id, CAST(ts AS DATE) AS cd, ts, event_id, value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(ts AS DATE) >= DATE '{{GS}}' AND CAST(ts AS DATE) <= DATE '{{GE}}'
+), dedup AS (
+  SELECT user_id, cd, value FROM (
+    SELECT user_id, cd, value,
+           row_number() OVER (PARTITION BY user_id, cd
+                              ORDER BY cd DESC, ts DESC, event_id DESC) AS rn
+    FROM chg) t WHERE rn = 1
+), grid AS (
+  SELECT u.user_id, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM dedup) u,
+       LATERAL generate_series(DATE '{{GS}}', DATE '{{GE}}', INTERVAL 1 DAY) g(d)
+), anch AS (
+  SELECT g.user_id, g.day,
+         last_value(d.value IGNORE NULLS) OVER wa AS prev_v,
+         last_value(d.cd IGNORE NULLS) OVER wa AS prev_d,
+         first_value(d.value IGNORE NULLS) OVER wd AS next_v,
+         first_value(d.cd IGNORE NULLS) OVER wd AS next_d
+  FROM grid g LEFT JOIN dedup d ON g.user_id = d.user_id AND g.day = d.cd
+  WINDOW wa AS (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, round(CASE
+         WHEN next_v IS NULL THEN prev_v
+         WHEN next_d = prev_d THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                 / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+       END, 6) AS value
+FROM anch WHERE prev_v IS NOT NULL
+""".replace("{GS}", "2024-01-10").replace("{GE}", "2024-02-10"),
+)
+def w4_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation between purchase change
+    points (the hypertable-style twin of the t6 forward-fill):
+    value = prev + (next - prev) * elapsed/span; trailing days hold
+    the last anchor. One key shuffle feeds both window scans."""
+    from ..operators.forward_fill import linear_interpolate_daily
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("cd"), "ts", "event_id", "value"
+    )
+    return linear_interpolate_daily(
+        changes,
+        key_cols=["user_id"],
+        date_col="cd",
+        value_col="value",
+        grid_start="2024-01-10",
+        grid_end="2024-02-10",
+        tie_break_cols=["ts", "event_id"],
+    )

@@ -235,3 +235,36 @@ def test_jdbc_upsert_on_conflict_sqlite(spark, tmp_path):
         (2, "2026-01-10"): 200,
         (3, "2026-01-10"): 300,  # inserted
     }
+
+
+def test_linear_interpolation_golden(spark):
+    import datetime as dt
+
+    from etl_pricenow_to_leukerbadb_spark.operators.forward_fill import (
+        linear_interpolate_daily,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, "2026-01-10", 100.0, 1), (1, "2026-01-14", 300.0, 2)],
+        "pid long, d string, v double, seq long",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = {
+        r.day: r.v
+        for r in linear_interpolate_daily(
+            changes,
+            key_cols=["pid"],
+            date_col="d",
+            value_col="v",
+            grid_start="2026-01-08",
+            grid_end="2026-01-16",
+            tie_break_cols=["seq"],
+        ).collect()
+    }
+    # before first anchor: dropped; between: linear; after: hold
+    assert dt.date(2026, 1, 8) not in out and dt.date(2026, 1, 9) not in out
+    assert out[dt.date(2026, 1, 10)] == 100.0
+    assert out[dt.date(2026, 1, 11)] == 150.0
+    assert out[dt.date(2026, 1, 12)] == 200.0
+    assert out[dt.date(2026, 1, 13)] == 250.0
+    assert out[dt.date(2026, 1, 14)] == 300.0
+    assert out[dt.date(2026, 1, 15)] == 300.0 and out[dt.date(2026, 1, 16)] == 300.0
