@@ -817,3 +817,42 @@ def w4_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_end="2024-02-10",
         tie_break_cols=["ts", "event_id"],
     )
+
+
+@register(
+    "w5_rolling_revenue",
+    tags=("A1", "A2"),
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT day, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER w AS DOUBLE) AS revenue_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def w5_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue over the daily series — a RANGE-framed
+    window (calendar days, robust to gaps, unlike a ROWS frame). Spark
+    ranges over an integer day index (datediff from epoch) which is
+    exactly DuckDB's RANGE INTERVAL semantics. The single global
+    window runs on the tiny post-aggregation daily series, never on
+    raw lineitem — aggregate first, window the small thing."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .withColumn("day_idx", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(25,6)")).over(w).cast("double").alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )

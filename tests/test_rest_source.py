@@ -237,3 +237,13 @@ def test_datasource_unfiltered_scan_sees_sentinel(spark):
     prices = [r.price for r in df.collect()]
     assert -1 in prices  # no pushdown params -> sentinel present
     assert len(prices) == 251
+
+
+def test_config_validation_fails_fast():
+    """Reference-parity fail-fast (py:405-412) — but checking every
+    field, not the reference's secret-checked-twice bug (SURVEY §2.10:
+    documented, not reproduced)."""
+    with pytest.raises(ValueError, match="client_id") as ei:
+        RestSourceConfig(base_url="https://x", auth_url="").validate()
+    assert "auth_url" in str(ei.value) and "client_secret" in str(ei.value)
+    CFG.validate()  # fully-populated config passes
