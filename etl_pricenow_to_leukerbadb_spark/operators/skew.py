@@ -41,6 +41,12 @@ def salted_sum_count(
     so hot keys fan out over ``n_salts`` partial groups. Exact for
     algebraic aggregates; decimal accumulation keeps the sum
     order-independent so salting cannot change the result.
+
+    Caveat: rows that are *bit-identical duplicates* of each other
+    hash to the same salt, so a hot key whose rows are all identical
+    does not spread. For that shape, pre-aggregate identical rows to
+    (row, multiplicity) first — that group-by is itself skew-free
+    because the full row is the key.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("__salt")
