@@ -106,3 +106,30 @@ def quality_features(c: Column | str) -> dict[str, Column]:
         "punct_ratio": F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / n_chars,
         "stop_ratio": stopword_count(toks, LANG_STOPWORDS["en"]).cast("double") / n_toks,
     }
+
+
+def chunk_windows_udtf():
+    """Spark 4 Python UDTF form of context-window chunking — one input
+    row fans out to one row per (chunk_size, stride) window. The
+    expression form (plans: tx_chunk_windows) is the production path
+    (JVM-side, no Python); this demonstrates the lateral-join UDTF API
+    for chunkers that need real tokenizers (BPE libraries) and is
+    pytest-verified to agree with the expression form on whitespace
+    tokens.
+
+    Returns the registered-callable; use with
+    ``udtf_fn(lit(chunk), lit(stride), col("doc_id"), col("text"))``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkWindows:
+        def eval(self, chunk_size: int, stride: int, doc_id: int, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            if not toks:
+                toks = [""]
+            for start in range(0, len(toks), stride):
+                window = toks[start : start + chunk_size]
+                yield doc_id, start + 1, " ".join(window), len(window)
+
+    return ChunkWindows

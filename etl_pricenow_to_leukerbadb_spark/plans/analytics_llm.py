@@ -653,3 +653,43 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum(bpe_ish_token_count("text")).cast("long").alias("total_bpe_ish"),
     )
+
+
+@register(
+    "tx_chunk_windows",
+    tags=("TX",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(s AS INT) AS chunk_idx,
+       array_to_string(tk[s:s + 63], ' ') AS chunk_text,
+       CAST(len(tk[s:s + 63]) AS INT) AS n_tokens
+FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk), 48)) AS s FROM toks) t
+""",
+)
+def tx_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training data: overlapping 64-token
+    windows with stride 48 (the sliding-window split every LLM corpus
+    pipeline runs before tokenization). Pure expression pipeline —
+    sequence for the window starts, slice + array_join per window;
+    the explode fans out map-side with no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return (
+        docs.select("doc_id", tk.alias("__tk"))
+        .select(
+            "doc_id",
+            "__tk",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__tk"), F.lit(1)), F.lit(48))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(F.slice("__tk", F.col("chunk_idx"), 64), " ").alias("chunk_text"),
+            F.size(F.slice("__tk", F.col("chunk_idx"), 64)).alias("n_tokens"),
+        )
+    )

@@ -162,3 +162,27 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_chunk_udtf_matches_expression_form(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.functions.text import chunk_windows_udtf
+    from etl_pricenow_to_leukerbadb_spark.plans.analytics_llm import tx_chunk_windows
+
+    expr_rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in tx_chunk_windows(spark, sf_small).collect()
+    }
+    ChunkWindows = chunk_windows_udtf()
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").limit(200)
+    docs.createOrReplaceTempView("chunk_docs")
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    udtf_rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in spark.sql(
+            "SELECT c.* FROM chunk_docs d, "
+            "LATERAL chunk_windows(64, 48, d.doc_id, d.text) c"
+        ).collect()
+    }
+    for key, val in udtf_rows.items():
+        assert expr_rows[key] == val, key
+    assert len(udtf_rows) > 0
