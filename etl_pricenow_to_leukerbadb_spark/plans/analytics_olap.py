@@ -935,3 +935,49 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    tags=("A1", "J1"),
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped view + aggregate-on-aggregate: quarterly
+    revenue per supplier as a temp view, then the supplier(s) whose
+    revenue equals the view's max — the revenue aggregation is
+    computed once and reused for both the max and the equality probe
+    (Spark reuses the exchange across the self-reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    revenue.createOrReplaceTempView("q15_revenue")
+    supp = _t(spark, sf_dir, "supplier")
+    supp.createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q15_supplier, q15_revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM q15_revenue)
+        """
+    )
