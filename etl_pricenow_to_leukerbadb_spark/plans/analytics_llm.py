@@ -5,7 +5,7 @@ SQL-expressible (BASELINE.json "north_star")."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -692,4 +692,75 @@ def tx_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("__tk", F.col("chunk_idx"), 64), " ").alias("chunk_text"),
             F.size(F.slice("__tk", F.col("chunk_idx"), 64)).alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "tx_hash_sample",
+    tags=("TX", "T4"),
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+      < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 60 ELSE 30 END
+""",
+)
+def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: keep
+    p% per language where the keep decision is a salted md5 hash of
+    the doc id — reproducible across engines, runs, and partitionings
+    (unlike RNG-based sample()), and stable under re-runs so
+    downstream incremental pipelines see a consistent subset."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string")).cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "zh", 60)
+        .otherwise(30)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "tx_cap_per_source",
+    tags=("TX", "A2", "R2"),
+    oracle=f"""
+SELECT source, doc_id, n_tokens, rnk FROM (
+  SELECT source, doc_id,
+         CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY len(string_split({NORM}, ' ')) DESC,
+                                     doc_id ASC) AS rnk
+  FROM documents) t
+WHERE rnk <= 50
+""",
+)
+def tx_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap for corpus curation: keep the 50
+    longest docs per source (window row_number — the anti-domination
+    guard that stops one crawl source from flooding the training mix).
+    One shuffle on source; the window never sees more state than one
+    source's docs."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    w = Window.partitionBy("source").orderBy(
+        n_tokens.desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "source", "doc_id", n_tokens.alias("n_tokens"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 50)
     )
