@@ -643,10 +643,18 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["stop_ratio"].alias("stop_ratio"),
         content_fingerprint("text").alias("fp"),
     )
-    canonical = enriched.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # canonical derives from enriched, so the join keys must be
+    # disambiguated via aliases — enriched.fp == canonical.fp would
+    # resolve both sides to the same attribute (trivially-true predicate).
+    canonical = (
+        enriched.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fp", "canon_fp")
+    )
     kept = enriched.join(
         canonical,
-        (enriched.fp == canonical.fp) & (enriched.doc_id == canonical.keep_id),
+        (enriched["fp"] == canonical["canon_fp"])
+        & (enriched["doc_id"] == canonical["keep_id"]),
     ).filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01))
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
