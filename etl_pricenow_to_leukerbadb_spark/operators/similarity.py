@@ -313,6 +313,141 @@ def sign_lsh_bucket(vec_col: F.Column, n_planes: int, dim: int) -> F.Column:
     return F.concat(*bits)
 
 
+def sign_lsh_buckets_long(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Long-form sign-LSH bucketing: one row per (vector, table) with
+    the table's bit-string bucket key — the shared blocking stage for
+    ``lsh_topk``, ``lsh_near_dup_pairs`` and ``lsh_bucket_stats``.
+
+    Table ``t`` projects onto planes ``t*n_planes .. t*n_planes+n_planes-1``
+    of the deterministic md5-derived plane space (identical plane ids →
+    identical buckets across every operator built on this). Output:
+    ``(id_col, tbl, bucket[, __vec, __norm])``. The per-table explode is
+    column-sliced (compute all buckets in one projection, then unpivot
+    via an array explode) so the source is scanned once."""
+    out = df.select(
+        F.col(id_col),
+        *( [F.col(vec_col).alias("__vec"), F.sqrt(norm_sq(F.col(vec_col))).alias("__norm")]
+           if keep_vec else [] ),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        *[
+                            F.when(
+                                F.aggregate(
+                                    F.zip_with(
+                                        F.col(vec_col),
+                                        _hyperplane(t * n_planes + p, dim),
+                                        lambda x, y: x.cast("double") * y,
+                                    ),
+                                    F.lit(0.0),
+                                    lambda acc, v: acc + v,
+                                )
+                                >= 0,
+                                F.lit("1"),
+                            ).otherwise(F.lit("0"))
+                            for p in range(n_planes)
+                        ]
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    return out
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Blocked embedding near-duplicate pairs — the 100 TB path that
+    replaces ``embedding_near_dup_pairs``'s all-pairs crossJoin.
+
+    Candidates must share a sign-LSH bucket in at least one of
+    ``n_tables`` tables (a bucket equi-join, never |C| x |C|), then the
+    survivors get the same exact rounded-cosine threshold as the exact
+    baseline. Same output schema as ``embedding_near_dup_pairs``
+    (id_a, id_b, cos_sim); recall < 1 by design and is gated against
+    the exact operator in tests.
+
+    Defaults (4 planes x 16 tables) are tuned for the synthetic
+    corpus's low-margin threshold (0.4 -> per-bit agreement ~0.63,
+    recall ~0.94); a production near-dup pass at threshold ~0.9 keeps
+    recall ~1 at these settings and gets far more selective blocking
+    (per-bit agreement ~0.86).
+
+    The bucket self-join and the pair dedup move ONLY (id, bucket)
+    rows — the 64-float vectors never ride through the multi-table
+    explode or the candidate shuffle (measured 6x on the sf0.1 bench
+    vs carrying them). Vectors re-attach to the surviving distinct
+    pairs with two id-equi-joins, which AQE turns into broadcasts when
+    the corpus is small and leaves as co-partitioned shuffle joins at
+    scale."""
+    b = sign_lsh_buckets_long(fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim)
+    cand = (
+        b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__n"),
+    )
+    return (
+        cand.join(vecs, cand.id_a == vecs.__vid)
+        .select("id_a", "id_b", F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+        .join(vecs, F.col("id_b") == vecs.__vid)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_prenormed(F.col("__va"), F.col("__v"), F.col("__na"), F.col("__n")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_bucket_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact, deterministic projection of the LSH blocking structure:
+    per (table, bucket) vector count, candidate-pair count and min
+    member id. The planes are float literals fixed at plan-build time,
+    so this is SQL-oracle-checkable — it pins down the *bucketing* the
+    approximate ``lsh_topk`` family relies on, giving the ANN family a
+    hash-checkable invariant (the top-k itself stays approximate)."""
+    b = sign_lsh_buckets_long(fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim)
+    return b.groupBy("tbl", "bucket").agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_pairs"),
+        F.min(id_col).alias("min_id"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -733,3 +733,91 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_ts=_dt.datetime(2026, 1, 1, 6, 0, 0),
     )
     return spark.read.parquet(out["pricenow_prices"])
+
+
+@register(
+    "e4_season_reference_2025",
+    tags=("E3", "T8", "T9", "T6"),
+    oracle="""
+WITH chg(product_id, valid_at, price, seq) AS (
+  VALUES (1, DATE '2025-12-01', 500, 1), (1, DATE '2026-01-15', 550, 2),
+         (2, DATE '2025-12-16', 900, 1),
+         (3, DATE '2026-05-01', 777, 1),
+         (4, DATE '2025-12-13', 100, 1), (4, DATE '2025-12-13', 110, 2),
+         (4, DATE '2026-04-12', 120, 3),
+         (9, DATE '2025-12-20', 404, 1)
+), dim(product_id, duration_days) AS (
+  VALUES (1, 1), (2, 13), (3, 2), (4, 100)
+), clamped AS (
+  SELECT product_id, GREATEST(valid_at, DATE '2025-12-13') AS day, valid_at, seq, price
+  FROM chg WHERE valid_at <= DATE '2026-04-12'
+    AND product_id IN (SELECT product_id FROM dim)
+), dedup AS (
+  SELECT product_id, day, price FROM (
+    SELECT product_id, day, price,
+           row_number() OVER (PARTITION BY product_id, day
+                              ORDER BY valid_at DESC, seq DESC) AS rn
+    FROM clamped) t WHERE rn = 1
+), grid AS (
+  SELECT d.product_id, CAST(g.d AS DATE) AS day
+  FROM dim d,
+       LATERAL generate_series(DATE '2025-12-13', DATE '2026-04-12', INTERVAL 1 DAY) g(d)
+), filled AS (
+  SELECT product_id, day, price FROM (
+    SELECT g.product_id, g.day,
+           last_value(dd.price IGNORE NULLS) OVER (
+             PARTITION BY g.product_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+    FROM grid g LEFT JOIN dedup dd ON g.product_id = dd.product_id AND g.day = dd.day
+  ) x WHERE price IS NOT NULL
+)
+SELECT CAST(f.product_id AS BIGINT) AS product_id, f.day AS valid_from,
+       CAST(f.price AS BIGINT) AS price,
+       (CASE WHEN f.day = DATE '2025-12-13' THEN 2
+             WHEN f.day = DATE '2025-12-14' THEN 1
+             WHEN f.day > DATE '2025-12-14' AND f.day < DATE '2025-12-19' THEN 0
+             ELSE date_diff('day', f.day, DATE '2026-04-12') + 1
+        END) >= d.duration_days AS active,
+       TIMESTAMP '2026-01-02 06:00:00' AS updated_at
+FROM filled f JOIN dim d ON f.product_id = d.product_id
+""",
+)
+def e4_season_reference_2025(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 under the reference's exact hardcoded 2025/26 season
+    (reference py:331-332, py:353-358 — lifted into
+    ``SeasonConfig.reference_2025()``): opening-day override 12-13 -> 2
+    days left, 12-14 -> 1, closure interval (12-14, 12-19) forcing 0.
+    The fixture change set exercises every quirk against that calendar:
+    a pre-season seed, a first change inside the closed interval, a
+    post-season change (dropped), a same-day seq tie-break on opening
+    day, a last-day change, and an id missing from the product dim.
+    The oracle recomputes the table from the same VALUES, making the
+    reference's override semantics their own green driver row instead
+    of riding inside e1/e3 variants."""
+    import datetime as _dt
+
+    from .pricenow import build_prices
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2025-12-01", 500, 1),
+            (1, "2026-01-15", 550, 2),
+            (2, "2025-12-16", 900, 1),
+            (3, "2026-05-01", 777, 1),
+            (4, "2025-12-13", 100, 1),
+            (4, "2025-12-13", 110, 2),
+            (4, "2026-04-12", 120, 3),
+            (9, "2025-12-20", 404, 1),
+        ],
+        "productDefinitionId long, validAt string, price long, seq long",
+    )
+    products = spark.createDataFrame(
+        [(1, 1), (2, 13), (3, 2), (4, 100)],
+        "product_id long, duration_days int",
+    )
+    return build_prices(
+        products,
+        changes,
+        SeasonConfig.reference_2025(),
+        _dt.datetime(2026, 1, 2, 6, 0, 0),
+    )

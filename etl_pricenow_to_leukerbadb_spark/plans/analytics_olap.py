@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sinks.upsert import merge_upsert_df
+from ..sinks.upsert import merge_upsert_df, merge_upsert_partitioned
 from .analytics import DEC, DECQ, _t, register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -638,6 +638,58 @@ def k1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert_df(base, updates, keys=["okey"])
+
+
+@register(
+    "k5_partition_merge",
+    tags=("K1", "K3"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS okey, o_totalprice AS price, 'base' AS src,
+         CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS part_year
+  FROM orders
+), upd AS (
+  SELECT okey, CAST(CAST(price AS {DEC}) * 2 AS DOUBLE) AS price, 'upd' AS src, part_year
+  FROM base WHERE okey % 3 = 0 AND part_year = 1995
+)
+SELECT okey, price, src, part_year FROM upd
+UNION ALL
+SELECT b.okey, b.price, b.src, b.part_year FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.okey = b.okey)
+""",
+)
+def k5_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE through the real sink: orders written as
+    a hive-partitioned parquet table (by order year), then an update
+    batch touching ONLY the 1995 partition merged via
+    ``merge_upsert_partitioned`` — the base scan prunes to the touched
+    partition and dynamic partition overwrite rewrites just that
+    directory (untouched years keep their files byte-for-byte; asserted
+    in tests). Read back and checked against a plain SQL merge."""
+    import os
+    import tempfile
+
+    from ..sinks.layout import write_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+        F.year(F.col("o_orderdate").cast("date")).alias("part_year"),
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="k5_"), "orders_merged")
+    write_partitioned(base, target, ["part_year"])
+    updates = base.filter((F.col("okey") % 3 == 0) & (F.col("part_year") == 1995)).select(
+        "okey",
+        (F.col("price").cast(DEC) * 2).cast("double").alias("price"),
+        F.lit("upd").alias("src"),
+        "part_year",
+    )
+    merge_upsert_partitioned(
+        spark, updates, target, keys=["okey"], partition_cols=["part_year"]
+    )
+    return spark.read.parquet(target)
 
 
 @register(

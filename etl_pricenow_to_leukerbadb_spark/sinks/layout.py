@@ -16,11 +16,9 @@ table is scannable.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -58,13 +56,14 @@ def compact_parquet(
     The rewrite goes through a temp dir + atomic-ish swap so readers
     never see a half-written table — same pattern as the upsert sink.
     """
+    from .upsert import replace_dir
+
     target_path = os.path.join(path, partition) if partition else path
     df = spark.read.parquet(target_path)
     tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(target_path.rstrip("/")))
     # coalesce, not repartition: narrowing to fewer files needs no shuffle
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = target_path + ".old"
-    os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old)
+    # crash-safe backup-aside swap (also clears stale backups from a
+    # prior crash, which the old unconditional rename tripped over)
+    replace_dir(tmp, target_path)
     return parquet_file_count(target_path)

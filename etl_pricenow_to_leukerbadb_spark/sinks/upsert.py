@@ -55,6 +55,28 @@ def merge_upsert_df(base: DataFrame, updates: DataFrame, keys: list[str]) -> Dat
     return updates.unionByName(surviving)
 
 
+def replace_dir(new_dir: str, target_path: str) -> None:
+    """Crash-safe directory swap: rename the live target aside, move
+    the new directory in, then drop the backup. A crash between the
+    two renames leaves ``<target>.bak`` intact (recoverable) instead of
+    losing the live table; a stale backup from a prior crash is cleared
+    up front so the swap always starts clean."""
+    bak = target_path + ".bak"
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    had_old = os.path.isdir(target_path)
+    if had_old:
+        os.rename(target_path, bak)
+    try:
+        shutil.move(new_dir, target_path)
+    except BaseException:
+        if had_old and not os.path.isdir(target_path):
+            os.rename(bak, target_path)
+        raise
+    if had_old:
+        shutil.rmtree(bak, ignore_errors=True)
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -63,8 +85,14 @@ def merge_upsert_parquet(
     table: str | None = None,
 ) -> None:
     """Upsert into a parquet-directory table with atomic-ish swap:
-    write merged output to a sibling temp dir, then replace the target.
-    Idempotent: re-running the same updates yields the same table."""
+    write merged output to a sibling temp dir, then replace the target
+    via the crash-safe backup-aside swap. Idempotent: re-running the
+    same updates yields the same table.
+
+    This rewrites the WHOLE table per batch — fine for dimension-sized
+    targets (the reference's tables); for large partitioned facts use
+    ``merge_upsert_partitioned``, which only rewrites the hive
+    partitions present in the update set."""
     assert_keys_not_null(updates, keys, table or target_path)
     if os.path.isdir(target_path) and any(
         f.endswith(".parquet") for f in os.listdir(target_path)
@@ -80,10 +108,58 @@ def merge_upsert_parquet(
     merged.write.mode("overwrite").parquet(out)
     # force materialization before swapping the live directory
     spark.read.parquet(out).count()
-    if os.path.isdir(target_path):
-        shutil.rmtree(target_path)
-    shutil.move(out, target_path)
+    replace_dir(out, target_path)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_cols: list[str],
+    table: str | None = None,
+) -> None:
+    """Partition-scoped MERGE into a hive-partitioned parquet table:
+    only the partitions present in the update set are read, merged and
+    rewritten — untouched partition directories keep their files
+    byte-for-byte. This is the 100 TB upsert path: per-batch work is
+    bounded by the touched-partition volume, not the table size
+    (lakehouse ``MERGE INTO`` with partition pruning; the whole-table
+    rewrite in ``merge_upsert_parquet`` is the dimension-sized
+    fallback).
+
+    Mechanics: the distinct update partition tuples (driver-small by
+    contract — one row per touched partition) become a static pruning
+    filter on the base scan, so Catalyst reads only those directories
+    (``PartitionFilters``); the merged result is committed with
+    Spark's dynamic partition overwrite, which replaces exactly the
+    partitions the output contains.
+
+    Update rows must carry their partition columns, and a key's
+    partition must be stable across batches (same contract as
+    partitioned ``MERGE`` everywhere)."""
+    from .layout import parquet_file_count
+
+    assert_keys_not_null(updates, keys, table or target_path)
+    if parquet_file_count(target_path) == 0:
+        updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+        return
+    touched = updates.select(*partition_cols).distinct().collect()
+    cond = F.lit(False)
+    for row in touched:
+        c = F.lit(True)
+        for col in partition_cols:
+            c = c & (F.col(col) == F.lit(row[col]))
+        cond = cond | c
+    base = spark.read.parquet(target_path).filter(cond)
+    merged = merge_upsert_df(base, updates.select(*base.columns), keys)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _psycopg2_connect(dsn: str):  # pragma: no cover - no driver in test env

@@ -48,3 +48,95 @@ def test_compaction_shrinks_files_preserves_data(spark, sf_small, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert after.agg(F.sum("event_id")).collect()[0][0] == before_sum
+
+
+def _file_state(path: str) -> dict[str, bytes]:
+    """Map of parquet file relpath -> content hash under a directory."""
+    import hashlib
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.sha256(fh.read()).digest()
+    return out
+
+
+def test_partition_scoped_merge_leaves_other_partitions_untouched(spark, sf_small, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import (
+        merge_upsert_df,
+        merge_upsert_partitioned,
+    )
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    ).select("event_id", "user_id", "value", "day")
+    path = str(tmp_path / "events_merge")
+    write_partitioned(ev, path, ["day"])
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    assert len(days) >= 2
+    touched, untouched = days[0], days[1:]
+
+    before = _file_state(path)
+    updates = (
+        ev.filter((F.col("day") == touched) & (F.col("event_id") % 2 == 0))
+        .withColumn("value", F.col("value") * 10)
+    )
+    merge_upsert_partitioned(
+        spark, updates, path, keys=["event_id"], partition_cols=["day"]
+    )
+    after = _file_state(path)
+
+    # every file outside the touched partition is byte-identical
+    touched_prefix = f"day={touched.isoformat()}"
+    before_rest = {k: v for k, v in before.items() if not k.startswith(touched_prefix)}
+    after_rest = {k: v for k, v in after.items() if not k.startswith(touched_prefix)}
+    assert before_rest == after_rest and before_rest
+    # and the touched partition actually changed
+    assert {k: v for k, v in before.items() if k.startswith(touched_prefix)} != {
+        k: v for k, v in after.items() if k.startswith(touched_prefix)
+    }
+
+    # merged content equals the relational merge over the whole table
+    expected = merge_upsert_df(ev, updates, keys=["event_id"])
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert (
+        got.exceptAll(expected.select(*got.columns)).count() == 0
+        and expected.select(*got.columns).exceptAll(got).count() == 0
+    )
+
+
+def test_partition_merge_creates_table_when_missing(spark, sf_small, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_partitioned
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    ).select("event_id", "value", "day").limit(100)
+    path = str(tmp_path / "fresh_target")
+    merge_upsert_partitioned(spark, ev, path, keys=["event_id"], partition_cols=["day"])
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_replace_dir_is_crash_safe_and_clears_stale_backup(tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import replace_dir
+
+    target = tmp_path / "live"
+    target.mkdir()
+    (target / "a.txt").write_text("old")
+    # stale backup from a simulated prior crash must not break the swap
+    stale = tmp_path / "live.bak"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("junk")
+    new = tmp_path / "incoming"
+    new.mkdir()
+    (new / "b.txt").write_text("new")
+
+    replace_dir(str(new), str(target))
+
+    assert (target / "b.txt").read_text() == "new"
+    assert not (target / "a.txt").exists()
+    assert not stale.exists() and not new.exists()

@@ -84,6 +84,24 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_lsh_near_dup_recall_vs_exact(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=16).collect()
+    }
+    # blocking can only lose pairs, never invent them (same exact threshold)
+    assert blocked <= exact
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.7, f"blocked near-dup recall {recall:.2f} too low"
+
+
 def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
