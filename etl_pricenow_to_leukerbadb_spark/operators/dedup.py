@@ -168,7 +168,7 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     near-dup pair graph via iterative min-label propagation.
@@ -183,6 +183,14 @@ def connected_components(
     iterative DataFrame algorithms Spark has no native operator for.
 
     Returns (node, component) with component = min node id reachable.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` iterations (a component's diameter exceeded the cap —
+    e.g. a very long templated-document chain): returning the
+    non-converged labels silently would yield WRONG components.
+    Min-label propagation needs O(diameter) rounds; raise the cap for
+    pathological graphs (or switch to the pointer-doubling/large-star
+    variant, O(log n) rounds, if such chains are the norm).
     """
     src, dst = F.col(src_col), F.col(dst_col)
     edges = (
@@ -196,6 +204,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.a == labels.node)
@@ -216,6 +225,12 @@ def connected_components(
         labels = new_labels.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: labels still changing after {max_iter} "
+            f"iterations ({changed} updates in the last round) — a component's "
+            "diameter exceeds max_iter; raise it rather than use wrong labels"
+        )
     return labels
 
 

@@ -70,14 +70,26 @@ def build_prices(
     """E3: change points -> dense daily prices with active flags.
 
     ``changes`` columns: productDefinitionId, validAt (date or ISO
-    string), price (integer minor units), plus optional ``seq`` for
-    same-day tie-breaking.
+    string), price (integer minor units), plus a REQUIRED ``seq``
+    column for same-day tie-breaking. The reference resolves same-day
+    duplicates by stable arrival order (py:214); a distributed scan
+    has no arrival order, so the caller must supply an explicit,
+    reproducible one (the REST source's page*page_size+offset position
+    qualifies; ``monotonically_increasing_id`` does NOT — its values
+    depend on partition layout, which would make last-wins resolution
+    differ run to run).
     """
+    if "seq" not in changes.columns:
+        raise ValueError(
+            "build_prices: `changes` needs an explicit `seq` column for "
+            "deterministic same-day tie-breaking (e.g. the source's "
+            "page*page_size+offset position)"
+        )
     chg = changes.select(
         F.col("productDefinitionId").alias("product_id"),
         F.to_date("validAt").alias("valid_at"),
         F.col("price").cast("long").alias("price"),
-        *( [F.col("seq")] if "seq" in changes.columns else [F.monotonically_increasing_id().alias("seq")] ),
+        F.col("seq"),
     )
     dense = forward_fill_daily(
         chg,

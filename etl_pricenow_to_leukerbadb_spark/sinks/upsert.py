@@ -45,6 +45,17 @@ def assert_keys_not_null(df: DataFrame, keys: list[str], table: str = "<target>"
         raise ValueError(f"upsert into {table}: null in key column(s) {keys}")
 
 
+def assert_keys_unique(df: DataFrame, keys: list[str], table: str = "<target>") -> None:
+    """Second pre-write PK guard: refuse the write if any key occurs
+    twice. Duplicate keys make an upsert batch ill-defined — Postgres
+    raises 'ON CONFLICT DO UPDATE command cannot affect row a second
+    time' when both rows land in one statement, and same-key rows in
+    different partitions would commit in arbitrary order."""
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"upsert into {table}: duplicate rows for key(s) {keys}")
+
+
 def merge_upsert_df(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Merge semantics: every key in ``updates`` replaces its row in
     ``base``; unmatched base rows pass through (K1, py:98-112).
@@ -194,8 +205,14 @@ def jdbc_upsert(
     CONFLICT clause itself is standard and tested against a real
     DB-API engine in the suite. Each partition writes through its own
     connection, so write parallelism scales with the cluster while
-    chunking bounds per-statement size."""
+    chunking bounds per-statement size.
+
+    Input must be unique per key (enforced by a pre-write guard):
+    with duplicates, Postgres rejects same-statement double updates
+    ('cannot affect row a second time') and cross-partition duplicates
+    would commit in nondeterministic order."""
     assert_keys_not_null(df, keys, table)
+    assert_keys_unique(df, keys, table)
     if connect is None:
         if dsn is None:
             raise ValueError("jdbc_upsert needs either `connect` or `dsn`")

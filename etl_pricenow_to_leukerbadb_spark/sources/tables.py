@@ -58,10 +58,24 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     shuffle), so ``load_table`` deliberately does NOT call it. When the
     scan is already at least as parallel as the cluster (the 100 TB
     case: thousands of splits) this is a no-op.
+
+    The parallelism probe is plan-level: ``df.inputFiles()`` (driver-side
+    file listing, no job and no plan-to-RDD conversion — the old
+    ``df.rdd.getNumPartitions()`` re-planned the query as RDDs each
+    call). File count lower-bounds scan partitions (big files split
+    further), so ``>= target`` file sources are left untouched; only
+    non-file sources (in-memory fixtures) fall back to the RDD probe,
+    where the conversion cost is proportional to their small plans.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -204,3 +204,16 @@ def test_chunk_udtf_matches_expression_form(spark, sf_small):
     for key, val in udtf_rows.items():
         assert expr_rows[key] == val, key
     assert len(udtf_rows) > 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-3-4: min-label needs ~4 rounds; cap at 1 must refuse
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(pairs, max_iter=1)

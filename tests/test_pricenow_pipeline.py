@@ -268,3 +268,35 @@ def test_linear_interpolation_golden(spark):
     assert out[dt.date(2026, 1, 13)] == 250.0
     assert out[dt.date(2026, 1, 14)] == 300.0
     assert out[dt.date(2026, 1, 15)] == 300.0 and out[dt.date(2026, 1, 16)] == 300.0
+
+
+def test_jdbc_upsert_rejects_duplicate_keys(spark, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import jdbc_upsert
+
+    dup = spark.createDataFrame(
+        [(1, "2026-01-10", 100), (1, "2026-01-10", 101)],
+        "product_id long, valid_from string, price long",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        jdbc_upsert(
+            dup, table="prices", keys=["product_id", "valid_from"],
+            connect=functools.partial(_sqlite_connect, str(tmp_path / "x.db")),
+            paramstyle="?",
+        )
+
+
+def test_build_prices_requires_seq(spark):
+    import datetime as dt
+
+    from etl_pricenow_to_leukerbadb_spark.config import SeasonConfig
+
+    products = spark.createDataFrame([(1, 1)], "product_id long, duration_days int")
+    changes = spark.createDataFrame(
+        [(1, "2026-01-10", 100)], "productDefinitionId long, validAt string, price long"
+    )
+    with pytest.raises(ValueError, match="seq"):
+        build_prices(
+            products, changes,
+            SeasonConfig(start=dt.date(2026, 1, 10), end=dt.date(2026, 1, 20)),
+            dt.datetime(2026, 1, 1),
+        )
