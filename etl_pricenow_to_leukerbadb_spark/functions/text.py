@@ -108,6 +108,38 @@ def quality_features(c: Column | str) -> dict[str, Column]:
     }
 
 
+#: PII patterns, applied in this order (emails first — they contain
+#: dots and digits that the later patterns could otherwise nibble at).
+#: Kept to syntax both Java regex (Spark) and RE2 (DuckDB) agree on:
+#: no backreferences, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d -]{7,}\d"),
+)
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact emails, IPv4 addresses and international phone numbers
+    with ``[EMAIL]``/``[IP]``/``[PHONE]`` placeholders — the standard
+    pre-training scrub pass. Pure chained ``regexp_replace`` (JVM-side,
+    streaming-safe, no shuffle)."""
+    c = F.col(c) if isinstance(c, str) else c
+    for label, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{label}]")
+    return c
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-category PII hit counts (for scrub audits / doc filtering).
+    Counted on the raw text, before any replacement."""
+    c = F.col(c) if isinstance(c, str) else c
+    return {
+        f"n_{label.lower()}": F.regexp_count(c, F.lit(pat))
+        for label, pat in PII_PATTERNS
+    }
+
+
 def chunk_windows_udtf():
     """Spark 4 Python UDTF form of context-window chunking — one input
     row fans out to one row per (chunk_size, stride) window. The

@@ -863,3 +863,226 @@ def tx_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 50)
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing, sequence packing, term ranking, data-quality profiling
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+#: deterministic PII augmentation — the synthetic corpus carries no
+#: PII, so the query plants one email/IP/phone per doc (derived from
+#: doc_id, identically in both engines) and the scrub must remove all
+#: of them.
+_PII_AUG = (
+    "text || ' contact user' || doc_id || '@mail.example.com from 10.' || "
+    "(doc_id % 200) || '.0.' || (doc_id % 250) || ' call +41 79 ' || "
+    "(100 + doc_id % 900) || ' 22 33'"
+)
+
+
+@register(
+    "tx_pii_scrub",
+    tags=("TX",),
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS raw FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IP}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text
+FROM aug
+""",
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / IPv4 / phone numbers -> typed
+    placeholders) with per-category hit counts for scrub audits.
+    Chained JVM-side regexp_replace — zero shuffle, streaming-safe;
+    patterns restricted to Java-regex/RE2 common syntax so the oracle
+    applies the byte-identical scrub."""
+    from ..functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.expr(_PII_AUG)
+    counts = pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        counts["n_email"].cast("int").alias("n_email"),
+        counts["n_ip"].cast("int").alias("n_ip"),
+        counts["n_phone"].cast("int").alias("n_phone"),
+        scrub_pii(raw).alias("clean_text"),
+    )
+
+
+_PACK_CAP = 256  # tokens per packed training sequence
+
+
+@register(
+    "tx_pack_sequences",
+    tags=("TX", "A2"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS pack_start
+  FROM d
+)
+SELECT doc_id, source, n_tokens,
+       pack_start // {_PACK_CAP} AS pack_id,
+       pack_start % {_PACK_CAP} AS pack_offset,
+       (pack_start + n_tokens - 1) // {_PACK_CAP} > pack_start // {_PACK_CAP}
+         AS spans_boundary
+FROM c
+""",
+)
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for context-window training batches: docs are
+    concatenated in stable (source, doc_id) order and cut every
+    {cap} tokens — each doc gets the pack it starts in, its offset,
+    and whether it straddles a pack boundary (GPT-style pretraining
+    packing, where documents cross example boundaries).
+
+    The running total is a per-source window (state = one scalar), so
+    packing parallelizes across sources and never needs a global sort
+    — at 100 TB the pack key space is (shard, pack_id), exactly how a
+    distributed tokenizer job shards its output files."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
+    ).withColumn(
+        "pack_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"pack_start div {_PACK_CAP}").alias("pack_id"),
+        (F.col("pack_start") % _PACK_CAP).alias("pack_offset"),
+        (
+            F.expr(f"(pack_start + n_tokens - 1) div {_PACK_CAP}")
+            > F.expr(f"pack_start div {_PACK_CAP}")
+        ).alias("spans_boundary"),
+    )
+
+
+@register(
+    "tx_tfidf_topk",
+    tags=("TX", "A1", "A2"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS INT) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored) t
+WHERE rnk <= 3
+""",
+)
+def tx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by BM25-style TF-IDF
+    (idf = ln((N - df + 0.5)/(df + 0.5) + 1), always positive).
+    Shuffle profile: explode -> (doc,term) partial-agg -> term-keyed
+    df agg joined back (AQE broadcasts the term dimension when small)
+    -> per-doc window. The corpus-size scalar N rides in as a
+    broadcast single-row cross join, not a driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("int").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@register(
+    "dq_profile",
+    tags=("A1", "T5"),
+    oracle="""
+SELECT 'event_id' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT(event_id) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_val,
+       CAST(MAX(event_id) AS DOUBLE) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       COUNT(DISTINCT value),
+       MIN(value), MAX(value)
+FROM events
+""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events stream (long form: one row
+    per numeric column with count / null-count / distinct / min /
+    max) — the pre-ingest audit every pipeline run should emit. All
+    three column profiles compute in ONE pass over one scan (a single
+    aggregate emitting a struct per column, then an explode — not
+    three scans unioned like the naive SQL form the oracle uses)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def prof(col: str) -> F.Column:
+        return F.struct(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    agg = ev.agg(
+        F.array(prof("event_id"), prof("user_id"), prof("value")).alias("profiles")
+    )
+    return agg.select(F.explode("profiles").alias("p")).select("p.*")

@@ -1033,3 +1033,311 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND total_revenue = (SELECT MAX(total_revenue) FROM q15_revenue)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 OLAP battery fill-ins: q7/q8/q11/q13/q16/q17/q19 shapes
+# (adapted to the testdata columns — no partsupp/commitdate/shipmode)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    tags=("J1", "A1"),
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, CAST(year(o_orderdate) AS INT)
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between a nation pair by year.
+    Two broadcast nation dims with a disjunctive pair predicate; the
+    fact-fact joins shuffle on their keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    tags=("J1", "A1"),
+    oracle=f"""
+SELECT o_year,
+       CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         SUM(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))
+                  ELSE 0 END) AS nation_rev,
+         SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS total_rev
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY CAST(year(o_orderdate) AS INT)) t
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's supplier market share inside a
+    customer region, per year. Conditional aggregation over one join
+    tree (no second pass); the share divides two exact decimal sums
+    cast to double, so it is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n2_region") == F.col("r_regionkey"),
+        )
+    )
+    agg = base.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias(
+            "nation_rev"
+        ),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+@register(
+    "q11_important_stock",
+    tags=("A1", "J3"),
+    oracle=f"""
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS {DECQ}) * CAST(p_retailprice AS {DECQ})) AS part_value
+  FROM lineitem, part, supplier, nation
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+  GROUP BY l_partkey
+), tot AS (SELECT SUM(part_value) AS total_value FROM val)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val, tot
+WHERE CAST(part_value AS DOUBLE) > 0.001 * CAST(total_value AS DOUBLE)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose inventory value from one nation's
+    suppliers exceeds a fraction of the total — group-by with a
+    HAVING threshold against a broadcast scalar aggregate (aggregate
+    of an aggregate, no second scan of the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast(DECQ) * F.col("p_retailprice").cast(DECQ)
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_value").cast("double")
+            > F.lit(0.001) * F.col("total_value").cast("double")
+        )
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    tags=("J1", "A1"),
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of per-customer order counts,
+    keeping zero-order customers — left outer join with a predicate in
+    the join condition (not a post-filter, which would drop the
+    unmatched rows), then an aggregate of an aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (~orders.o_orderpriority.startswith("1")),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    tags=("A3", "A1"),
+    oracle="""
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct supplier counts per part attribute
+    slice (exclusion predicate + IN-list, two-column distinct agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    tags=("J1", "A1"),
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey AS agg_partkey,
+         COUNT(*) AS n_li,
+         SUM(CAST(l_quantity AS {DECQ})) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS {DECQ})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part, pq
+WHERE p_partkey = l_partkey AND agg_partkey = l_partkey
+  AND p_brand = 'Brand#12'
+  AND 5 * CAST(l_quantity AS {DECQ}) * n_li < sum_qty
+""",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue from below-average-quantity orders of
+    one brand. The correlated per-part average becomes one pre-agg
+    joined back to the fact; the 20%-of-average test is rearranged to
+    exact integer/decimal arithmetic (5*qty*n < sum) so no
+    engine-dependent float average sits on the filter boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    pq = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.count("*").alias("n_li"),
+        F.sum(F.col("l_quantity").cast(DECQ)).alias("sum_qty"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == F.col("agg_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast(DECQ) * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DECQ)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    tags=("T4", "A1"),
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: disjunction of conjunctive brand/size/quantity
+    ranges — Catalyst pushes the common p_partkey equi-key into the
+    join and evaluates the OR-of-ANDs as a residual filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DECQ) * (F.lit(1) - F.col("l_discount").cast(DECQ))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

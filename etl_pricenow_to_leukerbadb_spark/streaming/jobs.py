@@ -192,3 +192,43 @@ def stream_upsert_job(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def stream_partitioned_upsert_job(
+    spark: SparkSession,
+    events_path: str,
+    target_path: str,
+    keys: list[str] = ("event_id",),
+    partition_cols: list[str] = ("day",),
+) -> None:
+    """Streaming partition-scoped merge: per micro-batch, stamp the
+    hive partition column (event day) and merge through
+    ``merge_upsert_partitioned`` — only the partitions the batch
+    touches get rewritten. This is the 100 TB streaming-upsert shape:
+    a micro-batch covers a bounded time slice, so per-trigger write
+    amplification is bounded by the touched partitions, not by table
+    size (contrast ``stream_upsert_job``, which rewrites the whole
+    dimension-sized target per batch)."""
+    from ..sinks.upsert import merge_upsert_partitioned
+
+    keys, partition_cols = list(keys), list(partition_cols)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        with_day = batch_df.withColumn("day", F.col("ts").cast("date"))
+        merge_upsert_partitioned(
+            batch_df.sparkSession, with_day, target_path, keys, partition_cols
+        )
+
+    q = (
+        _event_stream(spark, events_path)
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_path + "_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

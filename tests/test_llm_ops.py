@@ -217,3 +217,56 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components(pairs, max_iter=1)
+
+
+def test_scrub_pii_redacts_known_patterns(spark):
+    from etl_pricenow_to_leukerbadb_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call +41 79 123 45 67"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are internal"),
+            (3, "no pii here, just 1234 plain numbers 5.6"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts("text")
+    got = {
+        r.id: (r.clean, r.n_email, r.n_ip, r.n_phone)
+        for r in df.select(
+            "id",
+            scrub_pii("text").alias("clean"),
+            counts["n_email"].alias("n_email"),
+            counts["n_ip"].alias("n_ip"),
+            counts["n_phone"].alias("n_phone"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at [EMAIL] or call [PHONE]", 1, 0, 1)
+    assert got[2] == ("server [IP] and [IP] are internal", 0, 2, 0)
+    assert got[3] == ("no pii here, just 1234 plain numbers 5.6", 0, 0, 0)
+
+
+def test_stream_partitioned_upsert(spark, sf_small, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_partitioned_upsert_job,
+    )
+
+    target = str(tmp_path / "events_by_day")
+    stream_partitioned_upsert_job(
+        spark, f"{sf_small}/events.parquet", target, keys=["event_id"]
+    )
+    got = spark.read.parquet(target)
+    ev = load_table(spark, sf_small, "events")
+    assert got.count() == ev.count()
+    # hive layout by day, and every day directory present
+    import os
+
+    days = {d for d in os.listdir(target) if d.startswith("day=")}
+    assert len(days) == ev.select(F.col("ts").cast("date")).distinct().count()
+    # idempotent: re-running the same input changes nothing
+    stream_partitioned_upsert_job(
+        spark, f"{sf_small}/events.parquet", str(tmp_path / "events_by_day2"),
+        keys=["event_id"],
+    )
+    again = spark.read.parquet(str(tmp_path / "events_by_day2"))
+    assert again.count() == got.count()
