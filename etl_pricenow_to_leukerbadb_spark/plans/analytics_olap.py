@@ -1341,3 +1341,114 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "k6_cdc_merge",
+    tags=("K1", "K3"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS okey, o_totalprice AS price, 'base' AS src FROM orders
+), oplog AS (
+  SELECT o_orderkey AS okey,
+         CAST(CAST(o_totalprice AS {DEC}) * 2 AS DOUBLE) AS price,
+         'cdc' AS src, 'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'cdc', 'U', 1 FROM orders WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'cdc', 'D', 2 FROM orders WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'cdc', 'D', 1 FROM orders WHERE o_orderkey % 4 = 2
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS {DEC}) * 3 AS DOUBLE),
+         'cdc', 'I', 2
+  FROM orders WHERE o_orderkey % 4 = 2
+), latest AS (
+  SELECT okey, price, src, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+    FROM oplog) t WHERE rn = 1
+)
+SELECT okey, price, src FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT b.okey, b.price, b.src FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.okey = b.okey)
+""",
+)
+def k6_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC op-log fold onto a base table via ``apply_cdc``: per key
+    the latest op wins — updates (okey%4=0), update-then-delete nets
+    to a delete (okey%4=1), delete-then-insert resurrects with a new
+    value (okey%4=2), untouched keys pass through (okey%4=3). One
+    window + one anti-join; no iterative replay."""
+    from ..sinks.upsert import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    def op_rows(mod: int, price_col, op: str, seq: int):
+        return orders.filter(F.col("o_orderkey") % 4 == mod).select(
+            F.col("o_orderkey").alias("okey"),
+            price_col.alias("price"),
+            F.lit("cdc").alias("src"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    p = F.col("o_totalprice")
+    ops = (
+        op_rows(0, (p.cast(DEC) * 2).cast("double"), "U", 1)
+        .unionByName(op_rows(1, p, "U", 1))
+        .unionByName(op_rows(1, p, "D", 2))
+        .unionByName(op_rows(2, p, "D", 1))
+        .unionByName(op_rows(2, (p.cast(DEC) * 3).cast("double"), "I", 2))
+    )
+    return apply_cdc(base, ops, keys=["okey"], seq_col="seq", op_col="op")
+
+
+@register(
+    "j5_asof_two_table",
+    tags=("J2",),
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') t
+  WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def j5_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table as-of join through the union-tag operator
+    (``operators/asof.py``): each click picks up the latest
+    same-or-earlier purchase value for its user, null when none.
+    ONE key-partitioned shuffle — not a range join, which Spark would
+    plan as a per-key nested loop. The oracle uses DuckDB's native
+    ASOF JOIN, pinning the semantics to the industry meaning."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        right_tie_break="p_event_id",
+    ).select("event_id", "user_id", F.col("asof_value").cast("double").alias("asof_value"))

@@ -29,7 +29,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -171,6 +171,37 @@ def merge_upsert_partitioned(
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def apply_cdc(
+    base: DataFrame,
+    ops: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-capture apply: fold an ordered op log onto a base
+    table — the lakehouse `MERGE ... WHEN MATCHED AND op='D' THEN
+    DELETE` shape Spark has no native operator for.
+
+    ``ops`` carries the base columns plus ``op_col`` in
+    ('I','U','D') and a strictly-increasing ``seq_col`` per key (the
+    CDC stream's log sequence number). Per key only the LATEST op
+    counts: 'D' removes the row, 'I'/'U' replace it; keys absent from
+    the log pass through. A delete followed by a later insert
+    resurrects the row — op folding, not op replay, which is what
+    makes this one window + one anti-join instead of an iterative
+    apply. Both shuffles key-partition on the merge keys."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload_cols = [c for c in base.columns]
+    upserts = latest.filter(F.col(op_col) != "D").select(*payload_cols)
+    survivors = base.join(latest.select(*keys).distinct(), on=keys, how="left_anti")
+    return survivors.unionByName(upserts)
 
 
 def _psycopg2_connect(dsn: str):  # pragma: no cover - no driver in test env

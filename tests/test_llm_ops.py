@@ -270,3 +270,46 @@ def test_stream_partitioned_upsert(spark, sf_small, tmp_path):
     )
     again = spark.read.parquet(str(tmp_path / "events_by_day2"))
     assert again.count() == got.count()
+
+
+def test_asof_join_edges(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 99, 100)],
+        "id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        # two quotes at t=200 for k=10 -> tie-break keeps q_id 21 (7.0)
+        [(10, 50, 5.0, 20), (10, 200, 6.0, 19), (10, 200, 7.0, 21), (10, 250, 8.0, 22)],
+        "k long, t long, v double, q_id long",
+    )
+    got = {
+        r.id: r.asof_v
+        for r in asof_join(
+            left, right, on=["k"], ts_col="t", value_cols=["v"], right_tie_break="q_id"
+        ).collect()
+    }
+    assert got[1] == 5.0      # only t=50 is <= 100
+    assert got[2] == 7.0      # inclusive at t=205? no: 200<=205, tie-break -> 7.0
+    assert got[3] == 8.0      # latest quote before 300
+    assert got[4] is None     # key with no right rows
+
+
+def test_apply_cdc_fold_semantics(spark):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ops = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),            # plain update
+            (2, "x", "U", 1), (2, "x", "D", 2),   # update then delete -> gone
+            (3, "dead", "D", 1), (3, "c3", "I", 2),  # delete then insert -> resurrect
+            (9, "new", "I", 1),           # insert of unseen key
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {r.k: r.v for r in apply_cdc(base, ops, keys=["k"]).collect()}
+    assert got == {1: "a2", 3: "c3", 9: "new"}
