@@ -1,0 +1,140 @@
+"""Scheduling/orchestration analog of the reference's CI trigger.
+
+The reference runs its pipeline from a twice-daily cron with a
+concurrency group and a 30-minute timeout
+(``/root/reference/.github/workflows/run_pricenow.yml:3-16,21``:
+``cron: "0 6 * * *"`` + ``"0 14 * * *"``, ``concurrency.group:
+pricenow-etl`` with ``cancel-in-progress: false``, manual dispatch
+allowed). An engine embedded in Airflow/Dagster/cron needs the same
+three semantics, engine-side and scheduler-agnostic:
+
+- ``next_due`` / ``is_due``: pure functions over a UTC-hour schedule —
+  when is the next slot, and has a slot elapsed since the last
+  successful run (so a missed slot is made up on the next tick, which
+  is how cron-with-catchup behaves).
+- ``RunLock``: a filesystem mutex (atomic ``O_EXCL`` create, pid +
+  timestamp inside, stale-lock takeover) — the workflow's concurrency
+  group for environments without one. ``cancel-in-progress: false``
+  maps to "second runner skips instead of killing the first".
+- ``run_guarded``: compose both around a callable and record the
+  outcome stamp the next ``is_due`` reads; an idempotent pipeline
+  (every sink here upserts) makes re-runs safe, which is the actual
+  correctness contract behind the reference's schedule.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from collections.abc import Callable
+
+#: the reference's slots: 06:00 and 14:00 UTC (yml:6-7)
+DEFAULT_UTC_HOURS: tuple[int, ...] = (6, 14)
+
+
+def _utc(ts: dt.datetime) -> dt.datetime:
+    if ts.tzinfo is None:
+        return ts.replace(tzinfo=dt.timezone.utc)
+    return ts.astimezone(dt.timezone.utc)
+
+
+def next_due(after: dt.datetime, utc_hours: tuple[int, ...] = DEFAULT_UTC_HOURS) -> dt.datetime:
+    """First schedule slot strictly after ``after``."""
+    after = _utc(after)
+    hours = sorted(utc_hours)
+    day = after.date()
+    for d in (day, day + dt.timedelta(days=1)):
+        for h in hours:
+            slot = dt.datetime(d.year, d.month, d.day, h, tzinfo=dt.timezone.utc)
+            if slot > after:
+                return slot
+    raise AssertionError("unreachable: tomorrow always has a slot")
+
+
+def is_due(
+    now: dt.datetime,
+    last_success: dt.datetime | None,
+    utc_hours: tuple[int, ...] = DEFAULT_UTC_HOURS,
+) -> bool:
+    """True iff a schedule slot has elapsed since the last successful
+    run (never ran -> due). Missed slots are made up on the next tick;
+    multiple missed slots collapse into one run (idempotent sinks make
+    that safe)."""
+    if last_success is None:
+        return True
+    return next_due(last_success, utc_hours) <= _utc(now)
+
+
+class RunLock:
+    """Filesystem concurrency group: at most one holder per ``path``.
+
+    ``acquire`` atomically creates the lock file (``O_EXCL``) with the
+    holder's pid and UTC timestamp; a lock older than
+    ``stale_after_s`` is considered abandoned (crashed runner) and
+    taken over — the moral equivalent of the workflow timeout freeing
+    the concurrency group (yml:21: ``timeout-minutes: 30``)."""
+
+    def __init__(self, path: str, stale_after_s: float = 30 * 60) -> None:
+        self.path = path
+        self.stale_after_s = stale_after_s
+
+    def acquire(self, now: dt.datetime | None = None) -> bool:
+        now = _utc(now or dt.datetime.now(dt.timezone.utc))
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.path) as fh:
+                    held = json.load(fh)
+                held_at = dt.datetime.fromisoformat(held["acquired_at"])
+            except (OSError, ValueError, KeyError):
+                held_at = None  # unreadable lock: treat as stale
+            if held_at is not None and (now - held_at).total_seconds() < self.stale_after_s:
+                return False
+            os.unlink(self.path)  # stale: take over
+            return self.acquire(now)
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"pid": os.getpid(), "acquired_at": now.isoformat()}, fh)
+        return True
+
+    def release(self) -> None:
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def run_guarded(
+    job: Callable[[], object],
+    state_dir: str,
+    now: dt.datetime | None = None,
+    utc_hours: tuple[int, ...] = DEFAULT_UTC_HOURS,
+    force: bool = False,
+) -> dict:
+    """Schedule + concurrency guard around ``job`` (the engine-side
+    form of the reference's workflow trigger). Returns a status dict:
+    ``ran`` False with a reason when skipped (not due / already
+    running), else the job's outcome; a success stamps
+    ``last_success.json`` for the next ``is_due``. ``force`` is the
+    manual ``workflow_dispatch`` path — it skips the schedule check
+    but never the lock."""
+    os.makedirs(state_dir, exist_ok=True)
+    now = _utc(now or dt.datetime.now(dt.timezone.utc))
+    stamp_path = os.path.join(state_dir, "last_success.json")
+    last = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as fh:
+            last = dt.datetime.fromisoformat(json.load(fh)["finished_at"])
+    if not force and not is_due(now, last, utc_hours):
+        return {"ran": False, "reason": "not_due", "next_due": next_due(now, utc_hours).isoformat()}
+    lock = RunLock(os.path.join(state_dir, "run.lock"))
+    if not lock.acquire(now):
+        return {"ran": False, "reason": "already_running"}
+    try:
+        result = job()
+        with open(stamp_path, "w") as fh:
+            json.dump({"finished_at": now.isoformat()}, fh)
+        return {"ran": True, "result": result}
+    finally:
+        lock.release()

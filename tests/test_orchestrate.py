@@ -1,0 +1,76 @@
+"""Scheduler-analog tests: due-slot math, concurrency lock, guarded
+runs (the reference's twice-daily cron + concurrency group,
+run_pricenow.yml:3-16)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+    RunLock,
+    is_due,
+    next_due,
+    run_guarded,
+)
+
+UTC = dt.timezone.utc
+
+
+def test_next_due_slots():
+    assert next_due(dt.datetime(2026, 1, 1, 5, 0, tzinfo=UTC)) == dt.datetime(2026, 1, 1, 6, tzinfo=UTC)
+    assert next_due(dt.datetime(2026, 1, 1, 6, 0, tzinfo=UTC)) == dt.datetime(2026, 1, 1, 14, tzinfo=UTC)
+    # after the last slot of the day -> tomorrow's first
+    assert next_due(dt.datetime(2026, 1, 1, 20, 0, tzinfo=UTC)) == dt.datetime(2026, 1, 2, 6, tzinfo=UTC)
+
+
+def test_is_due_semantics():
+    ran_at = dt.datetime(2026, 1, 1, 6, 30, tzinfo=UTC)
+    assert is_due(dt.datetime(2026, 1, 1, 7, 0, tzinfo=UTC), None)  # never ran
+    assert not is_due(dt.datetime(2026, 1, 1, 13, 59, tzinfo=UTC), ran_at)
+    assert is_due(dt.datetime(2026, 1, 1, 14, 0, tzinfo=UTC), ran_at)
+    # two missed slots collapse into one due run
+    assert is_due(dt.datetime(2026, 1, 3, 9, 0, tzinfo=UTC), ran_at)
+
+
+def test_run_lock_excludes_and_takes_over_stale(tmp_path):
+    lock = RunLock(str(tmp_path / "l.lock"), stale_after_s=600)
+    now = dt.datetime(2026, 1, 1, 6, 0, tzinfo=UTC)
+    assert lock.acquire(now)
+    assert not RunLock(str(tmp_path / "l.lock"), stale_after_s=600).acquire(
+        now + dt.timedelta(minutes=5)
+    )  # held and fresh
+    assert RunLock(str(tmp_path / "l.lock"), stale_after_s=600).acquire(
+        now + dt.timedelta(minutes=11)
+    )  # stale -> takeover
+
+
+def test_run_guarded_schedule_lock_and_stamp(tmp_path):
+    state = str(tmp_path / "state")
+    calls = []
+    t0 = dt.datetime(2026, 1, 1, 6, 5, tzinfo=UTC)
+
+    out = run_guarded(lambda: calls.append(1) or "ok", state, now=t0)
+    assert out == {"ran": True, "result": "ok"} and calls == [1]
+    # same slot again: not due
+    out2 = run_guarded(lambda: calls.append(2), state, now=t0 + dt.timedelta(minutes=10))
+    assert out2["ran"] is False and out2["reason"] == "not_due" and calls == [1]
+    # forced manual dispatch runs anyway
+    out3 = run_guarded(lambda: calls.append(3) or "ok", state, now=t0 + dt.timedelta(minutes=10), force=True)
+    assert out3["ran"] is True and calls == [1, 3]
+    # concurrent FRESH holder -> skip, not cancel (a stale one would be
+    # taken over, per the timeout semantics)
+    RunLock(str(tmp_path / "state" / "run.lock")).acquire(
+        t0 + dt.timedelta(hours=8, minutes=55)
+    )
+    out4 = run_guarded(lambda: calls.append(4), state, now=t0 + dt.timedelta(hours=9))
+    assert out4 == {"ran": False, "reason": "already_running"} and calls == [1, 3]
+    # a failing job must release the lock and not stamp success
+    RunLock(str(tmp_path / "state" / "run.lock")).release()
+    stamp = json.load(open(tmp_path / "state" / "last_success.json"))
+    try:
+        run_guarded(lambda: 1 / 0, state, now=t0 + dt.timedelta(days=1))
+    except ZeroDivisionError:
+        pass
+    assert json.load(open(tmp_path / "state" / "last_success.json")) == stamp
+    assert run_guarded(lambda: "after-fail", state, now=t0 + dt.timedelta(days=1))["ran"] is True

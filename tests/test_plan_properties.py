@@ -60,3 +60,38 @@ def test_ann_bruteforce_broadcasts_query_side_only(spark, sf_small):
     plan = plan_of(spark, sf_small, "ann_topk_bruteforce")
     # the corpus side must NOT be broadcast; the (tiny) query side is
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_pure_map(spark, sf_small):
+    plan = plan_of(spark, sf_small, "tx_pii_scrub")
+    assert "Exchange" not in plan  # chained regexp_replace: zero shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_source_window(spark, sf_small):
+    plan = plan_of(spark, sf_small, "tx_pack_sequences")
+    assert "Window" in plan
+    # one hash exchange for the per-source window, nothing else
+    n_exchanges = plan.count("+- Exchange") + plan.count(": +- Exchange")
+    assert n_exchanges <= 1, plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_near_dup_pair_join_is_blocked(spark, sf_small):
+    plan = plan_of(spark, sf_small, "dd_embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_profile_single_scan(spark, sf_small):
+    plan = plan_of(spark, sf_small, "dq_profile")
+    # one parquet scan feeds all three column profiles (each scan node
+    # carries exactly one Location line in the formatted plan)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_asof_two_table_is_window_not_range_join(spark, sf_small):
+    plan = plan_of(spark, sf_small, "j5_asof_two_table")
+    assert "BroadcastNestedLoopJoin" not in plan  # never a range join
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
