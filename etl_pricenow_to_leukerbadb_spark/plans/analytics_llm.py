@@ -1086,3 +1086,184 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(prof("event_id"), prof("user_id"), prof("value")).alias("profiles")
     )
     return agg.select(F.explode("profiles").alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene: vocabulary, repetition, decontamination, quality gate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_vocab_topk",
+    tags=("TX", "A1", "R1"),
+    oracle=f"""
+SELECT token, n_total, n_docs FROM (
+  SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token FROM documents) t
+  GROUP BY token
+  ORDER BY n_total DESC, token ASC
+  LIMIT 100) x
+""",
+)
+def tx_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by total occurrences
+    (tokenizer-training / stopword-discovery pass). Explode ->
+    partial-agg -> TakeOrderedAndProject; the global top-k never
+    global-sorts the full vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+#: shared 3-gram repetition expression pieces (Gopher/MassiveText-style
+#: intra-doc duplicate-n-gram quality signal)
+_TRI_SQL = (
+    f"list_transform(generate_series(1, greatest(len(string_split({NORM}, ' ')) - 2, 0)),"
+    f" i -> array_to_string((string_split({NORM}, ' '))[i:i+2], ' '))"
+)
+
+
+@register(
+    "tx_repetition",
+    tags=("TX",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TRI_SQL}) AS INT) AS n_trigrams,
+       CAST(len(list_distinct({_TRI_SQL})) AS INT) AS n_distinct,
+       1.0 - CAST(len(list_distinct({_TRI_SQL})) AS DOUBLE)
+           / greatest(len({_TRI_SQL}), 1) AS dup_ratio
+FROM documents
+""",
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate word-3-gram ratio — the
+    boilerplate/template detector in standard pre-training quality
+    rules. Pure array expressions per row, zero shuffle."""
+    from ..functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = word_shingles(tokens("text"), 3)
+    n_all = F.size(tri)
+    n_dist = F.size(F.array_distinct(tri))
+    return docs.select(
+        "doc_id",
+        n_all.cast("int").alias("n_trigrams"),
+        n_dist.cast("int").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - n_dist.cast("double") / F.greatest(n_all, F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "tx_contamination",
+    tags=("TX", "DD", "J3"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+                                 i -> array_to_string(tk[i:i+4], ' '))) AS sh
+    FROM toks) t
+), probe AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+SELECT t.doc_id,
+       COUNT(*) AS n_shared_shingles,
+       COUNT(DISTINCT p.doc_id) AS n_probe_docs
+FROM train t JOIN probe p ON t.sh = p.sh
+GROUP BY t.doc_id
+""",
+)
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs sharing any word-5-gram
+    with the held-out probe set (doc_id % 50 = 0 stands in for the
+    eval benchmark), with shared-shingle and probe-doc counts. An
+    inverted-index equi-join on the shingle — the probe side is tiny
+    and broadcasts; never doc x doc. The production form salts/prunes
+    ubiquitous shingles exactly like dd_ngram_jaccard."""
+    from ..functions.text import word_shingles
+    from ..sources.tables import fan_out
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = fan_out(docs.select("doc_id", F.col("text"))).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 5))).alias("sh"),
+    )
+    probe = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "sh"
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.count_distinct("probe_id").alias("n_probe_docs"),
+        )
+    )
+
+
+@register(
+    "tx_quality_filter",
+    tags=("TX", "T4"),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split({NORM}, ' ')) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / len(string_split({NORM}, ' ')) AS avg_tok,
+         len(list_filter(string_split({NORM}, ' '), x -> x IN {EN})) AS n_stop,
+         1.0 - CAST(len(list_distinct({_TRI_SQL})) AS DOUBLE)
+             / greatest(len({_TRI_SQL}), 1) AS dup_ratio
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens BETWEEN 5 AND 1000 AS ok_length,
+       avg_tok BETWEEN 2.0 AND 12.0 AS ok_token_len,
+       n_stop > 0 AS ok_stopwords,
+       dup_ratio < 0.5 AS ok_repetition,
+       (n_tokens BETWEEN 5 AND 1000) AND (avg_tok BETWEEN 2.0 AND 12.0)
+         AND n_stop > 0 AND dup_ratio < 0.5 AS keep
+FROM feats
+""",
+)
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule gate: length bounds, mean token
+    length bounds, must-contain-stopwords, repetition ceiling — each
+    rule exposed as its own boolean (audit: which rule killed a doc)
+    plus the conjunction. One expression-only pass, zero shuffle; at
+    100 TB this IS the shape of the first corpus pass."""
+    from ..functions.text import stopword_count, word_shingles
+    from ..functions.text import LANG_STOPWORDS as _LS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    avg_tok = F.length("text").cast("double") / n_tokens
+    n_stop = stopword_count(toks, _LS["en"])
+    tri = word_shingles(toks, 3)
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / F.greatest(
+        F.size(tri), F.lit(1)
+    ).cast("double")
+    ok_length = n_tokens.between(5, 1000)
+    ok_token_len = avg_tok.between(2.0, 12.0)
+    ok_stop = n_stop > 0
+    ok_rep = dup_ratio < 0.5
+    return docs.select(
+        "doc_id",
+        ok_length.alias("ok_length"),
+        ok_token_len.alias("ok_token_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_length & ok_token_len & ok_stop & ok_rep).alias("keep"),
+    )
