@@ -55,6 +55,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "q16_supplier_variety",
     "q17_small_quantity",
     "q19_discounted_revenue",
+    "tx_vocab_topk",
+    "tx_repetition",
+    "tx_contamination",
+    "tx_quality_filter",
     # SURVEY §2 anchors (green in round 1; keep hard signal every round)
     "t6_forward_fill_daily",
     "e1_full_pipeline",
@@ -62,12 +66,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "e3_prices_daily",
     # round-1-green refreshers filling the remaining window slots
     # (everything else got its green row in CORRECTNESS_r01.json)
-    "j1_broadcast_join",
     "j2_asof_join",
-    "a1_pricing_summary",
-    "a2_topk_per_group",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "dd_minhash_lsh",
     "ann_topk_bruteforce",
     "llm_prep_pipeline",

@@ -25,3 +25,15 @@ def test_all_queries_return_rows(spark, sf_small):
     for name, spec in REGISTRY.items():
         n = spec.fn(spark, sf_small).count()
         assert n >= 0, name
+
+
+def test_driver_window_pins_resolve_and_fill_window():
+    """Every pinned driver-window name must exist in the registry (a
+    typo would silently fall out of the correctness window), and the
+    window must hold exactly 50 entries with the pinned names first."""
+    from etl_pricenow_to_leukerbadb_spark.plans import _DRIVER_WINDOW_FIRST
+
+    missing = [n for n in _DRIVER_WINDOW_FIRST if n not in REGISTRY]
+    assert not missing, f"pinned names not in REGISTRY: {missing}"
+    assert list(REGISTRY)[: len(_DRIVER_WINDOW_FIRST)] == list(_DRIVER_WINDOW_FIRST)
+    assert len(_DRIVER_WINDOW_FIRST) == 50

@@ -138,3 +138,82 @@ def test_minhash_signature_invariants(spark, docs):
             assert sigs[i] == sigs[1000 + i], t
         else:
             assert i not in sigs  # too short -> no signature, not a junk one
+
+
+cdc_logs = st.tuples(
+    st.dictionaries(st.integers(0, 15), st.integers(0, 100), max_size=10),  # base
+    st.lists(  # op log: (key, value, op)
+        st.tuples(st.integers(0, 15), st.integers(0, 100), st.sampled_from(["I", "U", "D"])),
+        max_size=12,
+    ),
+)
+
+
+@given(data=cdc_logs)
+@SETTINGS
+def test_apply_cdc_matches_sequential_fold(spark, data):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import apply_cdc
+
+    base_d, log = data
+    base = spark.createDataFrame(
+        list(base_d.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    ops = spark.createDataFrame(
+        [(k, v, op, i) for i, (k, v, op) in enumerate(log)] or [(None, None, None, None)],
+        "k long, v long, op string, seq long",
+    ).filter(F.col("k").isNotNull())
+
+    # model: fold the log sequentially over a dict
+    expect = dict(base_d)
+    for k, v, op in log:
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    got = {r.k: r.v for r in apply_cdc(base, ops, keys=["k"]).collect()}
+    assert got == expect
+    # idempotence: folding the same log onto the result changes nothing
+    again = apply_cdc(
+        spark.createDataFrame(list(got.items()) or [(None, None)], "k long, v long").filter(
+            F.col("k").isNotNull()
+        ),
+        ops,
+        keys=["k"],
+    )
+    assert {r.k: r.v for r in again.collect()} == expect
+
+
+asof_inputs = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=10),  # left (k, t)
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)), max_size=10),  # right (k, t, v)
+)
+
+
+@given(data=asof_inputs)
+@SETTINGS
+def test_asof_join_matches_model(spark, data):
+    from etl_pricenow_to_leukerbadb_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "id long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, t long, v long"
+    ).filter(F.col("k").isNotNull())
+    # dedup right per (k, t): keep max v (mirror right_tie_break="v")
+    best = {}
+    for k, t, v in right_rows:
+        if (k, t) not in best or v > best[(k, t)]:
+            best[(k, t)] = v
+
+    def model(k, t):
+        cands = [(rt, v) for (rk, rt), v in best.items() if rk == k and rt <= t]
+        return max(cands)[1] if cands else None
+
+    out = asof_join(left, right, on=["k"], ts_col="t", value_cols=["v"], right_tie_break="v")
+    got = {r.id: r.asof_v for r in out.collect()}
+    assert len(got) == len(left_rows)  # left join: every left row survives
+    for i, (k, t) in enumerate(left_rows):
+        assert got[i] == model(k, t), (i, k, t)
