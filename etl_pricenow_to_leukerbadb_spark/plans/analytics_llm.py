@@ -1267,3 +1267,54 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_rep.alias("ok_repetition"),
         (ok_length & ok_token_len & ok_stop & ok_rep).alias("keep"),
     )
+
+
+#: fixed-point scale for embedding accumulation: 2^40. floor(v * 2^40)
+#: is EXACT double arithmetic (power-of-two multiply + floor), so the
+#: long sums are order-independent and engine-identical; quantization
+#: (~9e-13) sits far below float32 input precision. Decimal casts are
+#: NOT usable here: Spark and DuckDB round float->DECIMAL(20,10)
+#: differently in the last place (measured ~4e-10 drift on means).
+_EMB_FP = 2**40
+
+
+@register(
+    "emb_source_centroids",
+    tags=("ANN", "A1"),
+    oracle=f"""
+SELECT CAST(vec_id % 20 AS BIGINT) AS src,
+       CAST(i - 1 AS INT) AS pos,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_EMB_FP}) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * {_EMB_FP}.0) AS mean_val
+FROM embeddings, generate_series(1, 64) g(i)
+GROUP BY vec_id % 20, i
+""",
+)
+def emb_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (vec_id % 20 stands in for the
+    crawl-source key), long form (src, pos, n, mean_val) — the corpus
+    drift/quality monitor every embedding pipeline runs. posexplode +
+    one group-by on (src, pos); components accumulate as 2^-40
+    fixed-point LONGs (exact, order-independent), so the means are
+    stable under AQE repartitioning and bit-identical to the oracle —
+    a float sum would depend on partition layout, and decimal casts
+    round differently per engine. At 100 TB the (src, pos) key space
+    is tiny (sources x 64), so the final agg is map-side dominated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        (F.col("vec_id") % 20).alias("src"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("src", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(float(_EMB_FP))).cast("long")
+                ).cast("double")
+                / (F.count("*") * F.lit(float(_EMB_FP)))
+            ).alias("mean_val"),
+        )
+    )
