@@ -1012,9 +1012,10 @@ def tx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
-    df = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("int").alias("df")
-    )
+    # df derives from tf (one row per (doc, term) already) — no second
+    # explode over the corpus, and no distinct: COUNT(*) of tf rows per
+    # term IS the document frequency
+    df = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "term")

@@ -313,3 +313,29 @@ def test_apply_cdc_fold_semantics(spark):
     )
     got = {r.k: r.v for r in apply_cdc(base, ops, keys=["k"]).collect()}
     assert got == {1: "a2", 3: "c3", 9: "new"}
+
+
+def test_twophase_cc_matches_minlabel_and_handles_long_chains(spark):
+    import random
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    # random graph: same labels as the O(diameter) min-label version
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ml = {r.node: r.component for r in connected_components(pairs).collect()}
+    tp = {r.node: r.component for r in connected_components_twophase(pairs).collect()}
+    assert tp == ml
+
+    # 200-node chain (diameter 199): min-label at its default cap would
+    # need 100+ rounds; two-phase contracts it in O(log^2 n)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components_twophase(chain).collect()}
+    assert got == {i: 0 for i in range(200)}
