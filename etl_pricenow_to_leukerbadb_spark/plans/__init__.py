@@ -59,6 +59,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tx_repetition",
     "tx_contamination",
     "tx_quality_filter",
+    "emb_source_centroids",
+    "k7_scd2_history",
     # SURVEY §2 anchors (green in round 1; keep hard signal every round)
     "t6_forward_fill_daily",
     "e1_full_pipeline",
@@ -66,9 +68,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "e3_prices_daily",
     # round-1-green refreshers filling the remaining window slots
     # (everything else got its green row in CORRECTNESS_r01.json)
-    "j2_asof_join",
     "dd_minhash_lsh",
-    "ann_topk_bruteforce",
     "llm_prep_pipeline",
 )
 

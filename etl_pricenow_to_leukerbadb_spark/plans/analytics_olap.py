@@ -1452,3 +1452,53 @@ def j5_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         right_tie_break="p_event_id",
     ).select("event_id", "user_id", F.col("asof_value").cast("double").alias("asof_value"))
+
+
+@register(
+    "k7_scd2_history",
+    tags=("K1", "A2"),
+    oracle="""
+WITH chg AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL) t
+  WHERE rn = 1
+)
+SELECT user_id, value,
+       d AS valid_from,
+       lead(d) OVER (PARTITION BY user_id ORDER BY d) AS valid_to,
+       lead(d) OVER (PARTITION BY user_id ORDER BY d) IS NULL AS is_current
+FROM chg
+""",
+)
+def k7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: one daily
+    change row per (user, day) (last-wins within the day, same
+    tie-break as the forward-fill), then validity intervals via a
+    per-key lead() — half-open [valid_from, valid_to), open-ended
+    current row flagged. This is how the reference's snapshot-upsert
+    tables become auditable history in a warehouse; one window, one
+    shuffle on the key, O(1) state per key."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w_dedup = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    chg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .na.drop(subset=["user_id", "value"])
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", day.alias("valid_from"), "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    return chg.select(
+        "user_id",
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
