@@ -214,6 +214,91 @@ def ivf_topk(
     )
 
 
+def kmeans_assign_2iter(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = 64,
+    fp_scale: int = 2**40,
+) -> DataFrame:
+    """Two fixed Lloyd iterations of cosine k-means, fully
+    deterministic and engine-reproducible — the trained-quantizer step
+    that feeds ``ivf_topk``'s inverted lists.
+
+    Iteration structure (the general iterative-DataFrame pattern, like
+    ``connected_components`` but with a fixed round count so the whole
+    computation stays one declarative plan):
+
+    1. seed centroids = the first ``n_centroids`` corpus vectors by id;
+    2. assign every vector to its max-rounded-cosine centroid
+       (ties -> lower centroid id), centroids broadcast;
+    3. recompute each centroid as the per-dimension mean of its
+       members in 2^-40 fixed point (exact long sums — order-
+       independent, so AQE repartitioning can't change the result);
+    4. reassign against the updated centroids.
+
+    Returns (vec_id, cent_id, cos_sim) of the final assignment.
+    Fixed 2 iterations rather than convergence-looped: the output is
+    a pure function of the input, which is what lets a SQL oracle
+    reproduce it; production k-means iterates the same two stages
+    inside the driver loop with ``localCheckpoint`` per round."""
+    corpus_n = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        """cents: (cent_id, __cent, __centn) — broadcast-sized."""
+        order = F.struct(
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
+                ),
+                6,
+            ).alias("c"),
+            (-F.col("cent_id")).alias("t"),
+        )
+        return (
+            corpus_n.crossJoin(F.broadcast(cents))
+            .groupBy(F.col(id_col))
+            .agg(
+                F.max_by(F.struct(F.col("cent_id"), order.getField("c").alias("cs")), order).alias("m")
+            )
+            .select(F.col(id_col), F.col("m.cent_id").alias("cent_id"), F.col("m.cs").alias("cos_sim"))
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        comp = (
+            assigned.join(corpus_n.select(F.col(id_col), F.col(vec_col)), id_col)
+            .select("cent_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * F.lit(float(fp_scale))).cast("long")
+                    ).cast("double")
+                    / (F.count("*") * F.lit(float(fp_scale)))
+                ).alias("mean_val")
+            )
+        )
+        cents = comp.groupBy("cent_id").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pm")
+        ).select(
+            "cent_id",
+            F.transform(F.col("pm"), lambda x: x["mean_val"]).alias("__cent"),
+        )
+        return cents.select(
+            "cent_id", "__cent", F.sqrt(norm_sq(F.col("__cent"))).alias("__centn")
+        )
+
+    cents0 = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("__cent"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
+    )
+    return assign(recompute(assign(cents0)))
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

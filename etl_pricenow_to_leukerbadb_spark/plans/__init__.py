@@ -61,6 +61,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tx_quality_filter",
     "emb_source_centroids",
     "k7_scd2_history",
+    "emb_kmeans_assign",
     # SURVEY §2 anchors (green in round 1; keep hard signal every round)
     "t6_forward_fill_daily",
     "e1_full_pipeline",
@@ -69,7 +70,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # round-1-green refreshers filling the remaining window slots
     # (everything else got its green row in CORRECTNESS_r01.json)
     "dd_minhash_lsh",
-    "llm_prep_pipeline",
 )
 
 

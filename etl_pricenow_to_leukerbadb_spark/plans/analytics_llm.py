@@ -1319,3 +1319,66 @@ def emb_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_val"),
         )
     )
+
+
+_KM_FP = 2**40
+_KM_DOT_C = (
+    "(SELECT SUM(CAST({e}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)) "
+    "FROM generate_series(1, 64) g(i))"
+)
+
+
+@register(
+    "emb_kmeans_assign",
+    tags=("ANN", "A1"),
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8
+), a1 AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_KM_DOT_C.format(e='e.embedding', c='c.cent')}
+                            / (sqrt({_KM_DOT_C.format(e='e.embedding', c='e.embedding')})
+                               * sqrt({_KM_DOT_C.format(e='c.cent', c='c.cent')})), 6) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings e, c0 c) t
+  WHERE rn = 1
+), m AS (
+  SELECT a1.cent_id, i AS pos,
+         CAST(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_KM_FP}) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * {_KM_FP}.0) AS mean_val
+  FROM a1 JOIN embeddings e USING (vec_id), generate_series(1, 64) g(i)
+  GROUP BY a1.cent_id, i
+), cm AS (
+  SELECT cent_id, list(mean_val ORDER BY pos) AS cent FROM m GROUP BY cent_id
+)
+SELECT vec_id, cent_id, cos_sim FROM (
+  SELECT e.vec_id, c.cent_id,
+         round({_KM_DOT_C.format(e='e.embedding', c='c.cent')}
+               / (sqrt({_KM_DOT_C.format(e='e.embedding', c='e.embedding')})
+                  * sqrt({_KM_DOT_C.format(e='c.cent', c='c.cent')})), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_KM_DOT_C.format(e='e.embedding', c='c.cent')}
+                          / (sqrt({_KM_DOT_C.format(e='e.embedding', c='e.embedding')})
+                             * sqrt({_KM_DOT_C.format(e='c.cent', c='c.cent')})), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e, cm c) t
+WHERE rn = 1
+""",
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations of cosine k-means (k=8,
+    id-seeded): assign -> fixed-point centroid means -> reassign —
+    the trained-quantizer stage feeding ivf_topk's inverted lists,
+    and the fixed-round form of the iterative-DataFrame pattern that
+    a SQL oracle can replay end-to-end (centroid means accumulate as
+    2^-40 fixed-point longs, so both engines compute bit-identical
+    centroids before the final cosine argmax)."""
+    from ..operators.similarity import kmeans_assign_2iter
+
+    return kmeans_assign_2iter(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_centroids=8
+    )
