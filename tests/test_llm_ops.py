@@ -339,3 +339,40 @@ def test_twophase_cc_matches_minlabel_and_handles_long_chains(spark):
     )
     got = {r.node: r.component for r in connected_components_twophase(chain).collect()}
     assert got == {i: 0 for i in range(200)}
+
+
+def test_pack_sequences_multi_pack_document(spark):
+    """A document longer than the pack capacity must take the pack its
+    first token lands in, and straddle every boundary it crosses."""
+    from pyspark.sql import Window
+
+    from etl_pricenow_to_leukerbadb_spark.functions.text import token_count
+
+    cap = 16
+    docs = spark.createDataFrame(
+        [
+            (1, "s", " ".join(["a"] * 10)),   # starts pack 0, offset 0
+            (2, "s", " ".join(["b"] * 40)),   # 10..49: crosses packs 0->3
+            (3, "s", " ".join(["c"] * 5)),    # 50..54: inside pack 3
+        ],
+        "doc_id long, source string, text string",
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
+    ).withColumn("pack_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.spans)
+        for r in d.select(
+            "doc_id",
+            F.expr(f"pack_start div {cap}").alias("pack_id"),
+            (F.col("pack_start") % cap).alias("pack_offset"),
+            (
+                F.expr(f"(pack_start + n_tokens - 1) div {cap}")
+                > F.expr(f"pack_start div {cap}")
+            ).alias("spans"),
+        ).collect()
+    }
+    assert out[1] == (0, 0, False)        # fits inside pack 0
+    assert out[2] == (0, 10, True)        # starts in 0, ends in pack 3
+    assert out[3] == (3, 2, False)        # 50 div 16 = 3, offset 2
