@@ -6,70 +6,72 @@ from . import analytics_olap  # noqa: F401,E402
 # Driver-window ordering.
 #
 # The correctness driver verifies the FIRST 50 registry entries in insertion
-# order each round.  Round 1 verified the first 50 as-registered (see
-# CORRECTNESS_r01.json); the queries pinned below were outside that window,
-# so they are rotated to the front for round 2 to earn their own green rows.
-# e1/e2/e3 + t6 stay inside the window as the SURVEY §2 anchors.  Names not
-# listed keep their registration order after the pinned block.  Pinning is
-# by name: a listed name that does not exist is ignored (keeps this list
-# safe while queries are being added).
+# order each round.  The window is rotated per round so that every registry
+# entry keeps a green driver row at most two rounds old:
+#   r1: first 50 as-registered (CORRECTNESS_r01.json)
+#   r2: the 45 then-unverified entries + anchors (CORRECTNESS_r02.json)
+#   r3 (this file): the two r2 reds — both fixed this round — plus the new
+#       round-3 queries, the 42 entries whose last green row is r1, and the
+#       four SURVEY §2 anchors.
+# Names not listed keep their registration order after the pinned block.
+# Pinning is by name: a listed name that does not exist is ignored (keeps
+# this list safe while queries are being added).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # round-1 unverified block (registered past index 50 last round)
-    "u2_except_intersect",
-    "w1_running_total",
-    "w2_lag_delta",
-    "w3_sessionize",
-    "w4_linear_interp",
-    "w5_rolling_revenue",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_volume",
-    "q20_correlated_max",
-    "q22_global_sales",
-    "a7_percentiles",
-    "a8_approx_sketches",
-    "a9_portable_stats",
-    "a10_salted_agg",
-    "k1_upsert_merge",
-    # new in round 2 (no prior driver row)
-    "dd_embedding_near_dup",
-    "ann_lsh_buckets",
-    "e4_season_reference_2025",
-    "k5_partition_merge",
-    "k6_cdc_merge",
-    "j5_asof_two_table",
-    "tx_pii_scrub",
+    # r2 reds, fixed this round (oracle BIGINT casts / scalar q50+q99)
     "tx_pack_sequences",
-    "tx_tfidf_topk",
-    "dq_profile",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_order_distribution",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "tx_vocab_topk",
-    "tx_repetition",
-    "tx_contamination",
-    "tx_quality_filter",
-    "emb_source_centroids",
-    "k7_scd2_history",
-    "emb_kmeans_assign",
-    # SURVEY §2 anchors (green in round 1; keep hard signal every round)
+    "a8_approx_sketches",
+    # new in round 3 (no prior driver row)
+    "ann_ivf_lists",
+    "q21_suppliers_waiting",
+    # r1-green block whose last driver row is two rounds old
+    "t7_calendar_grid",
+    "t3_duration_parse",
+    "t8_active_flag",
+    "t4_t5_filter_valid",
+    "s5_json_extract",
+    "j1_broadcast_join",
+    "j2_asof_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "a1_pricing_summary",
+    "a2_topk_per_group",
+    "a3_distinct_keys",
+    "a4_pivot_event_matrix",
+    "a5_rollup_summary",
+    "a6_count_distinct",
+    "r1_r2_sort_limit",
+    "u1_union_pages",
+    "s2_rest_pushdown_scan",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "tx_token_count",
+    "tx_quality_score",
+    "tx_lang_id",
+    "tx_fingerprint",
+    "tx_chunk_windows",
+    "tx_hash_sample",
+    "tx_cap_per_source",
+    "dd_exact",
+    "dd_cluster_components",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_embedding_cosine",
+    "ann_topk_bruteforce",
+    "mm_binary_meta",
+    "mm_fake_decode",
+    "mm_resize",
+    "mm_frame_sample",
+    "st_windowed_counts",
+    "st_stream_static_join",
+    "st_dedup_keys",
+    "st_sessionize",
+    "llm_prep_pipeline",
+    # SURVEY §2 anchors (green every round; keep hard signal)
     "t6_forward_fill_daily",
     "e1_full_pipeline",
     "e2_products_flatten",
     "e3_prices_daily",
-    # round-1-green refreshers filling the remaining window slots
-    # (everything else got its green row in CORRECTNESS_r01.json)
-    "dd_minhash_lsh",
 )
 
 

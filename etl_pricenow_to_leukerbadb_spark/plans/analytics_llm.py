@@ -933,14 +933,14 @@ WITH d AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS pack_start
+           - n_tokens AS BIGINT) AS pack_start
   FROM d
 )
 SELECT doc_id, source, n_tokens,
-       pack_start // {_PACK_CAP} AS pack_id,
-       pack_start % {_PACK_CAP} AS pack_offset,
+       CAST(pack_start // {_PACK_CAP} AS BIGINT) AS pack_id,
+       CAST(pack_start % {_PACK_CAP} AS BIGINT) AS pack_offset,
        (pack_start + n_tokens - 1) // {_PACK_CAP} > pack_start // {_PACK_CAP}
          AS spans_boundary
 FROM c
@@ -958,7 +958,14 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB the pack key space is (shard, pack_id), exactly how a
     distributed tokenizer job shards its output files."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # Explicit ROWS frame: the default for an ordered window is RANGE, which
+    # only coincides with ROWS because doc_id is unique per source — pin it
+    # so the oracle equivalence doesn't depend on data uniqueness.
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = docs.select(
         "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
     ).withColumn(

@@ -589,7 +589,9 @@ def a9_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a8_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale forms of a6/a7: HLL++ approximate distinct count
     and quantile-sketch percentiles per event type. No SQL oracle —
-    sketch values are engine-specific; bounds asserted in pytest."""
+    sketch values are engine-specific; bounds asserted in pytest.
+    Percentiles are projected to scalar q50/q99 columns (not an array)
+    so the driver's rows-only canonicalizer can sort the frame."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -597,6 +599,13 @@ def a8_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("value_q"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_q")[0].alias("q50"),
+            F.col("value_q")[1].alias("q99"),
+            "n_events",
         )
     )
 
