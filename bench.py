@@ -31,18 +31,28 @@ def main() -> None:
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    spreads: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name, spec in headline.items():
-        # min over a couple of runs: first execution of a plan pays JVM
+        # min over several runs: first execution of a plan pays JVM
         # JIT + codegen compilation that run-to-run would misattribute
-        # to the operator (observed 3-4x first-run noise locally)
-        best, n = float("inf"), 0
+        # to the operator (observed 3-4x first-run noise locally); with
+        # min-of-2 a single noisy run still swung results by ~40%
+        # (BENCH_r02 vs r01 on an unchanged plan), so default to 3 and
+        # report the spread so a real regression is distinguishable.
+        samples = []
+        n = 0
         for _ in range(runs):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s (+{spreads[name]:.3f} spread,"
+            f" {n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -52,6 +62,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

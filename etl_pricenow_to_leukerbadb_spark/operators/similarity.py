@@ -214,6 +214,133 @@ def ivf_topk(
     )
 
 
+def ivf_list_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Exact inverted-list assignment of ``ivf_topk``'s blocking
+    structure: every corpus vector mapped to its nearest centroid
+    (max rounded cosine, ties toward the lower centroid id), centroids
+    = first ``n_centroids`` corpus vectors by id, broadcast.
+
+    This is the deterministic, hash-checkable core of the IVF index —
+    given fixed centroids the list membership is exact, which is what
+    lets an SQL oracle verify the blocking structure even though the
+    top-k scorer built on it is approximate. One broadcast pass over
+    the corpus, one map-side ``max_by`` aggregation keyed on the
+    vector id; no data-sized shuffle.
+
+    Returns (vec_id, cent_id, cos_sim) of the final assignment."""
+    corpus_n = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
+    )
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
+        )
+    )
+    order = F.struct(
+        F.round(
+            cosine_prenormed(
+                F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
+            ),
+            6,
+        ).alias("c"),
+        (-F.col("cent_id")).alias("t"),
+    )
+    return (
+        corpus_n.crossJoin(cents)
+        .groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), order.getField("c").alias("cs")), order
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.cent_id").alias("cent_id"),
+            F.col("m.cs").alias("cos_sim"),
+        )
+    )
+
+
+def pq_assign_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``n_subspaces`` contiguous ``sub_dim``-dim subvectors and map every
+    subvector to its nearest codebook entry by squared L2 distance
+    (codebook per subspace = the matching slices of the first
+    ``n_codes`` corpus vectors by id; ties toward the lower code).
+
+    This is the compression stage of an IVF-PQ index — the structure
+    that makes billion-vector ANN memory-resident (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search"). Given a fixed
+    codebook the assignment is exact and engine-checkable, like
+    ``ivf_list_assign`` for the coarse quantizer: distances are
+    accumulated in double and rounded into 1e-6 fixed-point BIGINTs
+    *before* the argmin, so the chosen code never depends on
+    sub-ulp float ordering.
+
+    One broadcast of the (n_subspaces x n_codes) codebook against a
+    fanned-out corpus scan, one map-side ``min_by`` aggregation —
+    no data-sized shuffle. Returns (vec_id, subspace, code, dist_fp)
+    with dist_fp = round(squared_L2 * 1e6) of the chosen code."""
+    subspaces = F.explode(
+        F.array(*[F.lit(s).cast("int") for s in range(n_subspaces)])
+    ).alias("subspace")
+
+    def _slice(vec: F.Column) -> F.Column:
+        return F.slice(vec, F.col("subspace") * sub_dim + 1, F.lit(sub_dim))
+
+    sub = fan_out(corpus).select(F.col(id_col), F.col(vec_col), subspaces).select(
+        F.col(id_col), "subspace", _slice(F.col(vec_col)).alias("__sub")
+    )
+    cb = F.broadcast(
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), F.col(vec_col), subspaces)
+        .select("code", "subspace", _slice(F.col(vec_col)).alias("__code_sub"))
+    )
+    diff_sq = F.zip_with(
+        F.col("__sub"),
+        F.col("__code_sub"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist_fp = (
+        F.round(
+            F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000
+        )
+        .cast("long")
+        .alias("dist_fp")
+    )
+    return (
+        sub.join(cb, "subspace")
+        .select(F.col(id_col), "subspace", "code", dist_fp)
+        .groupBy(F.col(id_col), F.col("subspace"))
+        .agg(
+            F.min_by(
+                F.struct("code", "dist_fp"), F.struct("dist_fp", "code")
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            "subspace",
+            F.col("m.code").alias("code"),
+            F.col("m.dist_fp").alias("dist_fp"),
+        )
+    )
+
+
 def kmeans_assign_2iter(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -92,7 +92,33 @@ class RunLock:
                 held_at = None  # unreadable lock: treat as stale
             if held_at is not None and (now - held_at).total_seconds() < self.stale_after_s:
                 return False
-            os.unlink(self.path)  # stale: take over
+            # Stale: claim via atomic rename to a private name — a bare
+            # unlink here could race another contender and delete the
+            # WINNER'S fresh lock. FileNotFoundError on the rename is
+            # contention (someone else claimed first), not an error: retry
+            # and see their fresh lock. Because the claim itself races the
+            # winner's re-create, re-check staleness on what we actually
+            # grabbed; if it turns out fresh we stole a live lock — put it
+            # back and report contention.
+            takeover = f"{self.path}.stale.{os.getpid()}.{id(self):x}"
+            try:
+                os.rename(self.path, takeover)
+            except FileNotFoundError:
+                return self.acquire(now)
+            try:
+                with open(takeover) as fh:
+                    grabbed_at = dt.datetime.fromisoformat(
+                        json.load(fh)["acquired_at"]
+                    )
+            except (OSError, ValueError, KeyError):
+                grabbed_at = None
+            if (
+                grabbed_at is not None
+                and (now - grabbed_at).total_seconds() < self.stale_after_s
+            ):
+                os.rename(takeover, self.path)  # give the live lock back
+                return False
+            os.unlink(takeover)
             return self.acquire(now)
         with os.fdopen(fd, "w") as fh:
             json.dump({"pid": os.getpid(), "acquired_at": now.isoformat()}, fh)

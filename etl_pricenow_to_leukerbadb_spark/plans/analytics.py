@@ -701,9 +701,9 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K1-K3, write order prices-then-products), read back the prices
     table. Oracle recomputes the expected table from the same VALUES."""
     import datetime as _dt
-    import tempfile
 
     from ..config import SeasonConfig
+    from ..session import session_scratch_dir
     from .pricenow import run_pipeline
 
     changes = spark.createDataFrame(
@@ -729,7 +729,7 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads=[_E2_PAYLOAD],
         changes=changes,
         season=season,
-        out_dir=tempfile.mkdtemp(prefix="e1_"),
+        out_dir=session_scratch_dir(spark, "e1"),
         run_ts=_dt.datetime(2026, 1, 1, 6, 0, 0),
     )
     return spark.read.parquet(out["pricenow_prices"])

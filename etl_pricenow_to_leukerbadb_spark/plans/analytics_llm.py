@@ -20,7 +20,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
-    connected_components,
+    connected_components_twophase,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -247,16 +247,20 @@ SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
 )
 def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash-LSH
-    candidate-pair graph via iterative min-label propagation (the
-    dedup step that picks one canonical doc per near-dup cluster).
-    Spark has no native CC operator — this is the iterative-DataFrame
-    pattern with per-iteration localCheckpoint; the oracle computes
-    the same components with a recursive CTE."""
+    candidate-pair graph (the dedup step that picks one canonical doc
+    per near-dup cluster). Spark has no native CC operator — this runs
+    the alternating large-star/small-star contraction
+    (``connected_components_twophase``, O(log^2 n) rounds), the
+    algorithm that survives web-scale graphs with long templated-
+    document chains; the O(diameter) min-label propagation remains as
+    the simple variant and is pytest-verified to produce identical
+    labels. The oracle computes the same components with a recursive
+    CTE."""
     sigs = minhash_signatures(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
     )
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
-    return connected_components(pairs)
+    return connected_components_twophase(pairs)
 
 
 @register(
@@ -1388,4 +1392,177 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_assign_2iter(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_centroids=8
+    )
+
+
+@register(
+    "ann_ivf_lists",
+    tags=("ANN", "A1"),
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16
+), a1 AS (
+  SELECT vec_id, cent_id, cos_sim FROM (
+    SELECT e.vec_id, c.cent_id,
+           round({_KM_DOT_C.format(e='e.embedding', c='c.cent')}
+                 / (sqrt({_KM_DOT_C.format(e='e.embedding', c='e.embedding')})
+                    * sqrt({_KM_DOT_C.format(e='c.cent', c='c.cent')})), 6) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_KM_DOT_C.format(e='e.embedding', c='c.cent')}
+                            / (sqrt({_KM_DOT_C.format(e='e.embedding', c='e.embedding')})
+                               * sqrt({_KM_DOT_C.format(e='c.cent', c='c.cent')})), 6) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings e, c0 c) t
+  WHERE rn = 1
+)
+SELECT cent_id,
+       COUNT(*) AS n_members,
+       MIN(vec_id) AS min_vec,
+       MAX(vec_id) AS max_vec,
+       SUM(CAST(ROUND(cos_sim * 1000000) AS BIGINT)) AS sum_cos_fp
+FROM a1
+GROUP BY cent_id
+""",
+)
+def ann_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-list statistics of ``ivf_topk``'s inverted-list
+    blocking structure (centroids = first 16 corpus vectors): member
+    count, id range, and the fixed-point sum of member->centroid
+    cosines. Given fixed centroids the assignment is exact, so this is
+    the IVF family's hash-checkable invariant — the analog of
+    ``ann_lsh_buckets`` for sign-LSH. Cosines are rounded to 6 dp
+    before the 1e6 fixed-point sum, so the long accumulation is exact
+    and order-independent (no float-sum partition dependence)."""
+    from ..operators.similarity import ivf_list_assign
+
+    a = ivf_list_assign(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_centroids=16
+    )
+    return a.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+        F.sum(F.round(F.col("cos_sim") * 1_000_000).cast("long")).alias("sum_cos_fp"),
+    )
+
+
+@register(
+    "emb_pq_codes",
+    tags=("ANN", "A1"),
+    oracle="""
+WITH sub AS (SELECT CAST(UNNEST(range(4)) AS INTEGER) AS subspace),
+cb AS (
+  SELECT v.vec_id AS code, s.subspace, v.embedding
+  FROM embeddings v, sub s WHERE v.vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.subspace, c.code,
+         CAST(ROUND((
+           SELECT SUM((CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
+                       - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE))
+                      * (CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
+                         - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE)))
+           FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
+  FROM embeddings e, cb c
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
+  FROM d
+)
+SELECT vec_id, subspace, code, dist_fp FROM r WHERE rn = 1
+""",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: each 64-dim embedding split into
+    4x16-dim subvectors, each mapped to its nearest codebook entry
+    (codebook = matching slices of the first 8 corpus vectors) by
+    squared L2, rounded to 1e-6 fixed point before the argmin. This is
+    the compression stage of IVF-PQ — with ``emb_kmeans_assign`` (the
+    trained coarse quantizer) and ``ann_ivf_lists`` (the inverted
+    lists) it completes the exact, oracle-checkable skeleton of a
+    billion-scale ANN index; only the top-k scorers stay approximate.
+    One codebook broadcast, one map-side ``min_by`` — no data shuffle."""
+    from ..operators.similarity import pq_assign_codes
+
+    return pq_assign_codes(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        n_subspaces=4,
+        sub_dim=16,
+        n_codes=8,
+    )
+
+
+@register(
+    "tx_dedup_keep_best",
+    tags=("DD",),
+    oracle=f"""
+WITH {_MINHASH_SH},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       COUNT(*) AS n_members,
+       MAX(n_chars) AS best_n_chars
+FROM r GROUP BY component
+""",
+)
+def tx_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns near-dup
+    clusters into an actual deduplicated corpus: every document joins
+    its MinHash-LSH connected component (singletons are their own
+    component), and per component the longest document wins (ties to
+    the lower doc_id). Output is one row per surviving component with
+    the kept doc and the cluster size, i.e. the dedup audit table a
+    training-data pipeline ships alongside the filtered corpus.
+
+    Scale shape: the component labels come from the large-star/small-
+    star contraction (log^2 rounds); the keep choice is a single
+    ``max_by`` aggregation on the component key — one shuffle, no
+    window sort, and the doc->component join is key-partitioned on
+    doc_id like every other dedup stage."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+    comp = connected_components_twophase(pairs)
+    labeled = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        docs["doc_id"],
+        F.coalesce(comp["component"], docs["doc_id"]).alias("component"),
+        "n_chars",
+    )
+    return labeled.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t"))
+        ).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("best_n_chars"),
     )

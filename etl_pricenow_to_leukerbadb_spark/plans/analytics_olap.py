@@ -676,8 +676,8 @@ def k5_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (untouched years keep their files byte-for-byte; asserted
     in tests). Read back and checked against a plain SQL merge."""
     import os
-    import tempfile
 
+    from ..session import session_scratch_dir
     from ..sinks.layout import write_partitioned
 
     orders = _t(spark, sf_dir, "orders")
@@ -687,7 +687,7 @@ def k5_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("base").alias("src"),
         F.year(F.col("o_orderdate").cast("date")).alias("part_year"),
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="k5_"), "orders_merged")
+    target = os.path.join(session_scratch_dir(spark, "k5"), "orders_merged")
     write_partitioned(base, target, ["part_year"])
     updates = base.filter((F.col("okey") % 3 == 0) & (F.col("part_year") == 1995)).select(
         "okey",
@@ -814,6 +814,173 @@ def q20_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM q20_orders o2
                               WHERE o2.o_custkey = o.o_custkey)
         """
+    )
+
+
+@register(
+    "q21_suppliers_waiting",
+    tags=("J1", "J3", "A1", "R1"),
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s JOIN lo l1 ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting": late
+    lineitems on finalized multi-supplier orders where the supplier was
+    the ONLY late one — EXISTS as a left-semi join, NOT EXISTS as a
+    left-anti join, both with a non-equi residual (different supplier)
+    on the orderkey equi-join. The synthetic schema has no commit/
+    receipt dates, so "late" is shipdate > orderdate + 60 days.
+
+    Scale shape: the late-flag table is built once; the semi and anti
+    probes hash-partition on the same l_orderkey as the build, so AQE
+    reuses one exchange across all three joins, and the supplier
+    dimension is broadcast. No correlated re-execution survives in the
+    physical plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = lo.filter(F.col("late"))
+    l2 = lo.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("J1", "A1", "R1"),
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pc AS (
+  SELECT c.l_partkey AS partkey, eu.s_name, eu.s_acctbal, eu.n_name,
+         c.unit_cost
+  FROM cost c JOIN eu ON c.l_suppkey = eu.s_suppkey
+), best AS (
+  SELECT partkey, MIN(unit_cost) AS best_cost FROM pc GROUP BY partkey
+)
+SELECT p.p_partkey, p.p_brand, pc.s_name, pc.n_name, pc.s_acctbal,
+       pc.unit_cost
+FROM pc
+JOIN best b ON pc.partkey = b.partkey AND pc.unit_cost = b.best_cost
+JOIN part p ON pc.partkey = p.p_partkey
+WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+ORDER BY pc.s_acctbal DESC, pc.n_name, pc.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped "minimum-cost supplier": for every small
+    STANDARD part, the European supplier(s) offering the lowest unit
+    cost. The synthetic schema has no partsupp table, so supply cost is
+    derived as MIN(l_extendedprice / l_quantity) per (part, supplier)
+    observed in lineitem — exact on both engines because IEEE division
+    and MIN are bit-deterministic (no float accumulation anywhere).
+
+    Scale shape: the reference's correlated MIN subquery is expressed
+    as a per-part aggregate joined back on (partkey, cost) — both sides
+    of that join come out of the same cost table, so AQE reuses its
+    exchange; supplier/nation/region and the filtered part subset are
+    broadcast dimensions. One data-sized shuffle (the cost group-by on
+    partkey) carries the whole query."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = cost.join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")).select(
+        "partkey", "s_name", "s_acctbal", "n_name", "unit_cost"
+    )
+    best = pc.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        pc.withColumnRenamed("partkey", "pk")
+        .join(
+            best,
+            (F.col("pk") == F.col("partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(parts, F.col("pk") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
     )
 
 

@@ -67,3 +67,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+def session_scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Deterministic scratch directory for queries that must round-trip
+    through a real on-disk sink (k5/e1): one fixed location per
+    (session, tag), wiped on every call — repeated registry invocations
+    (correctness driver, bench loops) reuse the same path instead of
+    accumulating a fresh ``mkdtemp`` per run.
+
+    Returns the path; the caller writes into it."""
+    import shutil
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", app_id, tag
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -11,7 +11,10 @@ keeping oracle comparisons exact).
 
 from __future__ import annotations
 
+import math
 import os
+import re
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +49,55 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
 
 
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _byte_conf(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        v = spark.conf.get(key, None)
+    except Exception:
+        return default
+    if v is None:
+        return default
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
+    if not m:
+        return default
+    return int(m.group(1)) * _SIZE_UNITS.get(m.group(2).lower(), 1)
+
+
+def _estimated_scan_partitions(spark: SparkSession, files: list[str]) -> int | None:
+    """Estimate how many partitions a file scan will actually produce,
+    replicating Spark's split sizing (FilePartition.maxSplitBytes):
+    tiny files are bin-packed together (openCostInBytes padding), big
+    files are split at maxPartitionBytes — so neither raw file count
+    nor raw byte count alone is a usable bound. Returns None when any
+    file size is unknown (non-local URI)."""
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(u.path or f))
+        except OSError:
+            return None
+    if not sizes:
+        return None
+    maxpb = _byte_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    opencost = _byte_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    padded_total = sum(sizes) + len(sizes) * opencost
+    max_split = min(maxpb, max(opencost, padded_total // par)) or 1
+    return max(1, math.ceil(padded_total / max_split))
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition a narrow input before compute-heavy fan-out work.
 
@@ -60,22 +112,25 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     case: thousands of splits) this is a no-op.
 
     The parallelism probe is plan-level: ``df.inputFiles()`` (driver-side
-    file listing, no job and no plan-to-RDD conversion — the old
-    ``df.rdd.getNumPartitions()`` re-planned the query as RDDs each
-    call). File count lower-bounds scan partitions (big files split
-    further), so ``>= target`` file sources are left untouched; only
-    non-file sources (in-memory fixtures) fall back to the RDD probe,
-    where the conversion cost is proportional to their small plans.
+    file listing, no job) plus a bytes-based estimate of the scan's
+    actual partition count that mirrors Spark's split packing — a raw
+    file count would overestimate parallelism for many-tiny-file
+    sources, which Spark bin-packs into far fewer partitions. Sources
+    whose sizes can't be read locally (remote FS) and non-file sources
+    (in-memory fixtures) fall back to the RDD-partition probe, whose
+    plan-to-RDD conversion cost is driver-side only.
     """
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files >= target:
-        return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= target:
+        files = []
+    est = _estimated_scan_partitions(spark, files) if files else None
+    if est is not None:
+        if est >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

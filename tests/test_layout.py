@@ -140,3 +140,55 @@ def test_replace_dir_is_crash_safe_and_clears_stale_backup(tmp_path):
     assert (target / "b.txt").read_text() == "new"
     assert not (target / "a.txt").exists()
     assert not stale.exists() and not new.exists()
+
+
+def test_fan_out_partition_estimate_tracks_real_scan(spark, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import (
+        _estimated_scan_partitions,
+        fan_out,
+    )
+
+    # many-tiny-file source: the estimate must track the scan's REAL
+    # partition count (Spark bin-packs small files), not the file count
+    path = str(tmp_path / "tiny")
+    spark.range(10_000).repartition(24).write.parquet(path)
+    df = spark.read.parquet(path)
+    est = _estimated_scan_partitions(spark, df.inputFiles())
+    actual = df.rdd.getNumPartitions()
+    assert est is not None
+    # same order of magnitude as the real packing, never the raw count
+    assert est <= len(df.inputFiles())
+    assert abs(est - actual) <= max(actual, est) * 0.5 + 2
+
+    # a single small file must be fanned out to the requested target
+    single = str(tmp_path / "single")
+    spark.range(1_000).coalesce(1).write.parquet(single)
+    sdf = spark.read.parquet(single)
+    assert fan_out(sdf, target=8).rdd.getNumPartitions() == 8
+
+    # an already-parallel source is left untouched (no extra shuffle)
+    wide = fan_out(df, target=max(1, actual // 2))
+    assert wide is df
+
+
+def test_partition_merge_key_moving_partitions_is_a_documented_dup(spark, tmp_path):
+    """Contract pin: merge_upsert_partitioned requires a key's partition
+    to be stable across batches. Violating it leaves the stale row in
+    the old partition (the update only rewrites partitions it touches —
+    the same failure mode as every partition-pruned lakehouse MERGE).
+    This test pins that outcome so any future guard is a conscious
+    change, not an accident."""
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import (
+        merge_upsert_partitioned,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "old", "A"), (2, "keep", "A")], "k long, v string, p string")
+    base.write.partitionBy("p").parquet(target)
+    moved = spark.createDataFrame([(1, "new", "B")], "k long, v string, p string")
+
+    merge_upsert_partitioned(spark, moved, target, keys=["k"], partition_cols=["p"])
+
+    rows = {(r.k, r.v, r.p) for r in spark.read.parquet(target).collect()}
+    # the key now exists in BOTH partitions: stale in A, updated in B
+    assert rows == {(1, "old", "A"), (2, "keep", "A"), (1, "new", "B")}

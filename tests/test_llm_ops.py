@@ -117,6 +117,25 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_list_assign_partitions_corpus(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import ivf_list_assign
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n_corpus = emb.count()
+    rows = ivf_list_assign(emb, n_centroids=16).collect()
+    # exactly one list per vector: the lists partition the corpus
+    assert len(rows) == n_corpus
+    assert len({r.vec_id for r in rows}) == n_corpus
+    by_id = {r.vec_id: r for r in rows}
+    # a centroid's own vector is its nearest centroid with cosine 1
+    for cid in range(16):
+        if cid in by_id:
+            assert by_id[cid].cent_id == cid
+            assert by_id[cid].cos_sim == pytest.approx(1.0, abs=1e-6)
+    # only valid list ids appear
+    assert {r.cent_id for r in rows} <= set(range(16))
+
+
 def test_fake_decode_plumbing(spark):
     docs = attach_binary(_docs(spark), "doc_id", "text")
     out = {r.doc_id: r for r in fake_decode_media(docs, "doc_id").collect()}

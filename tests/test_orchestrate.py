@@ -45,6 +45,45 @@ def test_run_lock_excludes_and_takes_over_stale(tmp_path):
     )  # stale -> takeover
 
 
+def test_run_lock_stale_takeover_race_is_contention(tmp_path, monkeypatch):
+    """Two contenders observing the same stale lock: the loser's rename
+    hits FileNotFoundError and must resolve as contention (False when
+    the winner's fresh lock exists), never propagate."""
+    import os as _os
+
+    path = str(tmp_path / "l.lock")
+    now = dt.datetime(2026, 1, 1, 6, 0, tzinfo=UTC)
+    stale_holder = RunLock(path, stale_after_s=600)
+    assert stale_holder.acquire(now)  # becomes stale below
+
+    loser = RunLock(path, stale_after_s=600)
+    real_rename = _os.rename
+    intervened = []
+
+    def winner_steals_first(src, dst):
+        # simulate the interleaving once: the winner takes over and
+        # re-acquires between the loser's stat and its claim-rename, so
+        # the loser's rename grabs the winner's FRESH lock
+        if not intervened:
+            intervened.append(1)
+            real_rename(src, src + ".won")
+            _os.unlink(src + ".won")
+            assert RunLock(path, stale_after_s=600).acquire(
+                now + dt.timedelta(minutes=11)
+            )
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", winner_steals_first)
+    got = loser.acquire(now + dt.timedelta(minutes=11))
+    monkeypatch.undo()
+    assert got is False  # winner holds a fresh lock; loser backed off
+    assert _os.path.exists(path)  # ...and the fresh lock was given back
+    # a third contender still sees the winner's live lock
+    assert not RunLock(path, stale_after_s=600).acquire(
+        now + dt.timedelta(minutes=12)
+    )
+
+
 def test_run_guarded_schedule_lock_and_stamp(tmp_path):
     state = str(tmp_path / "state")
     calls = []

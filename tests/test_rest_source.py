@@ -247,3 +247,35 @@ def test_config_validation_fails_fast():
         RestSourceConfig(base_url="https://x", auth_url="").validate()
     assert "auth_url" in str(ei.value) and "client_secret" in str(ei.value)
     CFG.validate()  # fully-populated config passes
+
+
+def test_datasource_parallel_pages_partition_per_page(spark):
+    """The scan must parallelize page fetches: one input partition per
+    page, each fetching exactly its own page slice, and the union of
+    the partitions reconstructing the full result with no duplicates."""
+    spark.dataSource.register(RestPricesDataSource)
+    df = (
+        spark.read.format("pricenow_prices")
+        .option("transport", FIXTURE_TRANSPORT)
+        .option("base_url", "https://api.example.test")
+        .option("auth_url", "https://auth.example.test/token")
+        .option("client_id", "id")
+        .option("client_secret", "secret")
+        .option("page_size", "64")
+        .option("max_pages", "8")
+        .load()
+    )
+    per_part = {
+        r.pid: r.n
+        for r in df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(per_part.values())
+    # several partitions fetched concurrently, each bounded by the page
+    # size, and their union is the complete de-duplicated result set
+    assert len(per_part) >= 3
+    assert all(n <= 64 for n in per_part.values())
+    assert total == 251  # universe rows + the no-pushdown sentinel
+    assert df.distinct().count() == total
