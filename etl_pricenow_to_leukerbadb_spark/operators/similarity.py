@@ -268,6 +268,44 @@ def ivf_list_assign(
     )
 
 
+def _pq_subvectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_sub: str,
+    n_subspaces: int,
+    sub_dim: int,
+) -> DataFrame:
+    """(id, subspace, subvector) rows: each vector split into
+    ``n_subspaces`` contiguous ``sub_dim``-wide slices."""
+    subspaces = F.explode(
+        F.array(*[F.lit(s).cast("int") for s in range(n_subspaces)])
+    ).alias("subspace")
+    return df.select(F.col(id_col).alias(out_id), F.col(vec_col), subspaces).select(
+        out_id,
+        "subspace",
+        F.slice(
+            F.col(vec_col), F.col("subspace") * sub_dim + 1, F.lit(sub_dim)
+        ).alias(out_sub),
+    )
+
+
+def _sq_l2_fp(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance between two float arrays, accumulated in
+    double and rounded into a 1e-6 fixed-point BIGINT — exact to
+    compare and to sum across subspaces (no float-order dependence)."""
+    diff_sq = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.round(
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000
+    ).cast("long")
+
+
 def pq_assign_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -295,34 +333,21 @@ def pq_assign_codes(
     fanned-out corpus scan, one map-side ``min_by`` aggregation —
     no data-sized shuffle. Returns (vec_id, subspace, code, dist_fp)
     with dist_fp = round(squared_L2 * 1e6) of the chosen code."""
-    subspaces = F.explode(
-        F.array(*[F.lit(s).cast("int") for s in range(n_subspaces)])
-    ).alias("subspace")
-
-    def _slice(vec: F.Column) -> F.Column:
-        return F.slice(vec, F.col("subspace") * sub_dim + 1, F.lit(sub_dim))
-
-    sub = fan_out(corpus).select(F.col(id_col), F.col(vec_col), subspaces).select(
-        F.col(id_col), "subspace", _slice(F.col(vec_col)).alias("__sub")
+    sub = _pq_subvectors(
+        fan_out(corpus), id_col, vec_col, id_col, "__sub", n_subspaces, sub_dim
     )
     cb = F.broadcast(
-        corpus.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).alias("code"), F.col(vec_col), subspaces)
-        .select("code", "subspace", _slice(F.col(vec_col)).alias("__code_sub"))
-    )
-    diff_sq = F.zip_with(
-        F.col("__sub"),
-        F.col("__code_sub"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dist_fp = (
-        F.round(
-            F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000
+        _pq_subvectors(
+            corpus.filter(F.col(id_col) < n_codes),
+            id_col,
+            vec_col,
+            "code",
+            "__code_sub",
+            n_subspaces,
+            sub_dim,
         )
-        .cast("long")
-        .alias("dist_fp")
     )
+    dist_fp = _sq_l2_fp(F.col("__sub"), F.col("__code_sub")).alias("dist_fp")
     return (
         sub.join(cb, "subspace")
         .select(F.col(id_col), "subspace", "code", dist_fp)
@@ -338,6 +363,108 @@ def pq_assign_codes(
             F.col("m.code").alias("code"),
             F.col("m.dist_fp").alias("dist_fp"),
         )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    k: int = 5,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC)
+    with exact re-rank: corpus vectors are represented only by their
+    ``pq_assign_codes`` codes; per query a (subspace, code) ->
+    distance lookup table is computed once against the codebook, each
+    corpus vector is scored by summing its ``n_subspaces`` table
+    entries (the shortlist scan never touches a raw corpus vector),
+    and the top ``k * rerank_factor`` shortlist is re-scored with the
+    exact squared L2 on the raw vectors — the standard two-stage
+    IVF-PQ search (coarse ADC scan, exact re-rank of a tiny
+    candidate set).
+
+    This is why PQ scales: the scoring join streams over the
+    corpus-sized *code* table (``n_subspaces`` small ints per vector
+    instead of the full float array) with the per-query distance
+    tables broadcast (|Q| x n_subspaces x n_codes rows), then one
+    map-side-combinable sum per (query, vector), a per-query shortlist
+    window, and an exact re-rank join that touches only
+    |Q| x k x rerank_factor raw vectors. Distances are 1e-6
+    fixed-point BIGINTs at every stage, so sums and rankings are exact
+    and order-independent.
+
+    Approximate by construction (the shortlist can miss true
+    neighbors) — recall is gated against the exact scorer in pytest,
+    like the IVF and LSH scorers. Returns
+    (query_id, neighbor_id, rank, dist_fp) with dist_fp the exact
+    re-ranked squared L2."""
+    codes = pq_assign_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    qsub = _pq_subvectors(
+        queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
+    )
+    cb = _pq_subvectors(
+        corpus.filter(F.col(id_col) < n_codes),
+        id_col,
+        vec_col,
+        "code",
+        "__code_sub",
+        n_subspaces,
+        sub_dim,
+    )
+    qd = F.broadcast(
+        qsub.join(cb, "subspace").select(
+            "query_id",
+            "subspace",
+            "code",
+            _sq_l2_fp(F.col("__qsub"), F.col("__code_sub")).alias("qdist_fp"),
+        )
+    )
+    scored = (
+        codes.join(qd, ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist_fp").alias("adc_dist_fp"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_fp").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("pr", F.row_number().over(w_short))
+        .filter(F.col("pr") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: raw vectors only for the shortlist candidates
+    qraw = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    craw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    exact = (
+        shortlist.join(craw, "neighbor_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_l2_fp(F.col("__qvec"), F.col("__cvec")).alias("dist_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_fp").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_fp")
     )
 
 

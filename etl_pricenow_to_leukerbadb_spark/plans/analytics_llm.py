@@ -1494,6 +1494,22 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_adc_topk", tags=("ANN",))
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for query vectors (vec_id < 10) via
+    PQ asymmetric distance computation over the ``emb_pq_codes``
+    codes — the memory-resident search mode of an IVF-PQ index (the
+    query scans 4 small ints per corpus vector, never a raw float
+    array). Inherently approximate (codes quantize the corpus), so no
+    SQL oracle: recall vs ``ann_topk_bruteforce`` is gated in pytest,
+    and the code assignment it runs on is oracle-verified exactly by
+    ``emb_pq_codes``."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 @register(
     "tx_dedup_keep_best",
     tags=("DD",),

@@ -895,6 +895,63 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_range_join",
+    tags=("J2", "A1"),
+    oracle="""
+WITH win AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 6 HOUR AS w_end
+  FROM events WHERE event_id % 199 = 0
+)
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(floor(epoch(MIN(e.ts))) AS BIGINT) AS first_event_s,
+       CAST(floor(epoch(MAX(e.ts))) AS BIGINT) AS last_event_s
+FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+""",
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every event falling inside 6-hour
+    analysis windows anchored at sampled events, aggregated per
+    window. The oracle states the raw range predicate; the Spark plan
+    runs ``interval_join`` — hour-binned equi-join + residual bounds
+    filter — because a bare range predicate has no equi-key and plans
+    as a nested-loop join (O(|events| x |windows|)) that dies at
+    scale. The window side is broadcast here (windows are sampled,
+    dimension-sized); with a large interval side the same operator
+    hash-partitions both sides on the bin key."""
+    from ..operators.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = F.broadcast(
+        ev.filter(F.col("event_id") % 199 == 0).select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    return (
+        interval_join(
+            ev.select("event_id", "ts", "user_id"),
+            "ts",
+            windows,
+            "w_start",
+            "w_end",
+            bin="hour",
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.unix_timestamp(F.min("ts")).alias("first_event_s"),
+            F.unix_timestamp(F.max("ts")).alias("last_event_s"),
+        )
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     tags=("J1", "A1", "R1"),
     oracle="""

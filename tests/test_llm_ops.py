@@ -395,3 +395,52 @@ def test_pack_sequences_multi_pack_document(spark):
     assert out[1] == (0, 0, False)        # fits inside pack 0
     assert out[2] == (0, 10, True)        # starts in 0, ends in pack 3
     assert out[3] == (3, 2, False)        # 50 div 16 = 3, offset 2
+
+
+def test_pq_codes_partition_each_subspace(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import pq_assign_codes
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    rows = pq_assign_codes(emb, n_subspaces=4, sub_dim=16, n_codes=8).collect()
+    # one code per (vector, subspace); codes within range
+    assert len(rows) == n * 4
+    assert {(r.vec_id, r.subspace) for r in rows} == {
+        (v, s) for v in range(n) for s in range(4)
+    }
+    assert all(0 <= r.code < 8 for r in rows)
+    # a codebook vector quantizes to itself with distance 0
+    for r in rows:
+        if r.vec_id < 8:
+            assert r.code == r.vec_id and r.dist_fp == 0
+
+
+def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small):
+    import numpy as np
+
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    exact = {
+        q: {
+            c
+            for _, c in sorted(
+                (float(np.sum((V[q] - V[c]) ** 2)), c) for c in V if c != q
+            )[:5]
+        }
+        for q in range(10)
+    }
+    rows = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=10
+    ).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(rows) == 50  # 10 queries x top-5, ranks dense
+    assert {r.rank for r in rows} == {1, 2, 3, 4, 5}
+    recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
+    # measured 0.68 at rerank_factor=10 on this corpus; the shortlist
+    # is approximate so leave headroom, but 0.5 separates a working
+    # two-stage search from a broken one (random top-5 would be ~0.01)
+    assert recall >= 0.5, f"ADC+rerank recall {recall:.2f} too low"
