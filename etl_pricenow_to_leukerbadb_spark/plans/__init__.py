@@ -13,10 +13,11 @@ from . import analytics_olap  # noqa: F401,E402
 #   r3 (this file): the two r2 reds — both fixed this round — plus the new
 #       round-3 queries, the 42 entries whose last green row is r1, and the
 #       four SURVEY §2 anchors.
-#   r4 (next): the ~45 entries whose last green row is r2, plus the three
-#       round-3 late additions that registered after this round's window was
-#       sealed (emb_pq_codes, tx_dedup_keep_best, q2_min_cost_supplier —
-#       pytest-oracle-green locally at sf0.001 and sf0.01 this round).
+#   r4 (next): the ~45 entries whose last green row is r2, plus the round-3
+#       late additions that registered after this round's window was sealed
+#       (emb_pq_codes, tx_dedup_keep_best, q2_min_cost_supplier,
+#       j6_range_join, ann_pq_adc_topk — all driver-sim-verified locally at
+#       sf0.001 and sf0.01 this round).
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).

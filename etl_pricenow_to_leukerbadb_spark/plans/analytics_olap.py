@@ -92,6 +92,79 @@ def a5_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a11_grouping_sets",
+    tags=("A1",),
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+""",
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile
+    to): per-(priority, status) cells, per-status margins, and the
+    grand total in one aggregation pass. Spark expands the sets and
+    runs a single hash aggregate (one shuffle keyed on the expanded
+    grouping id) — same cost model as a plain group-by; grouping
+    indicators are engine-portable GROUPING() bits, not the
+    engine-specific grouping_id packing."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "w6_rank_functions",
+    tags=("A2",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def w6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-rank family (rank / dense_rank / ntile /
+    percent_rank / cume_dist) per customer over order value. The
+    ordering key includes o_orderkey so ranks are total and the
+    ratio functions' outputs engine-deterministic; ratios are rounded
+    to 6 dp. One key-partitioned window — single exchange, per-key
+    sorted stream, no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
     "a6_count_distinct",
     tags=("A3",),
     oracle="""
@@ -897,6 +970,7 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j6_range_join",
     tags=("J2", "A1"),
+    headline=True,
     oracle="""
 WITH win AS (
   SELECT event_id AS window_id, ts AS w_start,
