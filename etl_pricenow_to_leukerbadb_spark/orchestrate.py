@@ -116,7 +116,18 @@ class RunLock:
                 grabbed_at is not None
                 and (now - grabbed_at).total_seconds() < self.stale_after_s
             ):
-                os.rename(takeover, self.path)  # give the live lock back
+                # Give the live lock back. While self.path is absent a third
+                # contender's O_CREAT|O_EXCL can succeed, so a rename here
+                # would atomically clobber THEIR fresh lock (two holders).
+                # link() fails with FileExistsError instead of overwriting:
+                # if someone re-created the path, leave their lock alone —
+                # the live holder we robbed keeps running under our takeover
+                # copy's content either way, and we report contention.
+                try:
+                    os.link(takeover, self.path)
+                except FileExistsError:
+                    pass
+                os.unlink(takeover)
                 return False
             os.unlink(takeover)
             return self.acquire(now)
@@ -125,6 +136,15 @@ class RunLock:
         return True
 
     def release(self) -> None:
+        # Only unlink a lock this process owns: if our lock was deemed stale
+        # and taken over, self.path now belongs to another process and
+        # unlinking it would break THEIR mutual exclusion.
+        try:
+            with open(self.path) as fh:
+                if json.load(fh).get("pid") != os.getpid():
+                    return
+        except (OSError, ValueError):
+            pass
         try:
             os.unlink(self.path)
         except FileNotFoundError:

@@ -1420,7 +1420,7 @@ SELECT cent_id,
        COUNT(*) AS n_members,
        MIN(vec_id) AS min_vec,
        MAX(vec_id) AS max_vec,
-       SUM(CAST(ROUND(cos_sim * 1000000) AS BIGINT)) AS sum_cos_fp
+       CAST(SUM(CAST(ROUND(cos_sim * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_fp
 FROM a1
 GROUP BY cent_id
 """,

@@ -76,6 +76,13 @@ def session_scratch_dir(spark: SparkSession, tag: str) -> str:
     (correctness driver, bench loops) reuse the same path instead of
     accumulating a fresh ``mkdtemp`` per run.
 
+    Contract: because the path is wiped on every call, a DataFrame
+    returned by a previous invocation of the same plan (which lazily
+    reads parquet out of this path) must be fully consumed before the
+    plan is invoked again — overlapping generations would see
+    FileNotFound or mixed-generation reads. The correctness driver and
+    bench loop are strictly sequential, which satisfies this.
+
     Returns the path; the caller writes into it."""
     import shutil
     import tempfile

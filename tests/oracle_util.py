@@ -56,6 +56,58 @@ def rows_normalized(cols, rows):
     return [cols[i] for i in idx], out
 
 
+# Spark simpleString dtype -> the pandas dtype class toPandas() yields for a
+# null-free column.  Only numeric/bool types are listed: the driver's value
+# hash diverges when one engine renders a column as int64 and the other as
+# float64 (DuckDB HUGEINT) or int32 vs int64 (Spark IntegerType vs DuckDB
+# BIGINT) — the two bug classes behind every red driver row in r2/r3.
+# Strings/dates/decimals are normalized by value elsewhere; not dtype-checked.
+_SPARK_DTYPE_CLASS = {
+    "bigint": ("int", 8),
+    "int": ("int", 4),
+    "smallint": ("int", 2),
+    "tinyint": ("int", 1),
+    "double": ("float", 8),
+    "float": ("float", 4),
+    "boolean": ("bool",),
+}
+
+
+def _pandas_dtype_class(series):
+    k = series.dtype.kind
+    if k in "iu":
+        return ("int", series.dtype.itemsize)
+    if k == "f":
+        return ("float", series.dtype.itemsize)
+    if k == "b":
+        return ("bool",)
+    return None
+
+
+def compare_dtypes(name: str, spark_dtypes, d_pdf, null_cols) -> None:
+    """Assert every numeric column lands in pandas with the same dtype
+    class from both engines — a local replica of the dtype sensitivity
+    of the driver's content hash (5 vs 5.0 hash differently even when
+    values are equal).  ``spark_dtypes`` is ``DataFrame.dtypes``;
+    ``d_pdf`` the DuckDB result as pandas; ``null_cols`` columns with
+    nulls on either side (skipped: pandas widens nullable ints to
+    float64/object asymmetrically)."""
+    for col, s_dtype in spark_dtypes:
+        if col not in d_pdf.columns or col in null_cols:
+            continue
+        sc = _SPARK_DTYPE_CLASS.get(s_dtype)
+        dc = _pandas_dtype_class(d_pdf[col])
+        if sc is None or dc is None:
+            continue
+        assert sc == dc, (
+            f"{name}.{col}: pandas dtype class diverges: "
+            f"spark={s_dtype} ({sc}) vs duckdb={d_pdf[col].dtype} ({dc}) — "
+            "this WILL red-flag in the driver's value hash; cast both "
+            "sides to the same width (e.g. CAST(... AS BIGINT) / "
+            ".cast('long'))"
+        )
+
+
 def compare_query(spark, sf_dir: str, name: str, spec) -> None:
     sdf = spec.fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -65,6 +117,20 @@ def compare_query(spark, sf_dir: str, name: str, spec) -> None:
     res = con.execute(spec.oracle)
     d_cols = [c[0] for c in res.description]
     d_rows = res.fetchall()
+
+    # Driver-parity dtype check: re-fetch the oracle as pandas (cheap at
+    # test SF) and compare against the Spark schema's toPandas mapping.
+    d_pdf = con.execute(spec.oracle).df()
+    null_cols = {
+        c
+        for i, c in enumerate(s_cols)
+        if any(r[i] is None for r in s_rows)
+    } | {
+        c
+        for i, c in enumerate(d_cols)
+        if any(r[i] is None for r in d_rows)
+    }
+    compare_dtypes(name, sdf.dtypes, d_pdf, null_cols)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"

@@ -69,3 +69,27 @@ def test_interval_join_no_duplicate_pairs(spark):
     )
     out = interval_join(events, "ts", windows, "w_start", "w_end", bin="day")
     assert out.count() == 1
+
+
+def test_interval_join_drops_degenerate_intervals(spark):
+    """NULL bounds or end < start match nothing (naive-range-join
+    semantics) instead of crashing F.sequence with illegal boundaries."""
+    events = spark.createDataFrame(
+        [(1, _ts("2024-01-01 03:00:00"))], "event_id long, ts timestamp"
+    )
+    windows = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00")),  # good
+            (20, _ts("2024-01-02 00:00:00"), _ts("2024-01-01 00:00:00")),  # inverted
+            (30, None, _ts("2024-01-02 00:00:00")),  # null start
+            (40, _ts("2024-01-01 00:00:00"), None),  # null end
+        ],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in interval_join(
+            events, "ts", windows, "w_start", "w_end", bin="day"
+        ).collect()
+    }
+    assert got == {(1, 10)}

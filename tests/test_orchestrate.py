@@ -113,3 +113,75 @@ def test_run_guarded_schedule_lock_and_stamp(tmp_path):
         pass
     assert json.load(open(tmp_path / "state" / "last_success.json")) == stamp
     assert run_guarded(lambda: "after-fail", state, now=t0 + dt.timedelta(days=1))["ran"] is True
+
+
+def test_run_lock_give_back_does_not_clobber_third_contender(tmp_path, monkeypatch):
+    """If a third contender acquires while the loser holds the stolen
+    fresh lock under its takeover name, the give-back must NOT replace
+    the third contender's lock (two-holder violation); link() fails
+    closed where rename() would clobber."""
+    import os as _os
+
+    path = str(tmp_path / "l.lock")
+    now = dt.datetime(2026, 1, 1, 6, 0, tzinfo=UTC)
+    assert RunLock(path, stale_after_s=600).acquire(now)  # goes stale below
+
+    loser = RunLock(path, stale_after_s=600)
+    real_rename, real_link = _os.rename, _os.link
+    staged = []
+
+    def winner_steals_first(src, dst):
+        # winner takes over the stale lock and re-acquires fresh, so the
+        # loser's claim-rename grabs the winner's FRESH lock
+        if not staged:
+            staged.append("rename")
+            real_rename(src, src + ".won")
+            _os.unlink(src + ".won")
+            assert RunLock(path, stale_after_s=600).acquire(
+                now + dt.timedelta(minutes=11)
+            )
+        return real_rename(src, dst)
+
+    def third_sneaks_in(src, dst):
+        # between the loser's rename-away and its give-back, a third
+        # contender sees no lock file and acquires
+        if "link" not in staged:
+            staged.append("link")
+            assert RunLock(path, stale_after_s=600).acquire(
+                now + dt.timedelta(minutes=12)
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(_os, "rename", winner_steals_first)
+    monkeypatch.setattr(_os, "link", third_sneaks_in)
+    got = loser.acquire(now + dt.timedelta(minutes=11))
+    monkeypatch.undo()
+    assert got is False
+    # the surviving lock is the THIRD contender's (minute 12), untouched
+    held = json.load(open(path))
+    assert held["acquired_at"] == (now + dt.timedelta(minutes=12)).isoformat()
+    # and no takeover temp file leaked
+    assert _os.listdir(tmp_path) == ["l.lock"]
+
+
+def test_run_lock_release_by_non_owner_is_noop(tmp_path):
+    """release() must not unlink a lock held by another process — a
+    holder whose lock was stolen-as-stale would otherwise break the new
+    holder's mutual exclusion on its way out."""
+    import os as _os
+
+    path = str(tmp_path / "l.lock")
+    now = dt.datetime(2026, 1, 1, 6, 0, tzinfo=UTC)
+    other = RunLock(path, stale_after_s=600)
+    assert other.acquire(now)
+    # rewrite the lock as if owned by a different pid
+    with open(path, "w") as fh:
+        json.dump({"pid": _os.getpid() + 99999, "acquired_at": now.isoformat()}, fh)
+    RunLock(path, stale_after_s=600).release()
+    assert _os.path.exists(path)  # foreign lock untouched
+    # an unreadable lock still releases (fail-open, matches acquire's
+    # unreadable-is-stale policy)
+    with open(path, "w") as fh:
+        fh.write("not json")
+    RunLock(path, stale_after_s=600).release()
+    assert not _os.path.exists(path)
