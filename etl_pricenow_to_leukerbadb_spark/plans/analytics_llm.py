@@ -221,6 +221,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_cluster_components",
+    headline=True,
     tags=("DD",),
     oracle=f"""
 WITH {_MINHASH_SH},
@@ -366,9 +367,12 @@ WHERE rank <= 5
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10) —
-    the correctness baseline for the LSH variant."""
+    the correctness baseline for the LSH variant. ``rank`` is widened
+    to BIGINT to match DuckDB's window-function output dtype."""
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 @register(
@@ -863,7 +867,7 @@ def tx_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "source", "doc_id", n_tokens.alias("n_tokens"),
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 50)
     )
@@ -1494,20 +1498,26 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_adc_topk", tags=("ANN",))
+@register("ann_pq_adc_topk", headline=True, tags=("ANN",))
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for query vectors (vec_id < 10) via
     PQ asymmetric distance computation over the ``emb_pq_codes``
     codes — the memory-resident search mode of an IVF-PQ index (the
     query scans 4 small ints per corpus vector, never a raw float
-    array). Inherently approximate (codes quantize the corpus), so no
-    SQL oracle: recall vs ``ann_topk_bruteforce`` is gated in pytest,
-    and the code assignment it runs on is oracle-verified exactly by
+    array). ``rerank_factor=20`` is the production setting: the ADC
+    shortlist is 20x the final k, then exact-reranked — measured
+    recall@5 = 0.84 on the test corpus (0.68 at 10x), gated >= 0.8 in
+    pytest since the whole pipeline is deterministic. Inherently
+    approximate (codes quantize the corpus), so no SQL oracle: recall
+    vs ``ann_topk_bruteforce`` is gated in pytest, and the code
+    assignment it runs on is oracle-verified exactly by
     ``emb_pq_codes``."""
     from ..operators.similarity import pq_adc_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=20
+    )
 
 
 @register(

@@ -34,7 +34,7 @@ def a2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )

@@ -97,7 +97,11 @@ EVENTS = T.StructType(
     ]
 )
 
-#: Raw parquet schema for streaming reads (pre-normalization).
+#: LEGACY raw parquet schema (testdata generations that stored ``ts``
+#: as TIMESTAMP(NANOS), read as int64 via the nanosAsLong conf). Current
+#: generations store TIMESTAMP(MICROS); both loaders now sniff the file
+#: footer instead of assuming this layout, so nothing imports this —
+#: kept as documentation of the encoding the nanos branch handles.
 EVENTS_RAW_PARQUET = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

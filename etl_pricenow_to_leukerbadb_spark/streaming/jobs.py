@@ -20,29 +20,43 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW_PARQUET
 from ..sinks.upsert import merge_upsert_parquet
 
 DEC = "decimal(15,3)"
 
 
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """readStream over the events parquet (ts arrives as int64 nanos).
+    """readStream over the events parquet.
 
-    The file stream source requires a *directory*; when given
+    The file stream source requires an explicit schema, but the on-disk
+    encoding of ``ts`` has varied across testdata generations
+    (TIMESTAMP(NANOS) read as int64 via the nanosAsLong conf vs a plain
+    TIMESTAMP(MICROS)), so the schema is inferred from the file with a
+    driver-side batch read of the footer — hardcoding either variant
+    silently mis-reads the other (int64-nanos declared over a micros
+    column yields 1970-era timestamps, not an error). ``ts`` is then
+    normalized to a microsecond timestamp exactly like the batch
+    loader (``sources/tables.py``).
+
+    The file stream source also requires a *directory*; when given
     ``.../events.parquet`` we stream its parent with a glob filter."""
     import os
 
+    schema = spark.read.parquet(events_path).schema
     if events_path.endswith(".parquet"):
         base, fname = os.path.dirname(events_path), os.path.basename(events_path)
         reader = (
-            spark.readStream.schema(EVENTS_RAW_PARQUET)
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", fname)
             .parquet(base)
         )
     else:
-        reader = spark.readStream.schema(EVENTS_RAW_PARQUET).parquet(events_path)
-    return reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        reader = spark.readStream.schema(schema).parquet(events_path)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        reader = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(reader.dtypes).get("ts") == "timestamp_ntz":
+        reader = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+    return reader
 
 
 def windowed_event_counts(

@@ -282,13 +282,28 @@ def test_stream_partitioned_upsert(spark, sf_small, tmp_path):
 
     days = {d for d in os.listdir(target) if d.startswith("day=")}
     assert len(days) == ev.select(F.col("ts").cast("date")).distinct().count()
-    # idempotent: re-running the same input changes nothing
+
+    # Idempotency into the SAME target — the reference's twice-daily
+    # re-run shape. Run 2 keeps the checkpoint: availableNow sees no new
+    # files and processes nothing. Run 3 wipes the checkpoint: the full
+    # input is reprocessed and the keyed merge must leave the table
+    # byte-identical (same rows, same partitions, no duplicates).
+    import shutil
+
+    baseline = {tuple(r) for r in got.collect()}
     stream_partitioned_upsert_job(
-        spark, f"{sf_small}/events.parquet", str(tmp_path / "events_by_day2"),
-        keys=["event_id"],
+        spark, f"{sf_small}/events.parquet", target, keys=["event_id"]
     )
-    again = spark.read.parquet(str(tmp_path / "events_by_day2"))
-    assert again.count() == got.count()
+    after_ckpt_rerun = spark.read.parquet(target)
+    assert {tuple(r) for r in after_ckpt_rerun.collect()} == baseline
+
+    shutil.rmtree(target + "_ckpt")
+    stream_partitioned_upsert_job(
+        spark, f"{sf_small}/events.parquet", target, keys=["event_id"]
+    )
+    after_reprocess = spark.read.parquet(target)
+    assert {tuple(r) for r in after_reprocess.collect()} == baseline
+    assert {d for d in os.listdir(target) if d.startswith("day=")} == days
 
 
 def test_asof_join_edges(spark):
@@ -415,7 +430,19 @@ def test_pq_codes_partition_each_subspace(spark, sf_small):
             assert r.code == r.vec_id and r.dist_fp == 0
 
 
-def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small):
+@pytest.mark.parametrize(
+    "rerank_factor,recall_floor",
+    [
+        # measured 0.68 at 10x on this corpus; 0.5 separates a working
+        # two-stage search from a broken one (random top-5 would be ~0.01)
+        (10, 0.5),
+        # the registered/production setting: measured 0.84, and the whole
+        # pipeline (fixed-point distances, deterministic codebooks) is
+        # deterministic at fixed SF, so 0.8 is a safe hard gate
+        (20, 0.8),
+    ],
+)
+def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small, rerank_factor, recall_floor):
     import numpy as np
 
     from etl_pricenow_to_leukerbadb_spark.operators.similarity import pq_adc_topk
@@ -432,7 +459,7 @@ def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small):
         for q in range(10)
     }
     rows = pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=10
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=rerank_factor
     ).collect()
     got: dict[int, set[int]] = {}
     for r in rows:
@@ -440,7 +467,7 @@ def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small):
     assert len(rows) == 50  # 10 queries x top-5, ranks dense
     assert {r.rank for r in rows} == {1, 2, 3, 4, 5}
     recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
-    # measured 0.68 at rerank_factor=10 on this corpus; the shortlist
-    # is approximate so leave headroom, but 0.5 separates a working
-    # two-stage search from a broken one (random top-5 would be ~0.01)
-    assert recall >= 0.5, f"ADC+rerank recall {recall:.2f} too low"
+    assert recall >= recall_floor, (
+        f"ADC+rerank recall {recall:.2f} below {recall_floor} at "
+        f"rerank_factor={rerank_factor}"
+    )
