@@ -468,6 +468,153 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    k: int = 5,
+    rerank_factor: int = 20,
+) -> DataFrame:
+    """Full IVF-PQ search: coarse probe + ADC over the probed lists
+    only + exact re-rank — the composition of ``ivf_list_assign`` (the
+    coarse quantizer, oracle-verified by ``ann_ivf_lists``) and
+    ``pq_assign_codes`` (the compressor, oracle-verified by
+    ``emb_pq_codes``) into the search structure a billion-vector
+    deployment actually runs (Jégou et al., IVFADC).
+
+    Dataflow, sized for 100 TB of vectors:
+
+    1. **Index build** (in production: precomputed and stored): one
+       co-partitioned join of the PQ code table with the IVF list
+       assignment on the vector id — both are map-side aggregations
+       over the same corpus scan, so AQE plans a local join; the
+       result is (cent_id, neighbor_id, subspace, code): 4 small ints
+       per subspace per vector, never a raw float array.
+    2. **Probe**: each query scores the broadcast centroid table and
+       keeps its ``n_probe`` closest lists — |Q| x n_centroids work.
+    3. **ADC scan**: the per-query (subspace, code) -> distance lookup
+       tables (|Q| x n_subspaces x n_codes rows) and the probe table
+       are both broadcast against the index, so the scan touches ONLY
+       rows whose cent_id is probed — a ``n_probe / n_centroids``
+       fraction of the corpus, with no shuffle of the big side before
+       the (query, neighbor) partial-agg sum.
+    4. **Exact re-rank**: raw vectors fetched for just
+       |Q| x k x rerank_factor shortlist candidates.
+
+    Distances are 1e-6 fixed-point BIGINTs at every stage (exact,
+    order-independent sums). Approximate by construction — a true
+    neighbor outside the probed lists is unreachable — so recall is
+    pytest-gated against the exact scorer rather than SQL-oracled,
+    while both underlying structures stay exactly verified."""
+    lists = ivf_list_assign(corpus, id_col, vec_col, n_centroids).select(
+        F.col(id_col).alias("neighbor_id"), "cent_id"
+    )
+    codes = pq_assign_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    index = codes.join(lists, "neighbor_id")
+
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
+        )
+        .crossJoin(cents)
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col("__cent"), F.col("__qn"), F.col("__centn")
+                ),
+                6,
+            ).alias("cos_c"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+
+    qsub = _pq_subvectors(
+        queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
+    )
+    cb = _pq_subvectors(
+        corpus.filter(F.col(id_col) < n_codes),
+        id_col,
+        vec_col,
+        "code",
+        "__code_sub",
+        n_subspaces,
+        sub_dim,
+    )
+    qd = F.broadcast(
+        qsub.join(cb, "subspace").select(
+            "query_id",
+            "subspace",
+            "code",
+            _sq_l2_fp(F.col("__qsub"), F.col("__code_sub")).alias("qdist_fp"),
+        )
+    )
+
+    scored = (
+        index.join(F.broadcast(probes), "cent_id")
+        .join(qd, ["query_id", "subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist_fp").alias("adc_dist_fp"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_fp").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("pr", F.row_number().over(w_short))
+        .filter(F.col("pr") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qraw = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    craw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    exact = (
+        shortlist.join(craw, "neighbor_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_l2_fp(F.col("__qvec"), F.col("__cvec")).alias("dist_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_fp").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_fp")
+    )
+
+
 def kmeans_assign_2iter(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -129,6 +129,204 @@ def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a12_cube",
+    tags=("A1",),
+    oracle=f"""
+SELECT event_type, dow,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(dow) AS INT) AS g_dow,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, CAST(isodow(ts) AS INT) AS dow, value FROM events) t
+GROUP BY CUBE(event_type, dow)
+""",
+)
+def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, ISO weekday): all four margin
+    combinations in one aggregation pass — completes the
+    rollup (a5) / grouping-sets (a11) / cube family. Spark expands the
+    cube and runs a single hash aggregate keyed on the expanded
+    grouping id — one shuffle, same cost model as a plain group-by at
+    any scale. Weekday is ISO (Mon=1..Sun=7: Spark ``weekday()+1`` ==
+    DuckDB ``isodow``) because the engines' default ``dayofweek``
+    origins differ."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        "value",
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("dow").cast("int").alias("g_dow"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "a13_unpivot",
+    tags=("A1", "T2"),
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax',
+         CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_orderkey < 1000
+) t
+""",
+)
+def a13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of the lineitem measure columns —
+    the inverse of a4's pivot and the standard reshape feeding
+    per-measure ML feature pipelines. ``DataFrame.unpivot`` compiles
+    to a single Expand node over one scan (each input row emitted once
+    per measure) — no join, no shuffle; the oracle is the portable
+    UNION ALL spelling. Values are cast to double (the common
+    supertype) as unpivot requires; the orderkey filter keeps the
+    long output bounded for the driver compare while exercising
+    pushdown through Expand."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.col("l_discount").cast("double").alias("l_discount"),
+            F.col("l_tax").cast("double").alias("l_tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+    )
+
+
+@register(
+    "w7_value_functions",
+    tags=("A2",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS top_price,
+       last_value(o_totalprice) OVER w AS bottom_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def w7_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window value-function family (first/last/nth_value,
+    lag/lead) per customer over order value, completing w6's rank
+    family. The frame is an explicit full-partition ROWS frame —
+    without it last_value/nth_value read the engine-default
+    RANGE-to-current-row frame and the two engines would legitimately
+    disagree. One key-partitioned window, single exchange. lag/lead
+    use the same ordering but ignore the frame by definition (both
+    engines agree on that)."""
+    order = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    # Spark refuses an explicit frame on lag/lead (they are
+    # frame-independent), so the framed window is only for the value
+    # functions; both compile into ONE window exec over one exchange.
+    framed = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(framed).alias("top_price"),
+        F.last("o_totalprice").over(framed).alias("bottom_price"),
+        F.nth_value("o_totalprice", 2).over(framed).alias("second_price"),
+        F.lag("o_totalprice", 1).over(order).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(order).alias("next_price"),
+    )
+
+
+@register(
+    "dq_anomaly_zscore",
+    tags=("DQ", "A1"),
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_fp
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(v_fp) AS s1,
+         SUM(CAST(v_fp AS DECIMAL(38,0)) * v_fp) AS s2
+  FROM v GROUP BY event_type
+),
+z AS (
+  SELECT v.event_id, v.event_type, v.v_fp,
+         ROUND(
+           (CAST(v.v_fp AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+           / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                  - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)),
+           6) AS zscore
+  FROM v JOIN s USING (event_type)
+)
+SELECT event_id, event_type,
+       CAST(v_fp AS DOUBLE) / 1000000 AS value, zscore
+FROM z WHERE abs(zscore) > 2.5
+""",
+)
+def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection — the data-quality screen a
+    training pipeline runs over numeric telemetry before ingestion.
+    Engine-exact by construction: values are 1e-6 fixed-point BIGINTs,
+    per-group sum and sum-of-squares accumulate in exact integer
+    arithmetic (DECIMAL(38,0) for the squares — v_fp^2 alone is ~1e18,
+    a BIGINT sum would overflow), and only the final mean/sigma/z step
+    runs in double on identical inputs, so both engines execute the
+    same float ops in the same order. Two shuffles (group-by on type,
+    broadcast-sized stats joined back); the population-variance z uses
+    a broadcast join so the fact table is never reshuffled."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_fp").alias("s1"),
+        F.sum(F.col("v_fp").cast("decimal(38,0)") * F.col("v_fp")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.round(
+        (F.col("v_fp").cast("double") - mean) / F.sqrt(var), 6
+    ).alias("zscore")
+    return (
+        v.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v_fp").cast("double") / 1_000_000).alias("value"),
+            z,
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
+
+
+@register(
     "w6_rank_functions",
     tags=("A2",),
     oracle="""
