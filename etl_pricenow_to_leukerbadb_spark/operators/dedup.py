@@ -273,7 +273,7 @@ def connected_components_twophase(
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         return nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
-    def star_round(e: DataFrame, large: bool) -> DataFrame:
+    def star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = neighbor_min(e).withColumnRenamed("u", "mu")
         joined = nbrs.join(m, nbrs.u == F.col("mu")).select("u", "v", "m")
@@ -285,22 +285,35 @@ def connected_components_twophase(
             out = joined.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("a"), F.col("m").alias("b")
             ).unionByName(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        return (
-            out.filter(F.col("a") != F.col("b"))
-            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-            .distinct()
+        out = out.filter(F.col("a") != F.col("b")).select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
+        # Duplicate edges cannot change any min-based contraction
+        # (neighbor_min's MIN and the star join are duplicate-
+        # insensitive), so the intra-round dedup between the large- and
+        # small-star halves is skippable — one less shuffle per round;
+        # the round's final output stays distinct'd (that one bounds
+        # growth across rounds and makes the count fixpoint test exact).
+        return out.distinct() if dedup else out
 
+    prev_count = edges.count()  # cheap: edges just checkpointed
     for _ in range(max_rounds):
-        after = star_round(star_round(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
-        # fixpoint test on canonicalized edge sets: O(edges) but edges
-        # shrink geometrically, and the check is two count-style jobs
-        if after.exceptAll(edges).isEmpty() and edges.exceptAll(after).isEmpty():
+        after = star_round(
+            star_round(edges, large=True, dedup=False), large=False
+        ).localCheckpoint(eager=True)
+        # Fixpoint test, cheapest-first: a count mismatch (one light job
+        # over checkpointed data) proves non-convergence without any
+        # join; only on a count match run ONE one-sided exceptAll —
+        # after ⊆ edges as multisets plus |after| = |edges| implies set
+        # equality, so the second exceptAll the naive check runs every
+        # round is never needed. Saves a shuffle join per round, which
+        # dominates when the edge set is small and per-job overhead is
+        # the cost driver.
+        cnt = after.count()
+        if cnt == prev_count and after.exceptAll(edges).isEmpty():
             edges = after
             break
-        edges = after
+        edges, prev_count = after, cnt
     else:
         raise RuntimeError(
             f"connected_components_twophase: no fixpoint after {max_rounds} rounds"

@@ -650,6 +650,30 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_stream_join",
+    tags=("ST", "J2"),
+    oracle="""
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id,
+       CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+""",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream funnel join (click -> purchase by the same user
+    within 1 hour): watermarks on both sides + a two-ended event-time
+    bound let Spark evict provably-unmatchable join state, so state is
+    proportional to the horizon, not stream history. On the finite
+    availableNow input the result equals the batch self-join the
+    oracle runs."""
+    from ..streaming.jobs import stream_stream_funnel_join
+
+    return stream_stream_funnel_join(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "st_dedup_keys",
     tags=("ST", "DD"),
     oracle="SELECT DISTINCT user_id, event_type FROM events",

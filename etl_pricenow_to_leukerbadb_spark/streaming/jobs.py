@@ -132,6 +132,72 @@ def stream_distinct_keys(
     return spark.table(name)
 
 
+def stream_stream_funnel_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    streaming funnel: for every ``left_type`` event, every
+    ``right_type`` event by the same user within ``horizon_s`` seconds
+    after it. Both sides carry watermarks and the join condition
+    bounds event time on both ends, which is exactly what lets Spark
+    evict join state: per key, buffered rows older than
+    (watermark + horizon) are provably unmatchable and dropped — state
+    stays proportional to the event rate within the horizon, not to
+    stream history. That bounded-state contract is the 100 TB/day
+    requirement; an unconstrained stream-stream join would buffer
+    forever. On finite availableNow input the result equals the batch
+    self-join, which is what the SQL oracle checks."""
+    left = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+    ).select(
+        "left_id",
+        "right_id",
+        "user_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("long").alias("lag_s"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_static_enriched_counts(
     spark: SparkSession,
     events_path: str,
