@@ -233,6 +233,8 @@ def ivf_list_assign(
     vector id; no data-sized shuffle.
 
     Returns (vec_id, cent_id, cos_sim) of the final assignment."""
+    if n_centroids > 1024:
+        raise ValueError("ivf_list_assign: n_centroids must be <= 1024 (packing)")
     corpus_n = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
     )
@@ -243,27 +245,37 @@ def ivf_list_assign(
             F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
         )
     )
-    order = F.struct(
-        F.round(
-            cosine_prenormed(
-                F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
-            ),
-            6,
-        ).alias("c"),
-        (-F.col("cent_id")).alias("t"),
+    # argmax via a packed BIGINT instead of max_by(struct, struct) —
+    # primitive agg buffer => HashAggregate instead of a SortAggregate
+    # that sorts the |corpus| x n_centroids expansion on both shuffle
+    # sides. The rounded cosine is k/1e6 for integer k in [-1e6, 1e6]
+    # (recovered exactly by round(cos_r * 1e6)); packing
+    # (k + 1e6) * 1024 + (1023 - cent_id) makes lexicographic
+    # (cosine DESC-max, cent_id ASC on ties) equal to plain MAX, and
+    # unpacking k / 1e6 yields bit-identical doubles to round(cos, 6)
+    # (both are the closest double to the same 6-dp decimal).
+    cos_r = F.round(
+        cosine_prenormed(
+            F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
+        ),
+        6,
+    )
+    cos_fp = F.round(cos_r * 1_000_000).cast("long")
+    enc = (cos_fp + F.lit(1_000_000)) * F.lit(1024) + (
+        F.lit(1023) - F.col("cent_id")
     )
     return (
         corpus_n.crossJoin(cents)
+        .select(F.col(id_col), enc.alias("__enc"))
         .groupBy(F.col(id_col))
-        .agg(
-            F.max_by(
-                F.struct(F.col("cent_id"), order.getField("c").alias("cs")), order
-            ).alias("m")
-        )
+        .agg(F.max("__enc").alias("__menc"))
         .select(
             F.col(id_col),
-            F.col("m.cent_id").alias("cent_id"),
-            F.col("m.cs").alias("cos_sim"),
+            (F.lit(1023) - F.col("__menc") % 1024).cast("long").alias("cent_id"),
+            (
+                (F.expr("__menc div 1024") - F.lit(1_000_000)).cast("double")
+                / 1_000_000
+            ).alias("cos_sim"),
         )
     )
 
@@ -333,6 +345,8 @@ def pq_assign_codes(
     fanned-out corpus scan, one map-side ``min_by`` aggregation —
     no data-sized shuffle. Returns (vec_id, subspace, code, dist_fp)
     with dist_fp = round(squared_L2 * 1e6) of the chosen code."""
+    if n_codes > 256:
+        raise ValueError("pq_assign_codes: n_codes must be <= 256 (code packing)")
     sub = _pq_subvectors(
         fan_out(corpus), id_col, vec_col, id_col, "__sub", n_subspaces, sub_dim
     )
@@ -347,21 +361,32 @@ def pq_assign_codes(
             sub_dim,
         )
     )
-    dist_fp = _sq_l2_fp(F.col("__sub"), F.col("__code_sub")).alias("dist_fp")
+    dist_fp = _sq_l2_fp(F.col("__sub"), F.col("__code_sub"))
+    # argmin via a packed BIGINT instead of min_by(struct, struct):
+    # encoded = dist_fp * 256 + code preserves the (dist_fp ASC, code
+    # ASC) order exactly (dist_fp >= 0, code < 256 enforced above), and
+    # a primitive agg buffer lets Spark plan a HashAggregate — the
+    # struct-buffer min_by falls back to SortAggregate, which sorts the
+    # whole |corpus| x subspaces x codes expansion on both sides of the
+    # shuffle. Overflow would need dist_fp > 2^63/256 (= squared L2 >
+    # 3.6e10 after the 1e-6 fixed-point scale), far beyond any real
+    # embedding magnitude.
     return (
         sub.join(cb, "subspace")
-        .select(F.col(id_col), "subspace", "code", dist_fp)
-        .groupBy(F.col(id_col), F.col("subspace"))
-        .agg(
-            F.min_by(
-                F.struct("code", "dist_fp"), F.struct("dist_fp", "code")
-            ).alias("m")
-        )
         .select(
             F.col(id_col),
             "subspace",
-            F.col("m.code").alias("code"),
-            F.col("m.dist_fp").alias("dist_fp"),
+            (dist_fp * F.lit(256) + F.col("code")).alias("__enc"),
+        )
+        .groupBy(F.col(id_col), F.col("subspace"))
+        .agg(F.min("__enc").alias("__menc"))
+        .select(
+            F.col(id_col),
+            "subspace",
+            (F.col("__menc") % 256).cast("long").alias("code"),
+            # integer div, not `/` (double division loses exactness on
+            # large packed values)
+            F.expr("__menc div 256").alias("dist_fp"),
         )
     )
 
