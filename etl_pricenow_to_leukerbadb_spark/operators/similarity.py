@@ -139,32 +139,26 @@ def ivf_topk(
             F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
         )
     )
-    # one linear pass: nearest centroid per corpus vector (argmax cosine,
-    # ties broken toward the lower centroid id); norms precomputed per row
+    # one linear pass: nearest centroid per corpus vector via
+    # ivf_list_assign (packed-BIGINT argmax => HashAggregate), then the
+    # raw vector + norm joined back by id — one id-keyed shuffle of the
+    # corpus instead of a SortAggregate that sorts the
+    # |corpus| x n_centroids expansion WITH the float-array payload
+    # inside every row on both sides of its shuffle.
     corpus_n = fan_out(corpus).withColumn("__vn", F.sqrt(norm_sq(F.col(vec_col))))
-    order = F.struct(
-        F.round(
-            cosine_prenormed(F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")),
-            6,
-        ).alias("c"),
-        (-F.col("cent_id")).alias("t"),
-    )
     assign = (
-        corpus_n.crossJoin(cents)
-        .groupBy(F.col(id_col).alias("neighbor_id"))
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("cent_id"), F.col(vec_col).alias("v"), F.col("__vn").alias("vn")
-                ),
-                order,
-            ).alias("m")
+        ivf_list_assign(corpus, id_col, vec_col, n_centroids)
+        .select(F.col(id_col), "cent_id")
+        .join(
+            corpus_n.select(
+                F.col(id_col),
+                F.col(vec_col).alias("__cvec"),
+                F.col("__vn").alias("__cn"),
+            ),
+            id_col,
         )
         .select(
-            "neighbor_id",
-            F.col("m.cent_id").alias("cent_id"),
-            F.col("m.v").alias("__cvec"),
-            F.col("m.vn").alias("__cn"),
+            F.col(id_col).alias("neighbor_id"), "cent_id", "__cvec", "__cn"
         )
     )
     probe_w = Window.partitionBy("query_id").orderBy(

@@ -1224,6 +1224,65 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_bucketed_join",
+    tags=("J1", "A1", "K1"),
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed tables: both sides are
+    written ``bucketBy(8, orderkey)`` + sorted, then joined
+    bucket-to-bucket — Spark plans a sort-merge join with NO exchange
+    on either side (the no-shuffle property is plan-asserted in
+    ``test_skew_bucketing.py``; this registry entry makes the end
+    result driver-verifiable too). This is the 100 TB pattern for
+    repeated co-located joins: pay one bucketed write, then every
+    join/agg on the bucket key skips its shuffle. Table names are
+    per-sf and overwritten on re-run; the warehouse dir is the
+    session-local default."""
+    import os
+
+    from ..operators.skew import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, ot = f"j7_li_{tag}", f"j7_od_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+        ),
+        ot,
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    rev = F.col("l_extendedprice").cast(DECQ) * (
+        F.lit(1) - F.col("l_discount").cast(DECQ)
+    )
+    return (
+        bucketed_join(spark, lt, ot, on=["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     tags=("J1", "A1", "R1"),
     oracle="""

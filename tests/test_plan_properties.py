@@ -95,3 +95,41 @@ def test_asof_two_table_is_window_not_range_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan  # never a range join
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_unpivot_is_single_expand_no_exchange(spark, sf_small):
+    plan = plan_of(spark, sf_small, "a13_unpivot")
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan  # melt never shuffles
+    assert "Join" not in plan  # and never joins
+
+
+def simple_plan_of(spark, sf_small, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_small)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_cube_is_one_expand_one_exchange(spark, sf_small):
+    plan = simple_plan_of(spark, sf_small, "a12_cube")
+    assert "Expand" in plan
+    # the expanded grouping-id aggregate shuffles exactly once
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pq_and_ivf_assignments_hash_aggregate(spark, sf_small):
+    # the packed-BIGINT argmin/argmax must keep these HashAggregate;
+    # a struct-buffer min_by/max_by regresses to SortAggregate, which
+    # sorts the full corpus x codebook expansion on both shuffle sides
+    for name in ("emb_pq_codes", "ann_ivf_lists"):
+        plan = plan_of(spark, sf_small, name)
+        assert "SortAggregate" not in plan, name
+
+
+def test_dq_anomaly_stats_join_is_broadcast(spark, sf_small):
+    plan = simple_plan_of(spark, sf_small, "dq_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    # the fact table is never hash-repartitioned for the join; the only
+    # exchange is the per-type stats aggregation feeding the broadcast
+    assert plan.count("Exchange hashpartitioning") == 1, plan
