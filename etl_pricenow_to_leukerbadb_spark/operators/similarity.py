@@ -667,24 +667,40 @@ def kmeans_assign_2iter(
         F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
     )
 
+    if n_centroids > 1024:
+        raise ValueError("kmeans_assign_2iter: n_centroids must be <= 1024 (packing)")
+
     def assign(cents: DataFrame) -> DataFrame:
-        """cents: (cent_id, __cent, __centn) — broadcast-sized."""
-        order = F.struct(
-            F.round(
-                cosine_prenormed(
-                    F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
-                ),
-                6,
-            ).alias("c"),
-            (-F.col("cent_id")).alias("t"),
+        """cents: (cent_id, __cent, __centn) — broadcast-sized.
+
+        Argmax via the same packed-BIGINT trick as ``ivf_list_assign``
+        (HashAggregate instead of a struct-buffer SortAggregate):
+        (round(cos,6)*1e6 + 1e6) * 1024 + (1023 - cent_id) makes plain
+        MAX equal to (cosine DESC, cent_id ASC), and the unpacked
+        k/1e6 is bit-identical to round(cos, 6)."""
+        cos_r = F.round(
+            cosine_prenormed(
+                F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__centn")
+            ),
+            6,
+        )
+        cos_fp = F.round(cos_r * 1_000_000).cast("long")
+        enc = (cos_fp + F.lit(1_000_000)) * F.lit(1024) + (
+            F.lit(1023) - F.col("cent_id")
         )
         return (
             corpus_n.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), enc.alias("__enc"))
             .groupBy(F.col(id_col))
-            .agg(
-                F.max_by(F.struct(F.col("cent_id"), order.getField("c").alias("cs")), order).alias("m")
+            .agg(F.max("__enc").alias("__menc"))
+            .select(
+                F.col(id_col),
+                (F.lit(1023) - F.col("__menc") % 1024).cast("long").alias("cent_id"),
+                (
+                    (F.expr("__menc div 1024") - F.lit(1_000_000)).cast("double")
+                    / 1_000_000
+                ).alias("cos_sim"),
             )
-            .select(F.col(id_col), F.col("m.cent_id").alias("cent_id"), F.col("m.cs").alias("cos_sim"))
         )
 
     def recompute(assigned: DataFrame) -> DataFrame:

@@ -20,6 +20,8 @@ explicitly at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -78,7 +80,24 @@ def write_bucketed(
 
     Joins and aggregations on ``bucket_cols`` between tables bucketed
     with the same count read bucket-to-bucket with no exchange.
+
+    Re-run safe across *sessions*: a managed table written by a
+    previous session leaves its warehouse directory on disk while the
+    new session's in-memory catalog has no entry for it, and
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS (overwrite
+    mode only covers tables the catalog knows). Drop the catalog entry
+    if present, then clear an orphaned location.
     """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        shutil.rmtree(
+            os.path.join(warehouse, table.lower()), ignore_errors=True
+        )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -511,3 +511,81 @@ def test_ivfpq_topk_recall_and_shape(spark, sf_small):
     # deterministic (fixed-point distances, fixed centroids/codebook)
     # so 0.85 is a safe hard gate on this corpus
     assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} too low"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics, the behavior no batch oracle
+    can express: a row arriving after its window was finalized by the
+    watermark must be silently dropped, not re-open the window."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+
+    def write_events(fname, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        path = str(indir / fname)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def run_stream():
+        agg = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .parquet(str(indir))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return {
+            r["w"]["start"].hour: r["n"]
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    # run 1: on-time rows at 10:00 and 12:00 -> final watermark 11:00
+    # finalizes every window ending <= 11:00, emitting [10,11) with n=2
+    write_events("a.parquet", [(1, base + 10 * h), (2, base + 10 * h), (3, base + 12 * h)], 1_000_000)
+    got1 = run_stream()
+    assert got1 == {10: 2}, got1
+
+    # run 2 (same checkpoint -> watermark 11:00 persists across the
+    # restart): a very late row for the already-finalized 10:00 window
+    # plus a fresh 13:00 row. The late row must be dropped — the 10:00
+    # window is never re-emitted or re-counted — and no window newer
+    # than the advanced watermark closes, so run 2 appends nothing to
+    # the sink (cumulative contents unchanged).
+    write_events("b.parquet", [(4, base + 10 * h), (5, base + 13 * h)], 1_000_100)
+    got2 = run_stream()
+    assert got2 == {10: 2}, got2
