@@ -26,8 +26,18 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
-    # warm up the session (JVM, codegen, parquet footer cache)
+    # warm up the session (JVM, codegen, parquet footer cache) — incl.
+    # one scan per testdata table, so the first timed query doesn't
+    # absorb scan-codegen + footer-read costs into its spread (observed
+    # ~2s first-scan overhead attributed to whichever query sorts first)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
