@@ -650,6 +650,36 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_incremental_agg",
+    tags=("ST", "A1", "K1"),
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,3))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def st_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (materialized-view
+    maintenance): per micro-batch, the batch's partial aggregate is
+    ADDED into a stored (day, event_type) summary table — per-batch
+    cost is O(batch + view), never O(history). Decimal accumulation
+    makes the stored totals batching-independent, so the final table
+    equals the plain batch GROUP BY the oracle runs."""
+    from ..session import session_scratch_dir
+    from ..streaming.jobs import stream_incremental_agg_job
+
+    target = session_scratch_dir(spark, "st_incr_agg") + "/view"
+    stream_incremental_agg_job(spark, f"{sf_dir}/events.parquet", target)
+    return spark.read.parquet(target).select(
+        "day",
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "st_stream_stream_join",
     tags=("ST", "J2"),
     oracle="""

@@ -312,3 +312,71 @@ def stream_partitioned_upsert_job(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def stream_incremental_agg_job(
+    spark: SparkSession,
+    events_path: str,
+    target_path: str,
+) -> None:
+    """Incremental materialized-view maintenance: a running
+    (day, event_type) -> (n, sum) aggregate table kept current by
+    *adding* each micro-batch's partial aggregate into the stored
+    totals — the streaming-native form of a warehouse summary table.
+
+    Per batch: aggregate the batch (map-side combinable), read the
+    current view, union + re-aggregate, atomically replace. The
+    rewrite touches only the VIEW, whose cardinality is the group
+    count (days x types — dimension-sized by construction), never the
+    fact volume; at 100 TB/day the per-batch cost is
+    O(batch + view), not O(history). Sums accumulate in decimal so
+    the stored totals are order- and batching-independent — replaying
+    the same input through any batch split yields identical totals,
+    which is what lets a plain batch GROUP BY oracle-check the final
+    table. Exactly-once comes from the checkpoint: a re-run with the
+    same checkpoint processes nothing new (verified in tests across
+    two sequential availableNow runs)."""
+    import os
+    import shutil
+    import uuid
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        sess = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+        if os.path.exists(target_path):
+            existing = sess.read.parquet(target_path).select(
+                "day", "event_type", "n", F.col("sum_dec").cast(DEC).alias("sum_dec")
+            )
+            part = (
+                part.unionByName(existing)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_dec").cast(DEC).alias("sum_dec"),
+                )
+            )
+        tmp = target_path + f"_stage_{uuid.uuid4().hex[:8]}"
+        part.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    q = (
+        _event_stream(spark, events_path)
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_path + "_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

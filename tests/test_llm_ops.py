@@ -589,3 +589,77 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     write_events("b.parquet", [(4, base + 10 * h), (5, base + 13 * h)], 1_000_100)
     got2 = run_stream()
     assert got2 == {10: 2}, got2
+
+
+def test_packing_preconditions_raise(spark, sf_small):
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
+        kmeans_assign_2iter,
+        pq_assign_codes,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_assign_codes(emb, n_codes=257)
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_list_assign(emb, n_centroids=1025)
+    with pytest.raises(ValueError, match="n_centroids"):
+        kmeans_assign_2iter(emb, n_centroids=1025)
+
+
+def test_incremental_agg_additive_across_runs(spark, sf_small, tmp_path):
+    """The maintained view must be ADDITIVE across micro-batches and
+    exactly-once under re-runs: feeding the input in two sequential
+    availableNow runs (file 2 arrives between runs, checkpoint shared)
+    must converge to the same totals as one batch GROUP BY, and an
+    extra run with no new input must change nothing."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_incremental_agg_job,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    indir = tmp_path / "ev_in"
+    indir.mkdir()
+    # split the input into two files delivered across two runs
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.mode("overwrite").parquet(str(indir / "gen"))
+    part_a = next((indir / "gen").glob("part-*.parquet"))
+    shutil.move(str(part_a), str(indir / "a.parquet"))
+    shutil.rmtree(indir / "gen")
+
+    target = str(tmp_path / "view")
+    stream_incremental_agg_job(spark, str(indir), target)
+
+    b.coalesce(1).write.mode("overwrite").parquet(str(indir / "gen"))
+    part_b = next((indir / "gen").glob("part-*.parquet"))
+    shutil.move(str(part_b), str(indir / "b.parquet"))
+    shutil.rmtree(indir / "gen")
+
+    stream_incremental_agg_job(spark, str(indir), target)
+    got = {
+        (r.day, r.event_type): (r.n, float(r.sum_dec))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n, float(r.s))
+        for r in ev.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,3)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    # exactly-once: a third run with no new files is a no-op
+    stream_incremental_agg_job(spark, str(indir), target)
+    again = {
+        (r.day, r.event_type): (r.n, float(r.sum_dec))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
