@@ -69,6 +69,42 @@ def salted_sum_count(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join: the fact side gets a deterministic
+    per-row salt, the dim side is replicated ``n_salts`` times, and the
+    join runs on ``on + [salt]`` — a hot fact key's rows spread over
+    ``n_salts`` reducers instead of landing in one straggler task.
+
+    Result-identical to ``fact.join(dim, on, how)`` for inner/left
+    joins (every fact row still meets every matching dim row exactly
+    once — its one salt replica). Use when the dim side is too big to
+    broadcast AND AQE's runtime skew-split cannot kick in (e.g. the
+    skewed join feeds a co-partitioned downstream op that must not be
+    re-split). Cost: dim side inflated ``n_salts``x — keep n_salts
+    near the straggler factor, not higher. The salt hashes ALL fact
+    columns, so bit-identical duplicate rows share a salt (same caveat
+    as ``salted_sum_count``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    salt = (F.abs(F.hash(*[F.col(c) for c in fact.columns])) % n_salts).alias(
+        "__salt"
+    )
+    fact_s = fact.select("*", salt)
+    dim_s = dim.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
+        ).alias("__salt"),
+    )
+    return fact_s.join(dim_s, [*on, "__salt"], how).drop("__salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1283,6 +1283,76 @@ def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j8_salted_join",
+    tags=("J1", "A1"),
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS {DECQ}) * (1 - CAST(l_discount AS {DECQ}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim equi-join (hot fact keys spread over 8 salted
+    reducers, dim replicated 8x) proven result-identical to the plain
+    join by the plain-SQL oracle — the manual skew tool for when the
+    dim is too big to broadcast and AQE's runtime skew split cannot
+    apply. Completes the skew toolbox next to salted aggregation
+    (a10) and bucketed joins (j7)."""
+    from ..operators.skew import salted_join
+
+    rev = F.col("l_extendedprice").cast(DECQ) * (
+        F.lit(1) - F.col("l_discount").cast(DECQ)
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, part, on=["l_partkey"], n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "k8_compaction",
+    tags=("K1", "T12"),
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def k8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction through the real sink path: the events
+    table is written fragmented (64 files — the shape a streaming
+    sink leaves behind), compacted down to 4 with the atomic
+    backup-aside swap, and read back — the oracle proves compaction
+    is content-preserving row for row. ``coalesce``, not
+    ``repartition``: narrowing to fewer files needs no shuffle, so at
+    100 TB the per-partition compaction cost is a local rewrite of
+    just the fragmented directory."""
+    from ..session import session_scratch_dir
+    from ..sinks.layout import compact_parquet, parquet_file_count
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    path = session_scratch_dir(spark, "k8_compact") + "/events_frag"
+    _t(spark, sf_dir, "events").select(*cols).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n_before = parquet_file_count(path)
+    n_after = compact_parquet(spark, path, target_files=4)
+    if not (n_after < n_before and n_after <= 4):
+        raise RuntimeError(
+            f"compaction did not shrink file count: {n_before} -> {n_after}"
+        )
+    return spark.read.parquet(path).select(*cols)
+
+
+@register(
     "q2_min_cost_supplier",
     tags=("J1", "A1", "R1"),
     oracle="""

@@ -71,3 +71,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small):
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.skew import salted_join
+
+    # 90% of fact rows hit one key; key 999 has no dim match
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 999, float(i)) for i in range(5_000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, label string")
+
+    plain_inner = sorted(tuple(r) for r in fact.join(dim, ["k"]).collect())
+    salted_inner = sorted(tuple(r) for r in salted_join(fact, dim, ["k"]).collect())
+    assert salted_inner == plain_inner
+
+    # left join: unmatched fact rows survive exactly once with null dim
+    plain_left = sorted(
+        tuple(r) for r in fact.join(dim, ["k"], "left").collect()
+    )
+    salted_left = sorted(
+        tuple(r) for r in salted_join(fact, dim, ["k"], how="left").collect()
+    )
+    assert salted_left == plain_left
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported how"):
+        salted_join(fact, dim, ["k"], how="full")
