@@ -1283,6 +1283,59 @@ def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_interval_overlap",
+    tags=("J2", "A1"),
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 3 HOUR AS a_end
+  FROM events WHERE event_id % 97 = 0
+), b AS (
+  SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 6 HOUR AS b_end
+  FROM events WHERE event_id % 131 = 0
+)
+SELECT b_id, COUNT(*) AS n_overlaps,
+       CAST(floor(epoch(MIN(a_start))) AS BIGINT) AS first_a_s
+FROM a JOIN b ON a_start < b_end AND b_start < a_end
+GROUP BY b_id
+""",
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join: 3-hour activity windows vs
+    6-hour analysis windows, counted per analysis window. The oracle
+    states the raw overlap predicate; the Spark plan runs
+    ``interval_overlap_join`` — both sides hour-binned, equi-join on
+    the bin, each pair claimed once by the later-start's bin — because
+    a bare two-sided range predicate has no equi-key and plans as a
+    nested-loop join. Analysis-window side broadcast
+    (dimension-sized by the sampling)."""
+    from ..operators.interval_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("a_end"),
+    )
+    b = F.broadcast(
+        ev.filter(F.col("event_id") % 131 == 0).select(
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("b_end"),
+        )
+    )
+    return (
+        interval_overlap_join(
+            a, "a_start", "a_end", b, "b_start", "b_end", bin="hour"
+        )
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.unix_timestamp(F.min("a_start")).alias("first_a_s"),
+        )
+    )
+
+
+@register(
     "j8_salted_join",
     tags=("J1", "A1"),
     oracle=f"""

@@ -93,3 +93,53 @@ def test_interval_join_drops_degenerate_intervals(spark):
         ).collect()
     }
     assert got == {(1, 10)}
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    stays = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-03 10:00:00")),  # 2 days
+            (2, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 06:00:00")),  # inside day 2
+            (3, _ts("2024-01-05 00:00:00"), _ts("2024-01-06 00:00:00")),  # isolated
+            (4, _ts("2024-01-03 10:00:00"), _ts("2024-01-03 12:00:00")),  # abuts 1 (no overlap: half-open)
+            (5, _ts("2024-01-02 03:00:00"), _ts("2024-01-02 03:00:00")),  # empty [t,t)
+        ],
+        "stay_id long, s_start timestamp, s_end timestamp",
+    )
+    maint = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02 05:00:00"), _ts("2024-01-02 07:00:00")),  # overlaps 1 and 2
+            (20, _ts("2024-01-01 00:00:00"), _ts("2024-01-10 00:00:00")),  # covers all non-empty
+            (30, _ts("2024-01-03 09:00:00"), _ts("2024-01-03 10:00:00")),  # ends exactly at 4's start
+            (40, None, _ts("2024-01-02 00:00:00")),  # null start: dropped
+        ],
+        "m_id long, m_start timestamp, m_end timestamp",
+    )
+    for bin_unit in ("hour", "day"):
+        got_rows = interval_overlap_join(
+            stays, "s_start", "s_end", maint, "m_start", "m_end", bin=bin_unit
+        ).collect()
+        got = [(r.stay_id, r.m_id) for r in got_rows]
+        naive = {
+            (r.stay_id, r.m_id)
+            for r in stays.crossJoin(maint)
+            .filter(
+                (F.col("s_start") < F.col("m_end"))
+                & (F.col("m_start") < F.col("s_end"))
+                & (F.col("s_end") > F.col("s_start"))
+                & (F.col("m_end") > F.col("m_start"))
+            )
+            .collect()
+        }
+        assert len(got) == len(set(got)), f"duplicate pairs at bin={bin_unit}"
+        assert set(got) == naive, f"bin={bin_unit}"
+        # pin the standing semantics
+        assert (1, 10) in naive and (2, 10) in naive  # genuine overlaps
+        assert (1, 20) in naive and (4, 20) in naive
+        assert (4, 30) not in naive  # abutting half-open windows: no overlap
+        assert all(s != 5 for s, _ in naive)  # empty interval matches nothing
+        assert all(m != 40 for _, m in naive)  # null bound dropped
