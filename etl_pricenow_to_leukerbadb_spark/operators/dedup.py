@@ -164,6 +164,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    min_containment: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    ``n_common / min(|A|, |B|)`` — catches quote/excerpt/superset
+    relationships that Jaccard structurally misses (a short doc fully
+    contained in a long one has Jaccard ~ |short|/|long| -> 0 but
+    containment 1.0; Broder's resemblance-vs-containment distinction).
+    Same inverted-index join as ``ngram_jaccard_pairs`` — shuffle
+    proportional to shared-shingle pairs, never all-pairs — with the
+    same optional hot-shingle cap."""
+    sh = doc_shingles(df, id_col, text_col, k_shingle)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",

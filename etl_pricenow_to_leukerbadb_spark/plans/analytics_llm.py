@@ -24,6 +24,7 @@ from ..operators.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
@@ -295,6 +296,49 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard near-dup pairs via shingle inverted index."""
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=5, min_jaccard=0.2
+    )
+
+
+@register(
+    "dd_ngram_containment",
+    tags=("DD",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+                                 i -> array_to_string(tk[i:i+4], ' '))) AS sh
+    FROM toks) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+""",
+)
+def dd_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by 5-gram CONTAINMENT
+    (n_common / min set size): the detector for quotes, excerpts, and
+    doc-inside-doc relationships Jaccard misses (contained short doc:
+    Jaccard -> 0, containment -> 1; Broder's resemblance vs
+    containment). Same inverted-index join as ``dd_ngram_jaccard`` —
+    never all-pairs."""
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k_shingle=5,
+        min_containment=0.5,
     )
 
 

@@ -663,3 +663,31 @@ def test_incremental_agg_additive_across_runs(spark, sf_small, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == got
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(50, 60))  # 10 tokens inside long
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=5, min_jaccard=0.0).collect()
+    }
+    con = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(docs, "doc_id", "text", k_shingle=5, min_containment=0.5).collect()
+    }
+    # the excerpt is fully contained: containment exactly 1.0...
+    assert con[(1, 2)] == 1.0
+    # ...while its Jaccard is tiny (shingle sets differ in size ~30x)
+    assert jac[(1, 2)] < 0.05
+    # unrelated doc appears in neither
+    assert not any(3 in p for p in con)
