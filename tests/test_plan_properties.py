@@ -133,3 +133,37 @@ def test_dq_anomaly_stats_join_is_broadcast(spark, sf_small):
     # the fact table is never hash-repartitioned for the join; the only
     # exchange is the per-type stats aggregation feeding the broadcast
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin /
+# CartesianProduct: declared exact all-pairs baselines, 16-row centroid
+# crossJoins (the IVF/k-means assignment shape), and single-row scalar-
+# aggregate broadcasts (HAVING-vs-scalar, corpus-size constants).
+_INTENTIONAL_UNKEYED_JOINS = {
+    "ann_topk_bruteforce",  # exact all-pairs baseline by declaration
+    "dd_embedding_cosine",  # exact all-pairs near-dup baseline
+    "ann_ivf_lists",        # corpus x 16-centroid broadcast assignment
+    "ann_ivf_topk",         # same + query x centroid probe
+    "ann_ivfpq_topk",       # same coarse-probe shape
+    "emb_kmeans_assign",    # corpus x centroid Lloyd assignment
+    "q11_important_stock",  # single-row scalar-agg broadcast (HAVING)
+    "q22_global_sales",     # single-row scalar avg subquery
+    "tx_tfidf_topk",        # single-row corpus-size constant
+}
+
+
+def test_no_unintended_unkeyed_joins_anywhere(spark, sf_small):
+    """Whole-registry regression net: no query may grow a nested-loop
+    or cartesian join beyond the pinned intentional set — the exact
+    failure mode (an equi-key silently lost to a refactor) that turns
+    a scale-safe plan into an O(n x m) one."""
+    flagged = set()
+    for name, spec in REGISTRY.items():
+        plan = simple_plan_of(spark, sf_small, name)
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            flagged.add(name)
+    assert flagged <= _INTENTIONAL_UNKEYED_JOINS, (
+        f"new unkeyed joins appeared: {sorted(flagged - _INTENTIONAL_UNKEYED_JOINS)}"
+    )
+    # and the pinned ones should still exist (a stale allowlist hides drift)
+    assert {"ann_topk_bruteforce", "ann_ivf_lists"} <= flagged
