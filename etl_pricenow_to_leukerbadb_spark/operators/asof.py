@@ -29,15 +29,24 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     right_tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join, backward or forward.
 
-    Returns ``left``'s rows plus ``value_cols`` from the latest
-    ``right`` row with the same ``on`` keys and ``right.ts_col <=
-    left.ts_col`` (null when no such row). If several right rows share
+    ``direction='backward'`` (default): each left row picks up
+    ``value_cols`` from the LATEST right row with the same ``on`` keys
+    and ``right.ts_col <= left.ts_col``. ``direction='forward'``: the
+    EARLIEST right row with ``right.ts_col >= left.ts_col`` — the
+    "next quote after the event" form (market data, next-maintenance
+    lookup). Null when no qualifying row. If several right rows share
     (keys, ts), ``right_tie_break`` (largest wins) makes the pick
     deterministic — required for cross-engine reproducibility.
-    """
+
+    Both directions are the same union-tag single-window plan — the
+    forward window just orders time descending, so "last seen" means
+    "earliest at-or-after"."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
     if right_tie_break is not None:
@@ -65,9 +74,10 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         *[F.col(c) for c in left_cols if c not in on and c != ts_col],
     )
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_col, "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).select(

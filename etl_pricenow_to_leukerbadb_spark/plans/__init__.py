@@ -26,10 +26,10 @@ from . import analytics_olap  # noqa: F401,E402
 #       late additions (ann_ivfpq_topk, a12_cube, a13_unpivot,
 #       w7_value_functions, dq_anomaly_zscore, st_stream_stream_join,
 #       j7_bucketed_join, st_incremental_agg, j8_salted_join,
-#       k8_compaction, j9_interval_overlap, dd_ngram_containment — all
-#       oracle-parity-tested locally at sf0.001 incl. pandas-dtype
-#       check, and driver-sim verified at sf0.01), then the entries
-#       whose last green row is r3.
+#       k8_compaction, j9_interval_overlap, dd_ngram_containment,
+#       j10_asof_forward — all oracle-parity-tested locally at sf0.001
+#       incl. pandas-dtype check, and driver-sim verified at sf0.01),
+#       then the entries whose last green row is r3.
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).

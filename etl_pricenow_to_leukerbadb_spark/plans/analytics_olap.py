@@ -2098,6 +2098,50 @@ def k6_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j10_asof_forward",
+    tags=("J2",),
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') t
+  WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def j10_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click picks up the EARLIEST
+    same-or-later purchase value for its user ("next event after") —
+    the direction='forward' mode of the union-tag operator, same
+    single key-partitioned window plan with time ordered descending.
+    Oracle is DuckDB's native ASOF JOIN with the <= comparison."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        right_tie_break="event_id",
+        direction="forward",
+    ).select("event_id", "user_id", "asof_value")
+
+
+@register(
     "j5_asof_two_table",
     tags=("J2",),
     oracle="""

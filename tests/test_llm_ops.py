@@ -329,6 +329,32 @@ def test_asof_join_edges(spark):
     assert got[3] == 8.0      # latest quote before 300
     assert got[4] is None     # key with no right rows
 
+    fwd = {
+        r.id: r.asof_v
+        for r in asof_join(
+            left, right, on=["k"], ts_col="t", value_cols=["v"],
+            right_tie_break="q_id", direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == 7.0      # earliest at-or-after 100 is t=200 (tie -> q_id 21)
+    assert fwd[2] == 8.0      # next quote after 205 is t=250
+    assert fwd[3] is None     # nothing at-or-after 300
+    assert fwd[4] is None     # key with no right rows
+
+    # inclusive boundary: a left row exactly at a quote time sees it
+    at_boundary = spark.createDataFrame([(9, 10, 200)], "id long, k long, t long")
+    fb = asof_join(
+        at_boundary, right, on=["k"], ts_col="t", value_cols=["v"],
+        right_tie_break="q_id", direction="forward",
+    ).collect()[0]
+    assert fb.asof_v == 7.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], ts_col="t", value_cols=["v"],
+                  direction="sideways")
+
 
 def test_apply_cdc_fold_semantics(spark):
     from etl_pricenow_to_leukerbadb_spark.sinks.upsert import apply_cdc
