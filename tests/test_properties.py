@@ -217,3 +217,57 @@ def test_asof_join_matches_model(spark, data):
     assert len(got) == len(left_rows)  # left join: every left row survives
     for i, (k, t) in enumerate(left_rows):
         assert got[i] == model(k, t), (i, k, t)
+
+
+# interval sets: lists of (start offset hours, duration hours) — zero
+# durations included deliberately (empty under half-open semantics)
+interval_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=72), st.integers(min_value=0, max_value=18)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(a_set=interval_sets, b_set=interval_sets)
+@SETTINGS
+def test_interval_overlap_join_equals_naive_predicate(spark, a_set, b_set):
+    """For ANY two interval sets, the binned overlap join must emit
+    exactly the pairs of the raw overlap predicate, each exactly once
+    — across bin-boundary straddles, nested/equal intervals, and
+    empty [t, t) degenerates the generator produces freely."""
+    from etl_pricenow_to_leukerbadb_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+
+    def df_of(pairs, prefix):
+        rows = [
+            (i, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + d))
+            for i, (s, d) in enumerate(pairs)
+        ]
+        return spark.createDataFrame(
+            rows, f"{prefix}_id long, {prefix}_start timestamp, {prefix}_end timestamp"
+        )
+
+    a = df_of(a_set, "a")
+    b = df_of(b_set, "b")
+    got = [
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, "a_start", "a_end", b, "b_start", "b_end", bin="day"
+        ).collect()
+    ]
+    naive = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (F.col("a_end") > F.col("a_start"))
+            & (F.col("b_end") > F.col("b_start"))
+        )
+        .collect()
+    }
+    assert len(got) == len(set(got))  # no duplicate pairs, ever
+    assert set(got) == naive
