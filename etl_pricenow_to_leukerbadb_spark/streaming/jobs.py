@@ -340,6 +340,14 @@ def stream_incremental_agg_job(
     import shutil
     import uuid
 
+    # stored accumulator type: wide enough that totals never narrow
+    # (sum over decimal(15,3) values), and PINNED so the view schema is
+    # identical after any number of merge generations — letting widths
+    # float (sum of (15,3) -> (25,3) -> (35,3)...) would make each
+    # generation's schema differ from the next batch's partial and turn
+    # the union into an implicit-coercion guessing game.
+    ACC = "decimal(25,3)"
+
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.columns:
             return
@@ -349,18 +357,18 @@ def stream_incremental_agg_job(
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+            F.sum(F.col("value").cast(DEC)).cast(ACC).alias("sum_dec"),
         )
         if os.path.exists(target_path):
             existing = sess.read.parquet(target_path).select(
-                "day", "event_type", "n", F.col("sum_dec").cast(DEC).alias("sum_dec")
+                "day", "event_type", "n", F.col("sum_dec").cast(ACC).alias("sum_dec")
             )
             part = (
                 part.unionByName(existing)
                 .groupBy("day", "event_type")
                 .agg(
                     F.sum("n").alias("n"),
-                    F.sum("sum_dec").cast(DEC).alias("sum_dec"),
+                    F.sum("sum_dec").cast(ACC).alias("sum_dec"),
                 )
             )
         tmp = target_path + f"_stage_{uuid.uuid4().hex[:8]}"
