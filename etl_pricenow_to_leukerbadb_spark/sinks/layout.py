@@ -1,6 +1,6 @@
-"""Storage-layout operators: partitioned writes and small-file
-compaction — the two table-layout levers that decide whether a 100 TB
-table is scannable.
+"""Storage-layout operators: partitioned writes, small-file
+compaction, and range clustering — the table-layout levers that decide
+whether a 100 TB table is scannable.
 
 - **Partitioned writes** (`write_partitioned`): hive-style
   ``partitionBy`` directories so date/tenant predicates prune whole
@@ -11,6 +11,11 @@ table is scannable.
   the driver pays per-file planning cost. Compaction rewrites a
   partition to ~target-sized files with one job. At 100 TB this runs
   per-partition (bounded work), never whole-table.
+- **Range clustering** (`write_range_clustered`): sorts rows into
+  disjoint per-file value ranges so parquet min/max statistics skip
+  files/row-groups for predicates on the cluster column (verified
+  from the written footers in tests) — partition pruning's
+  fine-grained sibling for high-cardinality columns.
 """
 
 from __future__ import annotations
@@ -38,6 +43,37 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-CLUSTERED on ``cluster_col``: rows are
+    range-partitioned into ``n_files`` buckets and sorted within each,
+    so every output file covers a (nearly) disjoint value range.
+
+    This is the data-skipping layout: parquet stores per-row-group
+    min/max statistics, and a clustered table lets a point or range
+    predicate on ``cluster_col`` skip every file/row-group whose
+    [min, max] misses the predicate — at 100 TB the difference between
+    touching one file and scanning the table. (Same idea as
+    Delta/Iceberg OPTIMIZE ... ZORDER with one dimension; multi-dim
+    z-ordering trades per-dimension locality for multi-predicate
+    skipping and would layer on an interleaved-bits key the same way.)
+
+    ``repartitionByRange`` samples the column to pick balanced
+    boundaries (skew-tolerant); the within-partition sort makes
+    row-group stats tight, not just file stats."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def parquet_file_count(path: str) -> int:

@@ -192,3 +192,46 @@ def test_partition_merge_key_moving_partitions_is_a_documented_dup(spark, tmp_pa
     rows = {(r.k, r.v, r.p) for r in spark.read.parquet(target).collect()}
     # the key now exists in BOTH partitions: stale in A, updated in B
     assert rows == {(1, "old", "A"), (2, "keep", "A"), (1, "new", "B")}
+
+
+def test_range_clustered_files_have_disjoint_stats(spark, sf_small, tmp_path):
+    """The clustered layout's promise is checkable from parquet footers:
+    per-file [min, max] ranges on the cluster column must be (nearly)
+    disjoint — that is what lets a predicate skip files at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from etl_pricenow_to_leukerbadb_spark.sinks.layout import write_range_clustered
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    path = str(tmp_path / "clustered")
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    write_range_clustered(ev, path, "event_id", n_files=8)
+
+    ranges = []
+    for root, _dirs, files in __import__("os").walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{root}/{f}").metadata
+            col_idx = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == "event_id"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # files cover disjoint event_id ranges (range partitioner boundaries)
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2, ranges
+    # and together they cover every row exactly once
+    total = sum(
+        pq.ParquetFile(f"{root}/{f}").metadata.num_rows
+        for root, _d, files in __import__("os").walk(path)
+        for f in files if f.endswith(".parquet")
+    )
+    assert total == ev.count()
