@@ -111,32 +111,43 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (+optionally sorted) managed table.
+    """Persist ``df`` as a bucketed (+optionally sorted) table.
 
     Joins and aggregations on ``bucket_cols`` between tables bucketed
     with the same count read bucket-to-bucket with no exchange.
 
-    Re-run safe across *sessions*: a managed table written by a
-    previous session leaves its warehouse directory on disk while the
-    new session's in-memory catalog has no entry for it, and
-    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS (overwrite
-    mode only covers tables the catalog knows). Drop the catalog entry
-    if present, then clear an orphaned location.
+    ``path`` makes the table EXTERNAL at that location — callers that
+    must not depend on the process working directory (the default
+    managed warehouse is ``$CWD/spark-warehouse``) pass an explicit
+    scratch path.
+
+    Re-run safe across *sessions*: a table written by a previous
+    session leaves its directory on disk while the new session's
+    in-memory catalog has no entry for it, and ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS (overwrite mode only covers
+    tables the catalog knows). Drop the catalog entry if present, then
+    clear the orphaned location.
     """
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if warehouse:
-        shutil.rmtree(
-            os.path.join(warehouse, table.lower()), ignore_errors=True
-        )
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if warehouse:
+            shutil.rmtree(
+                os.path.join(warehouse, table.lower()), ignore_errors=True
+            )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -1249,8 +1249,14 @@ def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.skew import bucketed_join, write_bucketed
 
+    from ..session import session_scratch_dir
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     lt, ot = f"j7_li_{tag}", f"j7_od_{tag}"
+    # external tables under the session scratch dir: the default
+    # managed warehouse lives in $CWD/spark-warehouse, which would make
+    # this query depend on whatever directory the driver runs from
+    scratch = session_scratch_dir(spark, f"j7_bucketed_{tag}")
     write_bucketed(
         _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
@@ -1259,6 +1265,7 @@ def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey"],
         8,
         sort_cols=["l_orderkey"],
+        path=os.path.join(scratch, lt),
     )
     write_bucketed(
         _t(spark, sf_dir, "orders").select(
@@ -1268,6 +1275,7 @@ def j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey"],
         8,
         sort_cols=["l_orderkey"],
+        path=os.path.join(scratch, ot),
     )
     rev = F.col("l_extendedprice").cast(DECQ) * (
         F.lit(1) - F.col("l_discount").cast(DECQ)
