@@ -23,8 +23,13 @@ def norm_sq(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """cosine similarity, written exactly as ``dot / (sqrt(na) * sqrt(nb))``
-    so an oracle SQL with the same shape produces bit-identical doubles."""
-    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+    so an oracle SQL with the same shape produces bit-identical doubles
+    for every non-degenerate vector. ``try_divide`` instead of ``/``:
+    a zero-norm vector makes the divisor 0, which under Spark 4's
+    default ANSI mode would fail the whole job — try_divide yields NULL
+    for exactly that row (cosine is mathematically undefined there) and
+    is bit-identical to plain division everywhere else."""
+    return F.try_divide(dot(a, b), F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 
 def cosine_prenormed(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
@@ -32,5 +37,7 @@ def cosine_prenormed(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Co
     instead of once per candidate pair — 3x less array arithmetic on
     the pair-quadratic path. ``a_norm``/``b_norm`` must be
     ``sqrt(norm_sq(v))`` so the double ops (sqrt, then multiply, then
-    divide) are bit-identical to ``cosine`` and to the SQL oracle."""
-    return dot(a, b) / (a_norm * b_norm)
+    divide) are bit-identical to ``cosine`` and to the SQL oracle.
+    NULL for zero-norm vectors (same try_divide rationale as
+    ``cosine``)."""
+    return F.try_divide(dot(a, b), a_norm * b_norm)

@@ -254,7 +254,16 @@ def ivf_list_assign(
         ),
         6,
     )
-    cos_fp = F.round(cos_r * 1_000_000).cast("long")
+    # A zero-norm vector (or centroid) makes cosine NULL (try_divide in
+    # functions/vector.py — ANSI mode would otherwise fail the job on
+    # the division). NULL enc rows would vanish from MAX and drop the
+    # vector from the output; coalesce to -1 (minimum cosine) so
+    # degenerate vectors get a deterministic assignment (lowest
+    # centroid id wins the all-tie). nanvl additionally guards inputs
+    # that contain NaN floats.
+    cos_fp = F.round(
+        F.coalesce(F.nanvl(cos_r, F.lit(-1.0)), F.lit(-1.0)) * 1_000_000
+    ).cast("long")
     enc = (cos_fp + F.lit(1_000_000)) * F.lit(1024) + (
         F.lit(1023) - F.col("cent_id")
     )
@@ -684,7 +693,11 @@ def kmeans_assign_2iter(
             ),
             6,
         )
-        cos_fp = F.round(cos_r * 1_000_000).cast("long")
+        # NULL/NaN-safe for zero-norm vectors, same rationale as
+        # ivf_list_assign.
+        cos_fp = F.round(
+            F.coalesce(F.nanvl(cos_r, F.lit(-1.0)), F.lit(-1.0)) * 1_000_000
+        ).cast("long")
         enc = (cos_fp + F.lit(1_000_000)) * F.lit(1024) + (
             F.lit(1023) - F.col("cent_id")
         )

@@ -51,7 +51,13 @@ def salted_sum_count(
     because the full row is the key.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("__salt")
+    # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows negative,
+    # and a negative salt for non-power-of-two n_salts would still merge
+    # correctly here (salt is only a partial-group key) but pmod keeps the
+    # fan-out uniform and matches salted_join, where sign matters.
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias(
+        "__salt"
+    )
     partial = (
         df.select(*key_cols, value.alias("__v"), salt)
         .groupBy(*key_cols, "__salt")
@@ -92,7 +98,12 @@ def salted_join(
     as ``salted_sum_count``)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: unsupported how={how!r}")
-    salt = (F.abs(F.hash(*[F.col(c) for c in fact.columns])) % n_salts).alias(
+    # pmod, not abs(hash) % n: hash() can return Integer.MIN_VALUE, whose
+    # abs overflows to a negative value; for non-power-of-two n_salts the
+    # salt would then be negative, never matching the dim side's 0..n-1
+    # replicas — silently dropping that fact row (inner) or null-extending
+    # it (left). pmod is non-negative for any hash value and any n_salts.
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).alias(
         "__salt"
     )
     fact_s = fact.select("*", salt)
@@ -129,6 +140,13 @@ def write_bucketed(
     fails with LOCATION_ALREADY_EXISTS (overwrite mode only covers
     tables the catalog knows). Drop the catalog entry if present, then
     clear the orphaned location.
+
+    The orphan cleanup is a LOCAL-filesystem ``rmtree`` of
+    ``<warehouse>/<table>``, which is only the table's real location
+    for an unqualified name in a local warehouse — so this helper
+    requires exactly that and raises otherwise (a db-qualified name
+    lives under ``<db>.db/``, and an hdfs/s3 warehouse can't be
+    cleaned with local file ops; pass an explicit ``path`` for those).
     """
     import shutil
     from urllib.parse import urlparse
@@ -138,10 +156,22 @@ def write_bucketed(
     if path is not None:
         shutil.rmtree(path, ignore_errors=True)
     else:
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if warehouse:
+        if "." in table:
+            raise ValueError(
+                "write_bucketed: db-qualified table names are only supported "
+                "with an explicit path= (the managed-warehouse orphan cleanup "
+                f"assumes an unqualified name): {table!r}"
+            )
+        parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                "write_bucketed: orphaned-location cleanup only supports a "
+                "local warehouse dir; pass an explicit path= for "
+                f"{parsed.scheme}:// warehouses"
+            )
+        if parsed.path:
             shutil.rmtree(
-                os.path.join(warehouse, table.lower()), ignore_errors=True
+                os.path.join(parsed.path, table.lower()), ignore_errors=True
             )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

@@ -314,6 +314,72 @@ def stream_partitioned_upsert_job(
         q.stop()
 
 
+# stored accumulator type for the incremental view: wide enough that
+# totals never narrow (sum over decimal(15,3) values), and PINNED so the
+# view schema is identical after any number of merge generations —
+# letting widths float (sum of (15,3) -> (25,3) -> (35,3)...) would make
+# each generation's schema differ from the next batch's partial and turn
+# the union into an implicit-coercion guessing game.
+_INC_ACC = "decimal(25,3)"
+_INC_EPOCH_MARKER = "_applied_epoch"
+
+
+def incremental_agg_apply_batch(
+    batch_df: DataFrame, target_path: str, epoch_id: int
+) -> bool:
+    """Fold one micro-batch into the (day, event_type) -> (n, sum_dec)
+    view at ``target_path``. Returns False (no-op) when ``epoch_id`` is
+    already recorded in the view's ``_applied_epoch`` marker — the
+    replay-after-crash case foreachBatch's at-least-once contract
+    allows. The marker travels inside the staged directory, so the
+    view and its epoch watermark swap atomically in one rename.
+
+    The view directory and the streaming checkpoint form a pair:
+    epoch ids are only monotonic within one checkpoint lineage, so to
+    rebuild from scratch delete BOTH (a fresh checkpoint restarts epoch
+    numbering at 0, which the marker of a kept view would shadow)."""
+    import os
+    import shutil
+    import uuid
+
+    if not batch_df.columns:
+        return False
+    marker = os.path.join(target_path, _INC_EPOCH_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            applied = int(fh.read().strip())
+        if epoch_id <= applied:
+            return False
+    sess = batch_df.sparkSession
+    part = batch_df.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast(_INC_ACC).alias("sum_dec"),
+    )
+    if os.path.exists(target_path):
+        existing = sess.read.parquet(target_path).select(
+            "day", "event_type", "n", F.col("sum_dec").cast(_INC_ACC).alias("sum_dec")
+        )
+        part = (
+            part.unionByName(existing)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_dec").cast(_INC_ACC).alias("sum_dec"),
+            )
+        )
+    tmp = target_path + f"_stage_{uuid.uuid4().hex[:8]}"
+    part.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _INC_EPOCH_MARKER), "w") as fh:
+        fh.write(str(epoch_id))
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+    return True
+
+
 def stream_incremental_agg_job(
     spark: SparkSession,
     events_path: str,
@@ -333,49 +399,21 @@ def stream_incremental_agg_job(
     the stored totals are order- and batching-independent — replaying
     the same input through any batch split yields identical totals,
     which is what lets a plain batch GROUP BY oracle-check the final
-    table. Exactly-once comes from the checkpoint: a re-run with the
-    same checkpoint processes nothing new (verified in tests across
-    two sequential availableNow runs)."""
-    import os
-    import shutil
-    import uuid
+    table.
 
-    # stored accumulator type: wide enough that totals never narrow
-    # (sum over decimal(15,3) values), and PINNED so the view schema is
-    # identical after any number of merge generations — letting widths
-    # float (sum of (15,3) -> (25,3) -> (35,3)...) would make each
-    # generation's schema differ from the next batch's partial and turn
-    # the union into an implicit-coercion guessing game.
-    ACC = "decimal(25,3)"
+    Delivery: foreachBatch is at-least-once, and the additive merge is
+    NOT idempotent on its own — a crash between the view swap and the
+    checkpoint commit would replay the batch and double-add it. The
+    last-applied ``epoch_id`` is therefore persisted INSIDE the view
+    directory (``_applied_epoch`` — underscore-prefixed, so the parquet
+    reader ignores it) and swapped atomically with the data by the same
+    ``os.rename``; a replayed epoch is detected and skipped, upgrading
+    the job to effective exactly-once. Verified in tests: re-applying a
+    batch with its already-recorded epoch is a no-op, and a re-run with
+    the same checkpoint processes nothing new."""
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.columns:
-            return
-        sess = batch_df.sparkSession
-        part = batch_df.groupBy(
-            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
-            "event_type",
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast(ACC).alias("sum_dec"),
-        )
-        if os.path.exists(target_path):
-            existing = sess.read.parquet(target_path).select(
-                "day", "event_type", "n", F.col("sum_dec").cast(ACC).alias("sum_dec")
-            )
-            part = (
-                part.unionByName(existing)
-                .groupBy("day", "event_type")
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("sum_dec").cast(ACC).alias("sum_dec"),
-                )
-            )
-        tmp = target_path + f"_stage_{uuid.uuid4().hex[:8]}"
-        part.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            shutil.rmtree(target_path)
-        os.rename(tmp, target_path)
+        incremental_agg_apply_batch(batch_df, target_path, epoch_id)
 
     q = (
         _event_stream(spark, events_path)

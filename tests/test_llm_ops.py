@@ -633,6 +633,61 @@ def test_packing_preconditions_raise(spark, sf_small):
         kmeans_assign_2iter(emb, n_centroids=1025)
 
 
+def test_zero_norm_vector_assigns_without_ansi_error(spark):
+    """A zero-norm vector makes cosine 0/0 = NaN; under Spark 4's
+    default ANSI mode the packed-argmax long cast used to throw. The
+    nanvl guard must map it to cosine -1 and deterministically assign
+    centroid 0 (lowest id wins the all-tie)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
+        kmeans_assign_2iter,
+    )
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(8)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: r for r in ivf_list_assign(emb, n_centroids=4).collect()}
+    assert got[99].cent_id == 0
+    assert got[99].cos_sim == -1.0
+    # kmeans shares the packed argmax; it must also survive the NaN
+    km = {r.vec_id: r for r in kmeans_assign_2iter(emb, n_centroids=4).collect()}
+    assert 99 in km
+
+
+def test_incremental_agg_replayed_epoch_is_noop(spark, sf_small, tmp_path):
+    """foreachBatch is at-least-once: a crash between the view swap and
+    the checkpoint commit replays the batch. Re-applying an epoch that
+    the view's _applied_epoch marker already records must be a no-op,
+    not a double-add."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        incremental_agg_apply_batch,
+    )
+
+    ev = load_table(spark, sf_small, "events").limit(200)
+    target = str(tmp_path / "view")
+
+    assert incremental_agg_apply_batch(ev, target, epoch_id=0) is True
+    once = {
+        (r.day, r.event_type): (r.n, float(r.sum_dec))
+        for r in spark.read.parquet(target).collect()
+    }
+    # crash-replay of the same epoch: skipped, totals unchanged
+    assert incremental_agg_apply_batch(ev, target, epoch_id=0) is False
+    replayed = {
+        (r.day, r.event_type): (r.n, float(r.sum_dec))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert replayed == once
+    # a genuinely new epoch still folds in additively
+    assert incremental_agg_apply_batch(ev, target, epoch_id=1) is True
+    twice = {
+        (r.day, r.event_type): (r.n, float(r.sum_dec))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert twice == {k: (n * 2, s * 2) for k, (n, s) in once.items()}
+
+
 def test_incremental_agg_additive_across_runs(spark, sf_small, tmp_path):
     """The maintained view must be ADDITIVE across micro-batches and
     exactly-once under re-runs: feeding the input in two sequential

@@ -99,3 +99,35 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError, match="unsupported how"):
         salted_join(fact, dim, ["k"], how="full")
+
+
+def test_salted_join_non_power_of_two_salts(spark):
+    """Non-power-of-two n_salts is exactly where the old
+    abs(hash) % n salt could go negative (hash == Integer.MIN_VALUE)
+    and silently drop the row; pmod keeps every salt in 0..n-1. Pin
+    both the result identity at n_salts=3 and the pmod expression."""
+    from etl_pricenow_to_leukerbadb_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1 if i % 7 else 2, float(i)) for i in range(3_000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, label string")
+    for n_salts in (3, 5):
+        plain = sorted(tuple(r) for r in fact.join(dim, ["k"], "left").collect())
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(fact, dim, ["k"], n_salts=n_salts, how="left").collect()
+        )
+        assert salted == plain, n_salts
+    analyzed = str(
+        salted_join(fact, dim, ["k"], n_salts=3)._jdf.queryExecution().analyzed()
+    )
+    assert "pmod" in analyzed
+
+
+def test_write_bucketed_rejects_qualified_name_without_path(spark):
+    import pytest as _pytest
+
+    df = spark.range(4)
+    with _pytest.raises(ValueError, match="db-qualified"):
+        write_bucketed(df, "somedb.sometable", ["id"], 4)
