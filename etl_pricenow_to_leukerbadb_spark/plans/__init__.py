@@ -12,82 +12,88 @@ from . import analytics_olap  # noqa: F401,E402
 #   r2: the 45 then-unverified entries + anchors (CORRECTNESS_r02.json)
 #   r3: the two r2 reds (both fixed that round) + new round-3 queries + the
 #       42 entries whose last green row was r1 + the four SURVEY §2 anchors.
-#   r4 (this file): the 7 round-3 late additions that registered after r3's
-#       window was sealed (a11_grouping_sets, w6_rank_functions, emb_pq_codes,
-#       q2_min_cost_supplier, j6_range_join, tx_dedup_keep_best,
-#       ann_pq_adc_topk — all driver-sim-verified locally), the r3 red
-#       ann_ivf_lists (oracle HUGEINT dtype bug, fixed this round), and 42 of
-#       the 44 entries whose last green row is r2.  Two r2-green entries do
-#       not fit the 50-slot window this round (e4_season_reference_2025,
-#       u2_except_intersect — both static/deterministic and untouched since
-#       r2); they are driver-sim-verified locally this round and MUST be
-#       front-loaded in r5 together with any round-4 late additions.
-#   r5 (next): e4_season_reference_2025, u2_except_intersect, the round-4
-#       late additions (ann_ivfpq_topk, a12_cube, a13_unpivot,
-#       w7_value_functions, dq_anomaly_zscore, st_stream_stream_join,
-#       j7_bucketed_join, st_incremental_agg, j8_salted_join,
-#       k8_compaction, j9_interval_overlap, dd_ngram_containment,
-#       j10_asof_forward — all oracle-parity-tested locally at sf0.001
-#       incl. pandas-dtype check, and driver-sim verified at sf0.01),
-#       then the entries whose last green row is r3.
+#   r4: the 7 round-3 late additions + the fixed r3 red ann_ivf_lists + 42
+#       of the 44 entries whose last green row was r2 (CORRECTNESS_r04.json:
+#       49/49 green on oracle-paired rows). Process lesson from r4, now
+#       enforced by test: ann_pq_adc_topk (no_oracle by construction) was
+#       pinned and burned a hard-signal slot — no-oracle entries are NEVER
+#       pinned again.
+#   r5 (this file): the two entries whose last green row is r2
+#       (e4_season_reference_2025, u2_except_intersect — driver-sim
+#       verified each round since), the 12 ORACLE-PAIRED round-4 late
+#       additions (ann_ivfpq_topk is no_oracle and deliberately NOT
+#       pinned), then 36 of the 48 oracle-paired entries whose last green
+#       row is r3 — prioritizing everything touched by this round's
+#       cosine/salt/streaming fixes (ann_topk_bruteforce,
+#       dd_embedding_cosine, dd_cluster_components, llm_prep_pipeline)
+#       and all SURVEY §2 anchors.
+#   r6 (next): the 12 r3-green entries that did not fit this window —
+#       mm_binary_meta, mm_fake_decode, mm_resize, mm_frame_sample,
+#       st_windowed_counts, st_stream_static_join, st_dedup_keys,
+#       st_sessionize, tx_chunk_windows, tx_hash_sample,
+#       tx_cap_per_source, tx_pack_sequences (all static/deterministic and
+#       untouched in r5) — then the entries whose last green row is r4.
+#       The staleness guard in tests/test_oracle_parity.py fails the suite
+#       if any pin list would let an oracle-paired entry go >3 rounds
+#       without a driver row.
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r3 red, fixed this round (oracle CAST(SUM(..) AS BIGINT) dtype fix)
-    "ann_ivf_lists",
-    # round-3 late additions — first-ever driver rows
-    "a11_grouping_sets",
-    "w6_rank_functions",
-    "emb_pq_codes",
-    "q2_min_cost_supplier",
-    "j6_range_join",
-    "tx_dedup_keep_best",
-    "ann_pq_adc_topk",
-    # r2-green block whose last driver row is two rounds old
-    "w1_running_total",
-    "w2_lag_delta",
-    "w3_sessionize",
-    "w4_linear_interp",
-    "w5_rolling_revenue",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_flag",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_correlated_max",
-    "q22_global_sales",
-    "a7_percentiles",
-    "a9_portable_stats",
-    "a10_salted_agg",
-    "k1_upsert_merge",
-    "k5_partition_merge",
-    "k6_cdc_merge",
-    "k7_scd2_history",
-    "j5_asof_two_table",
-    "dd_embedding_near_dup",
-    "dd_minhash_lsh",
-    "ann_lsh_buckets",
-    "emb_kmeans_assign",
-    "emb_source_centroids",
-    "tx_pii_scrub",
-    "tx_tfidf_topk",
-    "tx_vocab_topk",
-    "tx_repetition",
-    "tx_contamination",
-    "tx_quality_filter",
-    "dq_profile",
+    # last green r2 — oldest rows in the registry, front-loaded per r4 plan
+    "e4_season_reference_2025",
+    "u2_except_intersect",
+    # round-4 late additions (oracle-paired only) — first-ever driver rows
+    "a12_cube",
+    "a13_unpivot",
+    "w7_value_functions",
+    "dq_anomaly_zscore",
+    "j7_bucketed_join",
+    "j8_salted_join",
+    "j9_interval_overlap",
+    "j10_asof_forward",
+    "k8_compaction",
+    "dd_ngram_containment",
+    "st_incremental_agg",
+    "st_stream_stream_join",
+    # last green r3 — 36 of 48; those touched by r5 fixes + §2 anchors first
+    "ann_topk_bruteforce",
+    "dd_embedding_cosine",
+    "dd_cluster_components",
+    "llm_prep_pipeline",
+    "t6_forward_fill_daily",
+    "t7_calendar_grid",
+    "t3_duration_parse",
+    "t8_active_flag",
+    "t4_t5_filter_valid",
+    "s5_json_extract",
+    "j1_broadcast_join",
+    "j2_asof_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "a1_pricing_summary",
+    "a2_topk_per_group",
+    "a3_distinct_keys",
+    "a4_pivot_event_matrix",
+    "a5_rollup_summary",
+    "a6_count_distinct",
+    "r1_r2_sort_limit",
+    "u1_union_pages",
+    "e1_full_pipeline",
+    "e2_products_flatten",
+    "e3_prices_daily",
+    "s2_rest_pushdown_scan",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q21_suppliers_waiting",
+    "tx_token_count",
+    "tx_quality_score",
+    "tx_lang_id",
+    "tx_fingerprint",
+    "dd_exact",
+    "dd_ngram_jaccard",
+    "dd_simhash",
 )
 
 
