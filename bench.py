@@ -44,23 +44,37 @@ def main() -> None:
     spreads: dict[str, float] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name, spec in headline.items():
-        # min over several runs: first execution of a plan pays JVM
-        # JIT + codegen compilation that run-to-run would misattribute
-        # to the operator (observed 3-4x first-run noise locally); with
-        # min-of-2 a single noisy run still swung results by ~40%
-        # (BENCH_r02 vs r01 on an unchanged plan), so default to 3 and
-        # report the spread so a real regression is distinguishable.
+        # Every query gets one UNTIMED warm-up run: the first execution
+        # of a plan pays JVM JIT + whole-stage-codegen compilation that
+        # belongs to the session, not the operator (observed 3-4x
+        # first-run noise locally; BENCH_r04 spreads were dominated by
+        # it). Excluding it leaves the reported min comparable to prior
+        # rounds (min already skipped the cold run) while making the
+        # spread a real signal instead of a codegen measurement.
+        #
+        # Single-action queries then report min-of-`runs`. Multi-action
+        # (iterative) queries report MEDIAN-of-5: min is meaningless
+        # when per-run scheduling + checkpoint I/O noise is the same
+        # order as the value (BENCH_r04: dd_cluster_components 3.358 s
+        # with 3.16 s spread).
+        n_runs = max(runs, 5) if spec.multi_action else runs
+        spec.fn(spark, sf_dir).count()  # warm-up, untimed
         samples = []
         n = 0
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+        if spec.multi_action:
+            mid = sorted(samples)[len(samples) // 2]
+            timings[name] = round(mid, 3)
+        else:
+            timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
         print(
-            f"# {name}: {timings[name]:.3f}s (+{spreads[name]:.3f} spread,"
-            f" {n} rows)",
+            f"# {name}: {timings[name]:.3f}s"
+            f"{' (median)' if spec.multi_action else ''}"
+            f" (+{spreads[name]:.3f} spread, {n} rows)",
             file=sys.stderr,
         )
 

@@ -1,0 +1,91 @@
+"""Graph centrality over edge-list DataFrames.
+
+``pagerank_fixed_iters``: PageRank with a FIXED iteration count in
+exact fixed-point integer arithmetic — the link-analysis quality
+signal a web-scale corpus pipeline attaches to documents (rank a page
+by who links to it, then weight its text accordingly).
+
+Why fixed-point integers instead of doubles: each iteration is a
+join + groupBy-sum, and floating-point summation order differs
+between engines and between runs (AQE can repartition). With BIGINT
+ranks every sum is exact and order-independent, so the result is a
+pure function of the edge list — which is what lets a SQL oracle
+reproduce it bit-for-bit with unrolled CTEs, and what makes reruns
+at 100 TB byte-stable.
+
+Semantics (standard damped PageRank, unnormalized fixed-point):
+    r_0(n)   = SCALE                        (SCALE = 10^12)
+    r_{k+1}(n) = (SCALE * 15) div 100
+               + sum_{m -> n} ((r_k(m) * 85) div 100) div outdeg(m)
+Contributions use integer floor-division twice (damping first, then
+out-degree split) — both engines (Spark `div`, DuckDB `//`) floor the
+same way for non-negative operands, and ranks stay non-negative by
+construction. Nodes = every endpoint of the edge list; a node with no
+in-edges keeps the teleport term only. Dangling nodes (no out-edges)
+simply don't redistribute — acceptable for a fixed-iteration scoring
+signal (rank mass need not be conserved to rank by it).
+
+Scale shape: each iteration is one shuffle on dst + one broadcast-or-
+shuffle join of ranks to edges; K iterations = K rounds of linear
+work in |E|. No driver-side loop state beyond the unrolled plan (K is
+small and fixed), no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 10^12 fixed-point unit rank
+
+
+def pagerank_fixed_iters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank after exactly ``n_iters`` iterations over the distinct
+    directed edge list. Returns (node, rank) with BIGINT fixed-point
+    ranks (SCALE = 1.0).
+
+    The edge list is deduplicated first (parallel edges would double-
+    count contributions); out-degrees are computed once and reused by
+    every iteration."""
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100): {damping_pct}")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1: {n_iters}")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    teleport = F.lit((SCALE * (100 - damping_pct)) // 100)
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {damping_pct}) div 100 div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("in_sum"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks

@@ -3,14 +3,16 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker sees columnar batches, never
-rows. The actual media codecs are NOT available in this environment,
-so the decode step is stubbed two ways (both with the real Spark-side
-schema/partitioning/batch plumbing):
+rows. The decode step has three paths, all sharing the same Spark-side
+schema/partitioning/batch plumbing:
 
-- ``decode_media``      — raises NotImplementedError (the honest stub);
+- ``decode_media`` with Pillow installed — real image decode
+  (width/height/n_frames from the actual codec);
+- ``decode_media`` without Pillow (this container) — raises
+  NotImplementedError (the honest stub);
 - ``fake_decode_media`` — deterministic fake that derives pseudo
   dimensions from the payload bytes, so the distributed plumbing is
-  testable end-to-end.
+  testable end-to-end in any environment.
 """
 
 from __future__ import annotations
@@ -51,19 +53,70 @@ def binary_meta(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
     )
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Real decode entry point. The media libraries (PIL/ffmpeg/...)
-    are not present in this container — the per-batch worker raises
-    NotImplementedError on first use. Spark-side plumbing (schema,
-    Arrow batching, partition preservation) is identical to
-    ``fake_decode_media``."""
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; "
-            "use fake_decode_media for plumbing tests"
-        )
-        yield  # pragma: no cover
+        return True
+    except ImportError:
+        return False
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Real decode entry point. When Pillow is installed, decodes each
+    payload as an image (JPEG/PNG/GIF/...) per Arrow batch and emits
+    (width, height, n_frames) from the real codec — ``n_frames`` covers
+    multi-frame formats (animated GIF/TIFF) and is 1 otherwise. Without
+    Pillow the per-batch worker raises NotImplementedError (the honest
+    stub; this container has no media libraries — use
+    ``fake_decode_media`` for plumbing tests there). Spark-side
+    plumbing (schema, Arrow batching, partition preservation) is
+    identical in both branches and to ``fake_decode_media``.
+
+    The import is re-checked inside the worker: on a real cluster the
+    driver and executors are separate Python environments, and a
+    driver-only Pillow would otherwise fail mid-job with a worse error.
+    """
+
+    if pil_available():
+
+        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import hashlib
+            import io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                payloads = pdf[payload_col]
+                n_bytes, sha, widths, heights, frames = [], [], [], [], []
+                for b in payloads:
+                    raw = bytes(b)
+                    n_bytes.append(len(raw))
+                    sha.append(hashlib.sha256(raw).hexdigest())
+                    with Image.open(io.BytesIO(raw)) as img:
+                        widths.append(img.width)
+                        heights.append(img.height)
+                        frames.append(int(getattr(img, "n_frames", 1)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "n_bytes": n_bytes,
+                        "sha256": sha,
+                        "width": pd.Series(widths, dtype="int32"),
+                        "height": pd.Series(heights, dtype="int32"),
+                        "n_frames": pd.Series(frames, dtype="int32"),
+                    }
+                )
+
+    else:
+
+        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            raise NotImplementedError(
+                "media codecs unavailable in this environment; "
+                "use fake_decode_media for plumbing tests"
+            )
+            yield  # pragma: no cover
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_META_SCHEMA)
 

@@ -40,14 +40,33 @@ class QuerySpec:
     oracle: str | None = None
     headline: bool = False  # run in bench.py at sf0.1
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # multi_action: the query runs >1 Spark job per call (iterative
+    # driver loop with localCheckpoint / convergence counts). bench.py
+    # gives these an untimed warm-up + median-of-5 instead of min-of-3:
+    # min-of-N is meaningless when per-run JIT/checkpoint noise is the
+    # same order as the value (BENCH_r04: dd_cluster_components spread
+    # 3.16 s on a 3.36 s reading).
+    multi_action: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+    multi_action: bool = False,
+):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            fn=fn,
+            oracle=oracle,
+            headline=headline,
+            tags=tags,
+            multi_action=multi_action,
+        )
         return fn
 
     return deco

@@ -223,6 +223,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_cluster_components",
     headline=True,
+    multi_action=True,
     tags=("DD",),
     oracle=f"""
 WITH {_MINHASH_SH},

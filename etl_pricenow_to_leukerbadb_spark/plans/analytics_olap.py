@@ -2241,3 +2241,133 @@ def k7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).alias("valid_to"),
         F.lead("valid_from").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "dq_expectations",
+    tags=("DQ", "A1", "J3"),
+    oracle="""
+SELECT 'ev_event_id_not_null' AS rule, 'not_null' AS kind,
+       COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS n_violations,
+       COUNT(CASE WHEN event_id IS NULL THEN 1 END) = 0 AS passed
+FROM events
+UNION ALL
+SELECT 'ev_event_id_unique', 'unique',
+       COUNT(*) - COUNT(DISTINCT event_id),
+       COUNT(*) - COUNT(DISTINCT event_id) = 0
+FROM events
+UNION ALL
+SELECT 'ev_value_in_range', 'in_range',
+       COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END),
+       COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) = 0
+FROM events
+UNION ALL
+SELECT 'ev_type_accepted', 'accepted_values',
+       COUNT(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view') THEN 1 END),
+       COUNT(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view') THEN 1 END) = 0
+FROM events
+UNION ALL
+SELECT 'ev_user_ref_customer', 'referential',
+       (SELECT COUNT(*) FROM events e
+        WHERE e.user_id IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)),
+       (SELECT COUNT(*) FROM events e
+        WHERE e.user_id IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)) = 0
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the events batch: not-null,
+    uniqueness, range, accepted-values, and referential-integrity
+    rules, compiled so ALL scalar rules share ONE aggregate over ONE
+    scan and the FK rule adds a single broadcast anti-join — rule
+    count never multiplies scan count (the Deequ execution model; see
+    operators/expectations.py). No counterpart in the reference (its
+    validity checking is the dropna at scripts/pricenow_etl.py:60-66);
+    this is the ingest gate a 100 TB pipeline runs per batch."""
+    from ..operators.expectations import Expectation, check_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        Expectation("ev_event_id_not_null", "not_null", ("event_id",)),
+        Expectation("ev_event_id_unique", "unique", ("event_id",)),
+        Expectation("ev_value_in_range", "in_range", ("value",), lo=0, hi=1000),
+        Expectation(
+            "ev_type_accepted",
+            "accepted_values",
+            ("event_type",),
+            values=EVENT_TYPES,
+        ),
+        Expectation(
+            "ev_user_ref_customer",
+            "referential",
+            ("user_id",),
+            ref_df=cust,
+            ref_col="c_custkey",
+        ),
+    ]
+    return check_expectations(ev, rules)
+
+
+@register(
+    "gr_pagerank",
+    tags=("GR", "A1", "J1"),
+    oracle="""
+WITH eraw AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM eraw
+      UNION SELECT s AS src, c AS dst FROM eraw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (SELECT e.dst AS node,
+              SUM(((r0.rank * 85) // 100) // o.outdeg) AS in_sum
+       FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              CAST(150000000000 + COALESCE(c1.in_sum, 0) AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node,
+              SUM(((r1.rank * 85) // 100) // o.outdeg) AS in_sum
+       FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              CAST(150000000000 + COALESCE(c2.in_sum, 0) AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node)
+SELECT node, rank FROM r2 ORDER BY rank DESC, node ASC LIMIT 100
+""",
+)
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis quality signal: 2-iteration damped PageRank over
+    the customer<->supplier trade graph (distinct edges from
+    orders x lineitem, symmetrized), top-100 nodes. Exact fixed-point
+    BIGINT arithmetic makes the iterative computation a pure function
+    of the edge list — hash-verifiable against unrolled SQL CTEs and
+    byte-stable under AQE repartitioning (see operators/graph.py).
+    The corpus-pipeline use is identical in shape: rank documents by
+    their near-dup/link graph and weight training samples by rank.
+    Per iteration: one shuffle on dst; top-k via
+    TakeOrderedAndProject, never a global sort."""
+    from ..operators.graph import pagerank_fixed_iters
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_fixed_iters(edges, n_iters=2)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)

@@ -1,0 +1,111 @@
+"""Unit tests for the declarative expectations engine and fixed-point
+PageRank (oracle parity at sf0.001 is covered by test_oracle_parity;
+these pin the operator semantics on hand-computable inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.operators.expectations import (
+    Expectation,
+    check_expectations,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_iters,
+)
+
+
+def test_expectations_counts_each_violation_kind(spark):
+    rows = [
+        (1, 10.0, "click", 100),
+        (2, -5.0, "click", 100),      # value out of range
+        (2, 20.0, "zap", 999),        # duplicate id + bad type + missing FK
+        (None, 30.0, "view", 100),    # null id
+        (4, 2000.0, None, 101),       # value out of range; null type is NOT
+                                      # an accepted_values violation
+    ]
+    df = spark.createDataFrame(rows, "id long, value double, kind string, fk long")
+    dim = spark.createDataFrame([(100,), (101,)], "key long")
+    rules = [
+        Expectation("id_not_null", "not_null", ("id",)),
+        Expectation("id_unique", "unique", ("id",)),
+        Expectation("value_range", "in_range", ("value",), lo=0, hi=1000),
+        Expectation("kind_ok", "accepted_values", ("kind",), values=("click", "view")),
+        Expectation("fk_ok", "referential", ("fk",), ref_df=dim, ref_col="key"),
+    ]
+    got = [(r.rule, r.n_violations, r.passed) for r in check_expectations(df, rules).collect()]
+    assert got == [
+        ("id_not_null", 1, False),
+        # 5 rows, distinct non-null ids {1,2,4} -> 5-3=2 (the dup row + the
+        # null row both exceed the distinct count)
+        ("id_unique", 2, False),
+        ("value_range", 2, False),
+        ("kind_ok", 1, False),
+        ("fk_ok", 1, False),
+    ]
+
+
+def test_expectations_all_green_and_single_scan(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    rules = [
+        Expectation("id_not_null", "not_null", ("id",)),
+        Expectation("id_unique", "unique", ("id",)),
+        Expectation("v_range", "in_range", ("v",), lo=0, hi=6),
+    ]
+    out = check_expectations(df, rules)
+    assert [(r.n_violations, r.passed) for r in out.collect()] == [(0, True)] * 3
+    # all scalar rules must share ONE aggregate over ONE scan
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Scan ") <= 1, plan
+
+
+def test_expectations_bad_kind_raises(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unknown scalar"):
+        check_expectations(df, [Expectation("x", "regex", ("id",))]).collect()
+    with pytest.raises(ValueError, match="needs cols\\+ref"):
+        check_expectations(df, [Expectation("x", "referential", ("id",))])
+
+
+def test_pagerank_matches_hand_computation(spark):
+    # A<->B, A<->C: outdeg A=2, B=1, C=1
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")], "src string, dst string"
+    )
+    r1 = {r.node: r.rank for r in pagerank_fixed_iters(edges, n_iters=1).collect()}
+    damp = (SCALE * 85) // 100              # 8.5e11
+    tele = (SCALE * 15) // 100              # 1.5e11
+    assert r1 == {
+        "A": tele + 2 * damp,               # B and C each send full damped rank
+        "B": tele + damp // 2,
+        "C": tele + damp // 2,
+    }
+    r2 = {r.node: r.rank for r in pagerank_fixed_iters(edges, n_iters=2).collect()}
+    a1, b1 = r1["A"], r1["B"]
+    assert r2 == {
+        "A": tele + 2 * ((b1 * 85) // 100),
+        "B": tele + ((a1 * 85) // 100) // 2,
+        "C": tele + ((a1 * 85) // 100) // 2,
+    }
+
+
+def test_pagerank_dedups_parallel_edges_and_validates(spark):
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "A")], "src string, dst string"
+    )
+    once = {r.node: r.rank for r in pagerank_fixed_iters(edges, n_iters=1).collect()}
+    dedup = {
+        r.node: r.rank
+        for r in pagerank_fixed_iters(edges.distinct(), n_iters=1).collect()
+    }
+    assert once == dedup
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank_fixed_iters(edges, n_iters=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank_fixed_iters(edges, damping_pct=100)

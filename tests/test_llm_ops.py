@@ -147,10 +147,33 @@ def test_fake_decode_plumbing(spark):
     assert len(r.sha256) == 64
 
 
-def test_real_decode_is_honest_stub(spark):
+def test_real_decode_is_honest_stub_without_pillow(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.multimodal import pil_available
+
+    if pil_available():
+        pytest.skip("Pillow installed — real decode path active (tested below)")
     docs = attach_binary(_docs(spark), "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         decode_media(docs, "doc_id").collect()
+
+
+def test_real_decode_with_pillow(spark):
+    """When Pillow is present, decode_media must report the codec's
+    real dimensions for actual PNG bytes (same schema as the fake)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (120, 30, 200)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(20, 10)), (2, png_bytes(3, 47))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_media(df, "doc_id").collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (20, 10, 1)
+    assert (got[2].width, got[2].height, got[2].n_frames) == (3, 47, 1)
+    assert got[1].n_bytes == len(rows[0][1])
 
 
 def test_stream_upsert(spark, sf_small, tmp_path):
