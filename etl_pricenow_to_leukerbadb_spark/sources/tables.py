@@ -116,9 +116,12 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     actual partition count that mirrors Spark's split packing — a raw
     file count would overestimate parallelism for many-tiny-file
     sources, which Spark bin-packs into far fewer partitions. Sources
-    whose sizes can't be read locally (remote FS) and non-file sources
-    (in-memory fixtures) fall back to the RDD-partition probe, whose
-    plan-to-RDD conversion cost is driver-side only.
+    with no listable files (in-memory fixtures, remote FS whose sizes
+    can't be read locally) are left untouched: adding a shuffle on a
+    guess is worse than trusting the source's parallelism, real
+    100 TB inputs are always file-backed so the estimate path covers
+    them, and probing via ``df.rdd`` would force plan analysis plus a
+    Python RDD wrapper per call just to serve test fixtures.
     """
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
@@ -127,10 +130,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     except Exception:
         files = []
     est = _estimated_scan_partitions(spark, files) if files else None
-    if est is not None:
-        if est >= target:
-            return df
-    elif df.rdd.getNumPartitions() >= target:
+    if est is None or est >= target:
         return df
     return df.repartition(target)
 
