@@ -1,6 +1,6 @@
 """Storage-layout operators: partitioned writes, small-file
-compaction, and range clustering — the table-layout levers that decide
-whether a 100 TB table is scannable.
+compaction, and range/Z-order clustering — the table-layout levers
+that decide whether a 100 TB table is scannable.
 
 - **Partitioned writes** (`write_partitioned`): hive-style
   ``partitionBy`` directories so date/tenant predicates prune whole
@@ -16,6 +16,14 @@ whether a 100 TB table is scannable.
   files/row-groups for predicates on the cluster column (verified
   from the written footers in tests) — partition pruning's
   fine-grained sibling for high-cardinality columns.
+- **Z-order clustering** (`write_zorder_clustered`): interleaves the
+  bits of TWO cluster columns into one sort key so BOTH columns'
+  min/max footer stats stay tight per file — a single-column range
+  cluster makes the second column's stats useless (every file spans
+  its full range), while the z-layout skips files for predicates on
+  either or both columns (the Delta/Iceberg OPTIMIZE ZORDER idea,
+  built from plain ``shiftleft``/``bitwise`` expressions +
+  ``repartitionByRange`` — verified from footers in tests).
 """
 
 from __future__ import annotations
@@ -23,7 +31,8 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -71,6 +80,76 @@ def write_range_clustered(
     (
         df.repartitionByRange(n_files, cluster_col)
         .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    bucket ids into one Z-value (Morton code): bit i of ``col_a`` lands
+    at position 2i+1, bit i of ``col_b`` at 2i. Walking the Z-curve in
+    sort order keeps BOTH dimensions locally clustered, which is what
+    makes per-file min/max stats tight in both columns.
+
+    Pure JVM bitwise expressions (shiftleft/shiftright/&/|-free form
+    using bitwise ops) — no UDF; cost is ~2*bits codegen'd ops per row.
+    Callers bucket raw values first (see ``write_zorder_clustered``)."""
+    z = F.lit(0).cast("long")
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ORDER clustered on two numeric columns.
+
+    Each column is first mapped to a ``2^bits``-cell grid with
+    ``width_bucket`` over its observed [min, max] (one tiny aggregate
+    to fetch the bounds — at 100 TB this is a metadata-cheap pass or a
+    known-domain constant), the two cell ids are bit-interleaved into
+    a Morton key, and rows are range-partitioned + sorted by that key.
+    Every output file then covers a small rectangle of the
+    (col_a, col_b) plane, so parquet min/max stats skip files for
+    predicates on EITHER column — unlike ``write_range_clustered``,
+    which leaves the non-cluster column's stats spanning the full
+    range in every file. The z-key is a transient sort key only; the
+    written schema is unchanged."""
+    lo_a, hi_a, lo_b, hi_b = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    n_cells = 2 ** bits
+
+    def cell(c: str, lo, hi) -> Column:
+        if lo is None or hi is None or lo == hi:
+            # constant or all-null column: one cell (degenerate but valid
+            # — the other dimension still clusters)
+            return F.lit(0).cast("long")
+        # width_bucket returns 1..n+1; clamp into 0..n-1 cell ids
+        return F.least(
+            F.lit(n_cells - 1),
+            F.width_bucket(F.col(c), F.lit(lo), F.lit(hi), F.lit(n_cells)) - 1,
+        )
+    keyed = df.withColumn(
+        "__z", zorder_key(cell(col_a, lo_a, hi_a), cell(col_b, lo_b, hi_b), bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode(mode)
         .parquet(path)
     )

@@ -235,3 +235,88 @@ def test_range_clustered_files_have_disjoint_stats(spark, sf_small, tmp_path):
         for f in files if f.endswith(".parquet")
     )
     assert total == ev.count()
+
+
+def test_zorder_key_interleaves_bits():
+    from etl_pricenow_to_leukerbadb_spark.sinks.layout import zorder_key
+    from etl_pricenow_to_leukerbadb_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    # a=0b101 -> bits at odd positions (1,5); b=0b011 -> even positions (0,2)
+    got = spark.range(1).select(
+        zorder_key(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+    ).first().z
+    assert got == (0b100010 | 0b000101) == 39
+
+
+def test_zorder_clustering_keeps_both_columns_stats_tight(spark, sf_small, tmp_path):
+    """Z-order's promise vs single-column range clustering, checked
+    from the written parquet footers: under range clustering on
+    user_id, every file's [min, max] for `value` spans (nearly) the
+    whole domain — a value predicate can skip nothing. Under Z-order
+    on (user_id, value), a 10%-of-domain value window overlaps only a
+    strict subset of files, and user_id keeps skipping too."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_pricenow_to_leukerbadb_spark.sinks.layout import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "value"
+    ).na.drop(subset=["user_id", "value"])
+
+    def file_ranges(path, col):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                idx = next(
+                    i for i in range(len(md.schema))
+                    if md.schema.column(i).name == col
+                )
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                out.append((min(mins), max(maxs)))
+        return out
+
+    p_range = str(tmp_path / "range_on_user")
+    p_z = str(tmp_path / "zorder")
+    write_range_clustered(ev, p_range, "user_id", n_files=16)
+    write_zorder_clustered(ev, p_z, "user_id", "value", n_files=16)
+
+    lo, hi = ev.select(F.min("value"), F.max("value")).first()
+    win_lo = lo + (hi - lo) * 0.45
+    win_hi = lo + (hi - lo) * 0.55  # 10% window in the middle
+
+    def overlapping(ranges):
+        return sum(1 for (mn, mx) in ranges if mx >= win_lo and mn <= win_hi)
+
+    range_files = file_ranges(p_range, "value")
+    z_files = file_ranges(p_z, "value")
+    assert len(z_files) >= 8
+    # range clustering on user_id leaves value stats useless: the
+    # window hits (essentially) every file
+    assert overlapping(range_files) >= len(range_files) - 1
+    # z-order keeps value stats tight: a strict subset of files overlap
+    assert overlapping(z_files) <= len(z_files) // 2, (
+        overlapping(z_files), len(z_files))
+    # and user_id still skips under z-order too (not all files overlap
+    # a 10% user_id window)
+    ulo, uhi = ev.select(F.min("user_id"), F.max("user_id")).first()
+    uw_lo, uw_hi = ulo + (uhi - ulo) * 0.45, ulo + (uhi - ulo) * 0.55
+    z_user = file_ranges(p_z, "user_id")
+    assert sum(1 for (mn, mx) in z_user if mx >= uw_lo and mn <= uw_hi) < len(z_user)
+
+    # content preserved
+    got = spark.read.parquet(p_z)
+    assert got.count() == ev.count()
+    assert got.exceptAll(ev).count() == 0 and ev.exceptAll(got).count() == 0

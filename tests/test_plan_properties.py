@@ -167,3 +167,29 @@ def test_no_unintended_unkeyed_joins_anywhere(spark, sf_small):
     )
     # and the pinned ones should still exist (a stale allowlist hides drift)
     assert {"ann_topk_bruteforce", "ann_ivf_lists"} <= flagged
+
+
+def test_pagerank_iterations_read_checkpoint_not_source(spark, sf_small):
+    """gr_pagerank materializes edges/nodes/degrees once via
+    localCheckpoint; without that every unrolled iteration re-derives
+    the edge subtree from parquet (regressed plan showed 80 source
+    scans). The final plan must read checkpointed RDD blocks, never
+    the parquet tables."""
+    plan = plan_of(spark, sf_small, "gr_pagerank")
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expectations_scalar_rules_share_one_scan(spark, sf_small):
+    """All scalar dq_expectations rules compile into ONE aggregate over
+    ONE events scan; the referential rule adds exactly one more events
+    scan (anti-join probe) plus the customer key scan. (The formatted
+    plan prints each scan twice — tree and node detail — so count the
+    numbered detail headers.)"""
+    import re
+
+    plan = plan_of(spark, sf_small, "dq_expectations")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 3, plan
+    assert "LeftAnti" in plan, plan
