@@ -271,3 +271,86 @@ def test_interval_overlap_join_equals_naive_predicate(spark, a_set, b_set):
     }
     assert len(got) == len(set(got))  # no duplicate pairs, ever
     assert set(got) == naive
+
+
+# --- PageRank vs a sequential integer-arithmetic reference model -----------
+
+pr_edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _pagerank_model(edges, n_iters=2, damping_pct=85):
+    """Driver-side reference of the exact integer recurrence in
+    operators/graph.py (SCALE fixed point, double floor-division)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import SCALE
+
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    ranks = {n: SCALE for n in nodes}
+    tele = (SCALE * (100 - damping_pct)) // 100
+    for _ in range(n_iters):
+        nxt = {n: tele for n in nodes}
+        for u, v in e:
+            nxt[v] += ((ranks[u] * damping_pct) // 100) // outdeg[u]
+        ranks = nxt
+    return ranks
+
+
+@given(edges=pr_edge_lists)
+@SETTINGS
+def test_pagerank_matches_sequential_model(spark, edges):
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import pagerank_fixed_iters
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_fixed_iters(df, n_iters=2).collect()}
+    assert got == _pagerank_model(edges)
+
+
+# --- Expectations vs a pandas-free sequential reference --------------------
+
+exp_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),        # id (dup/null-prone)
+        st.one_of(st.none(), st.integers(-50, 150)),    # value
+        st.one_of(st.none(), st.integers(0, 3)),        # fk
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=exp_rows)
+@SETTINGS
+def test_expectations_match_sequential_counts(spark, rows):
+    from etl_pricenow_to_leukerbadb_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(rows, "id long, value long, fk long")
+    dim = spark.createDataFrame([(0,), (1,)], "key long")
+    out = {
+        r.rule: r.n_violations
+        for r in check_expectations(
+            df,
+            [
+                Expectation("nn", "not_null", ("id",)),
+                Expectation("uq", "unique", ("id",)),
+                Expectation("rg", "in_range", ("value",), lo=0, hi=100),
+                Expectation("fk", "referential", ("fk",), ref_df=dim, ref_col="key"),
+            ],
+        ).collect()
+    }
+    ids = [r[0] for r in rows]
+    values = [r[1] for r in rows]
+    fks = [r[2] for r in rows]
+    assert out["nn"] == sum(1 for i in ids if i is None)
+    assert out["uq"] == len(ids) - len({i for i in ids if i is not None})
+    assert out["rg"] == sum(1 for v in values if v is not None and not 0 <= v <= 100)
+    assert out["fk"] == sum(1 for f in fks if f is not None and f not in (0, 1))
