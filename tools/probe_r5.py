@@ -147,6 +147,65 @@ def probe_compaction(spark, n_rows: int, n_files: int, target_files: int = 8):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_pagerank(spark, n_edges: int, n_nodes: int):
+    """Synthetic power-law-ish directed graph: src skewed toward low
+    ids (hubs), dst uniform. Times 2 fixed iterations end-to-end
+    (edge materialization + unrolled plan)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import pagerank_fixed_iters
+
+    edges = spark.range(n_edges).select(
+        F.pmod(F.hash("id"), F.lit(n_nodes)).cast("long").alias("__r"),
+        F.col("id"),
+    ).select(
+        # square the uniform draw so low ids get quadratically more
+        # out-edges — a hub-heavy graph, the PageRank-hostile shape
+        # (long arithmetic: int32 would overflow under ANSI at 100k^2).
+        # dst hashes the ROW id, not the bucket, so the distinct edge
+        # count genuinely tracks n_edges instead of saturating at
+        # n_nodes deterministic pairs.
+        (F.col("__r") * F.col("__r") / n_nodes).cast("long").alias("src"),
+        F.pmod(F.hash("id", F.lit(7)), F.lit(n_nodes)).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+    def run():
+        return pagerank_fixed_iters(edges, n_iters=2).count()
+
+    n = run()  # warm
+    _, sec = timed(run)
+    return sec, n
+
+
+def probe_expectations(spark, n_rows: int):
+    """All four scalar rules + one FK rule over a synthetic batch;
+    single-scan compilation means the cost must track row count ~
+    linearly regardless of rule count."""
+    from etl_pricenow_to_leukerbadb_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        (F.col("id") % 997).cast("double").alias("value"),
+        F.pmod(F.hash("id"), F.lit(30_000)).alias("fk"),
+    )
+    dim = spark.range(20_000).select(F.col("id").alias("key"))
+    rules = [
+        Expectation("nn", "not_null", ("id",)),
+        Expectation("uq", "unique", ("id",)),
+        Expectation("rg", "in_range", ("value",), lo=0, hi=500),
+        Expectation("av", "accepted_values", ("value",), values=tuple(range(100))),
+        Expectation("fk", "referential", ("fk",), ref_df=dim, ref_col="key"),
+    ]
+
+    def run():
+        return check_expectations(df, rules).count()
+
+    run()  # warm
+    _, sec = timed(run)
+    return sec
+
+
 def main():
     spark = get_spark(app_name="probe_r5")
     spark.sparkContext.setLogLevel("ERROR")
@@ -166,6 +225,16 @@ def main():
         print(
             f"rows={n_rows:,} files {before}->{after}: {sec:.2f}s"
         )
+
+    print("== gr_pagerank probe (2 iterations, hub-heavy synthetic graph) ==")
+    for n_edges in (1_000_000, 16_000_000):
+        sec, n_nodes_out = probe_pagerank(spark, n_edges, n_nodes=100_000)
+        print(f"edges={n_edges:,}: {sec:.2f}s ({n_nodes_out:,} ranked nodes)")
+
+    print("== dq_expectations probe (5 rules, one scan + one FK anti-join) ==")
+    for n_rows in (1_000_000, 16_000_000):
+        sec = probe_expectations(spark, n_rows)
+        print(f"rows={n_rows:,}: {sec:.2f}s")
     spark.stop()
 
 
