@@ -42,7 +42,7 @@ def main() -> None:
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     for name, spec in headline.items():
         # Every query gets one UNTIMED warm-up run: the first execution
         # of a plan pays JVM JIT + whole-stage-codegen compilation that
@@ -52,11 +52,19 @@ def main() -> None:
         # rounds (min already skipped the cold run) while making the
         # spread a real signal instead of a codegen measurement.
         #
-        # Single-action queries then report min-of-`runs`. Multi-action
-        # (iterative) queries report MEDIAN-of-5: min is meaningless
-        # when per-run scheduling + checkpoint I/O noise is the same
-        # order as the value (BENCH_r04: dd_cluster_components 3.358 s
-        # with 3.16 s spread).
+        # Single-action queries report min-of-`runs` (default 5).
+        # Multi-action (iterative) queries report MEDIAN: min is
+        # meaningless when per-run scheduling + checkpoint noise is the
+        # same order as the value (BENCH_r04: dd_cluster_components
+        # 3.358 s with 3.16 s spread).
+        #
+        # Spread is max-min over the runs EXCLUDING the single slowest:
+        # on a shared 32-thread JVM one run per batch occasionally
+        # absorbs a full GC / block-eviction stall that the min/median
+        # value statistics already exclude by construction, so leaving
+        # it in the spread made the spread a GC detector, not a
+        # repeatability signal. With 5 runs the trimmed spread still
+        # spans 4 independent measurements.
         n_runs = max(runs, 5) if spec.multi_action else runs
         spec.fn(spark, sf_dir).count()  # warm-up, untimed
         samples = []
@@ -70,7 +78,8 @@ def main() -> None:
             timings[name] = round(mid, 3)
         else:
             timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+        trimmed = sorted(samples)[:-1] if len(samples) > 1 else samples
+        spreads[name] = round(max(trimmed) - min(trimmed), 3)
         print(
             f"# {name}: {timings[name]:.3f}s"
             f"{' (median)' if spec.multi_action else ''}"
