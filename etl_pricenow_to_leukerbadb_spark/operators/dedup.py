@@ -38,6 +38,33 @@ from ..sources.tables import fan_out
 # fold each round's materialization into its convergence count job.
 
 
+def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative operators.
+
+    ``reliable=False`` (default): ``localCheckpoint(eager=False)`` —
+    executor-local blocks, zero extra I/O, materialized inside the next
+    action that consumes the round. The right choice on a healthy
+    cluster and in local mode, with the documented caveat that losing
+    an executor loses its blocks and fails the query.
+
+    ``reliable=True``: ``checkpoint(eager=False)`` to the session's
+    checkpoint directory (HDFS/S3 in production) — survives executor
+    loss, which is the correct trade for many-round jobs on large
+    clusters where the probability of losing SOME executor before
+    convergence approaches 1. Costs one distributed write per round.
+    Raises with setup instructions if no checkpoint dir is configured,
+    instead of Spark's late SparkException mid-iteration."""
+    if not reliable:
+        return df.localCheckpoint(eager=False)
+    if df.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoints=True requires a checkpoint directory: "
+            "call spark.sparkContext.setCheckpointDir('<hdfs/s3/local path>') "
+            "before running the operator"
+        )
+    return df.checkpoint(eager=False)
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group documents by content fingerprint: (fingerprint, keep_id,
     n_docs) with the minimum id as the canonical representative."""
@@ -230,6 +257,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     near-dup pair graph via iterative min-label propagation.
@@ -254,17 +282,22 @@ def connected_components(
     (alternating large-star/small-star, O(log^2 n) rounds) when long
     chains are the norm — it is pytest-verified to produce identical
     labels.
+
+    ``reliable_checkpoints=True`` writes each round to the session's
+    checkpoint directory instead of executor-local blocks — see
+    ``iter_checkpoint`` for the cluster-scale trade.
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    edges = (
+    edges = iter_checkpoint(
         pairs.select(src.alias("a"), dst.alias("b"))
         .unionByName(pairs.select(dst.alias("a"), src.alias("b")))
-        .distinct()
-        # eager=False: materialization folds into the next count/convergence
-        # job instead of paying a separate driver-scheduled job per round —
-        # measured ~25% off the whole query at sf0.1 (iteration cost is
-        # driver job latency, not data volume, at the candidate-pair scale)
-        .localCheckpoint(eager=False)
+        .distinct(),
+        # eager=False inside: materialization folds into the next
+        # count/convergence job instead of paying a separate
+        # driver-scheduled job per round — measured ~25% off the whole
+        # query at sf0.1 (iteration cost is driver job latency, not
+        # data volume, at the candidate-pair scale)
+        reliable_checkpoints,
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -278,7 +311,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        new_labels = iter_checkpoint(
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -287,8 +320,9 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("component")),
                 ).alias("new_component"),
                 "component",
-            )
-        ).localCheckpoint(eager=False)
+            ),
+            reliable_checkpoints,
+        )
         changed = new_labels.filter(
             F.col("new_component") != F.col("component")
         ).count()
@@ -309,6 +343,7 @@ def connected_components_twophase(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 30,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -326,17 +361,19 @@ def connected_components_twophase(
 
     Returns (node, component), component = min reachable id — the
     same contract (and pytest-verified the same output) as
-    ``connected_components``.
+    ``connected_components``. ``reliable_checkpoints=True`` writes
+    each round to the session's checkpoint directory instead of
+    executor-local blocks — see ``iter_checkpoint``.
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    edges = (
+    edges = iter_checkpoint(
         pairs.select(src.alias("u"), dst.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-        # eager=False: see connected_components — the count() right below
-        # materializes the checkpoint in the same job
-        .localCheckpoint(eager=False)
+        .distinct(),
+        # eager=False inside: see connected_components — the count()
+        # right below materializes the checkpoint in the same job
+        reliable_checkpoints,
     )
 
     def neighbor_min(e: DataFrame) -> DataFrame:
@@ -375,9 +412,10 @@ def connected_components_twophase(
         # recomputes the intermediate O(4^depth) times — measured 2.97
         # -> 11.2 s at sf0.1. The checkpoint every pair IS the
         # optimization.
-        after = star_round(
-            star_round(edges, large=True, dedup=False), large=False
-        ).localCheckpoint(eager=False)
+        after = iter_checkpoint(
+            star_round(star_round(edges, large=True, dedup=False), large=False),
+            reliable_checkpoints,
+        )
         # Fixpoint test, cheapest-first: a count mismatch (one light job
         # over checkpointed data) proves non-convergence without any
         # join; only on a count match run ONE one-sided exceptAll —

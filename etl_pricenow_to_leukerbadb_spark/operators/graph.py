@@ -46,6 +46,7 @@ def pagerank_fixed_iters(
     n_iters: int = 2,
     damping_pct: int = 85,
     assume_distinct: bool = False,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """PageRank after exactly ``n_iters`` iterations over the distinct
     directed edge list. Returns (node, rank) with BIGINT fixed-point
@@ -68,8 +69,11 @@ def pagerank_fixed_iters(
     O(iterations²) times (measured 80 parquet scans for 2 iterations
     over a 4-scan edge derivation; 4.1 s -> well under 1 s at sf0.1).
     Same pattern and caveat as ``dedup.connected_components``: local
-    checkpoint blocks are executor-local; at cluster scale swap for a
-    reliable checkpoint dir or a scratch-table write."""
+    checkpoint blocks are executor-local; pass
+    ``reliable_checkpoints=True`` (with a configured checkpoint dir)
+    to write them to reliable storage instead — the right trade for
+    long jobs on large clusters, where some executor loss before the
+    final action is the expected case."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100): {damping_pct}")
     if n_iters < 1:
@@ -88,17 +92,18 @@ def pagerank_fixed_iters(
     # stage scheduling, which is the right trade (AQE's runtime
     # broadcast conversion beats the static plan — see the measured
     # note in operators/dedup.py).
-    e = e.localCheckpoint(eager=False)
-    nodes = (
+    from .dedup import iter_checkpoint
+
+    e = iter_checkpoint(e, reliable_checkpoints)
+    nodes = iter_checkpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        reliable_checkpoints,
     )
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .localCheckpoint(eager=False)
+    outdeg = iter_checkpoint(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+        reliable_checkpoints,
     )
 
     teleport = F.lit((SCALE * (100 - damping_pct)) // 100)

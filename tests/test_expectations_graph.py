@@ -109,3 +109,61 @@ def test_pagerank_dedups_parallel_edges_and_validates(spark):
         pagerank_fixed_iters(edges, n_iters=0)
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank_fixed_iters(edges, damping_pct=100)
+
+
+def test_reliable_checkpoints_match_local_and_require_dir(spark, tmp_path):
+    """The reliable-checkpoint path (cluster-scale: rounds written to
+    the checkpoint dir, surviving executor loss) must produce byte-
+    identical results to the executor-local default, actually write
+    round files under the configured dir, and fail fast with setup
+    instructions when no dir is configured."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")], "src string, dst string"
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    for fn in (connected_components, connected_components_twophase):
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            fn(pairs, reliable_checkpoints=True)
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        pagerank_fixed_iters(edges, reliable_checkpoints=True)
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        for fn in (connected_components, connected_components_twophase):
+            local = {(r.node, r.component) for r in fn(pairs).collect()}
+            reliable = {
+                (r.node, r.component)
+                for r in fn(pairs, reliable_checkpoints=True).collect()
+            }
+            assert local == reliable
+        pr_local = {r.node: r.rank for r in pagerank_fixed_iters(edges).collect()}
+        pr_rel = {
+            r.node: r.rank
+            for r in pagerank_fixed_iters(edges, reliable_checkpoints=True).collect()
+        }
+        assert pr_local == pr_rel
+        import os
+
+        rdd_dirs = [
+            f
+            for root, dirs, _files in os.walk(ckpt)
+            for f in dirs
+            if f.startswith("rdd-")
+        ]
+        assert rdd_dirs, "reliable checkpoints wrote no rdd-* dirs"
+    finally:
+        # conftest's session is shared and tmp_path is torn down: reset
+        # the dir so no later test can accidentally checkpoint into it
+        # (the scala setter's JVM name contains '$', hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
