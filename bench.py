@@ -65,7 +65,10 @@ def main() -> None:
         # it in the spread made the spread a GC detector, not a
         # repeatability signal. With 5 runs the trimmed spread still
         # spans 4 independent measurements.
-        n_runs = max(runs, 5) if spec.multi_action else runs
+        # multi-action queries need >=5 samples for a meaningful median,
+        # but an EXPLICIT env override (smoke runs) wins over that floor
+        env_override = "SPARK_GRAFT_BENCH_RUNS" in os.environ
+        n_runs = runs if env_override else (max(runs, 5) if spec.multi_action else runs)
         spec.fn(spark, sf_dir).count()  # warm-up, untimed
         samples = []
         n = 0

@@ -25,10 +25,16 @@ def cosine(a: Column, b: Column) -> Column:
     """cosine similarity, written exactly as ``dot / (sqrt(na) * sqrt(nb))``
     so an oracle SQL with the same shape produces bit-identical doubles
     for every non-degenerate vector. ``try_divide`` instead of ``/``:
-    a zero-norm vector makes the divisor 0, which under Spark 4's
-    default ANSI mode would fail the whole job — try_divide yields NULL
-    for exactly that row (cosine is mathematically undefined there) and
-    is bit-identical to plain division everywhere else."""
+    a zero-norm vector makes the divisor 0.0, and double division by
+    zero follows IEEE semantics in every mode (0.0/0.0 = NaN — ANSI
+    mode does NOT error on double division), so plain ``/`` would let
+    NaN flow silently into downstream arithmetic, where e.g. the
+    packed-BIGINT argmax's ``cast(long)`` throws under ANSI
+    (similarity.py's consumers guard that cast too). try_divide yields
+    NULL for exactly the zero-divisor row (cosine is mathematically
+    undefined there, and NULL — unlike NaN — is handled uniformly by
+    aggregates, comparisons, and casts) and is bit-identical to plain
+    division everywhere else."""
     return F.try_divide(dot(a, b), F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 

@@ -51,7 +51,15 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     checkpoint directory (HDFS/S3 in production) — survives executor
     loss, which is the correct trade for many-round jobs on large
     clusters where the probability of losing SOME executor before
-    convergence approaches 1. Costs one distributed write per round.
+    convergence approaches 1. Costs one distributed write per round;
+    the DataFrame is ``persist()``ed first so the checkpoint job
+    writes from cached blocks instead of recomputing the round's
+    whole lineage a second time (Spark's documented checkpoint
+    behavior for unpersisted RDDs). Checkpoint files accumulate one
+    round-set per iteration and are reclaimed on GC only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off by
+    default) — set it, or point the checkpoint dir at scratch storage
+    with a lifecycle policy.
     Raises with setup instructions if no checkpoint dir is configured,
     instead of Spark's late SparkException mid-iteration."""
     if not reliable:
@@ -62,7 +70,7 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
             "call spark.sparkContext.setCheckpointDir('<hdfs/s3/local path>') "
             "before running the operator"
         )
-    return df.checkpoint(eager=False)
+    return df.persist().checkpoint(eager=False)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

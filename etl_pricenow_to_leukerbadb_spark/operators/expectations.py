@@ -42,7 +42,12 @@ class Expectation:
                            pair with not_null to forbid them)
     - ``accepted_values``: col must be one of ``values``
     - ``referential``:     col's non-null values must exist in
-                           ``ref_df``'s ``ref_col`` key set
+                           ``ref_df``'s ``ref_col`` key set.
+                           ``ref_broadcast`` hints a broadcast of the
+                           key set — right for the usual dim-sized FK
+                           target; set False for a large reference
+                           (FK into a fact table) so the planner/AQE
+                           picks the join strategy from actual sizes
     """
 
     name: str
@@ -53,6 +58,7 @@ class Expectation:
     values: tuple = ()
     ref_df: DataFrame | None = None
     ref_col: str | None = None
+    ref_broadcast: bool = True
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
@@ -73,54 +79,57 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
     """Evaluate all rules; returns (rule, kind, n_violations, passed).
 
     Scalar rules share one aggregate over one scan; each referential
-    rule adds one anti-join count (broadcast-sized right side in the
-    typical FK shape). Deterministic output order: rules in declared
+    rule adds one anti-join count (broadcast-hinted right side by
+    default — the typical dim-sized FK shape; per-rule
+    ``ref_broadcast=False`` leaves the strategy to the planner for
+    large references). Deterministic output order: rules in declared
     order via an explicit sort key, so the tiny result is stable."""
-    scalar = [e for e in expectations if e.kind != "referential"]
-    referential = [e for e in expectations if e.kind == "referential"]
+    if not expectations:
+        raise ValueError("check_expectations: no expectations declared")
+    # carry each rule's position in the declared list as its sort key —
+    # positional, not equality-based (two field-identical rules must
+    # keep distinct ordinals, and .index() would collapse them)
+    scalar = [(i, e) for i, e in enumerate(expectations) if e.kind != "referential"]
+    referential = [(i, e) for i, e in enumerate(expectations) if e.kind == "referential"]
 
-    spark = df.sparkSession
     parts: list[DataFrame] = []
 
     if scalar:
         agg = df.agg(
-            *[_violation_expr(e).alias(f"__v{i}") for i, e in enumerate(scalar)]
+            *[_violation_expr(e).alias(f"__v{i}") for i, (_, e) in enumerate(scalar)]
         )
         # one source row -> one row per scalar rule, via the same
         # struct-array explode dq_profile uses (still a single scan)
         structs = F.array(
             *[
                 F.struct(
-                    F.lit(expectations.index(e)).alias("__ord"),
+                    F.lit(ord_).alias("__ord"),
                     F.lit(e.name).alias("rule"),
                     F.lit(e.kind).alias("kind"),
                     F.col(f"__v{i}").cast("long").alias("n_violations"),
                 )
-                for i, e in enumerate(scalar)
+                for i, (ord_, e) in enumerate(scalar)
             ]
         )
         parts.append(
             agg.select(F.explode(structs).alias("r")).select("r.*")
         )
 
-    for e in referential:
+    for ord_, e in referential:
         if e.ref_df is None or e.ref_col is None or not e.cols:
             raise ValueError(f"referential expectation {e.name!r} needs cols+ref")
+        keys = e.ref_df.select(F.col(e.ref_col).alias("__k")).distinct()
+        if e.ref_broadcast:
+            keys = F.broadcast(keys)
         missing = (
             df.select(F.col(e.cols[0]).alias("__k"))
             .filter(F.col("__k").isNotNull())
-            .join(
-                F.broadcast(
-                    e.ref_df.select(F.col(e.ref_col).alias("__k")).distinct()
-                ),
-                "__k",
-                "left_anti",
-            )
+            .join(keys, "__k", "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
         )
         parts.append(
             missing.select(
-                F.lit(expectations.index(e)).alias("__ord"),
+                F.lit(ord_).alias("__ord"),
                 F.lit(e.name).alias("rule"),
                 F.lit(e.kind).alias("kind"),
                 "n_violations",

@@ -14,7 +14,7 @@ reproduce it bit-for-bit with unrolled CTEs, and what makes reruns
 at 100 TB byte-stable.
 
 Semantics (standard damped PageRank, unnormalized fixed-point):
-    r_0(n)   = SCALE                        (SCALE = 10^12)
+    r_0(n)   = SCALE                        (SCALE = 10^9)
     r_{k+1}(n) = (SCALE * 15) div 100
                + sum_{m -> n} ((r_k(m) * 85) div 100) div outdeg(m)
 Contributions use integer floor-division twice (damping first, then
@@ -36,7 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SCALE = 1_000_000_000_000  # 10^12 fixed-point unit rank
+# 10^9 fixed-point unit rank. The scale trades precision (9 decimal
+# digits of rank — far beyond what a corpus-quality signal needs)
+# against BIGINT headroom on hub nodes: a node's in-sum is bounded by
+# in_degree * (SCALE*damping//100) before its own div, so with 10^9 a
+# hub overflows Long.MAX only past ~1.08e10 in-neighbors — above any
+# observed web-graph in-degree. The previous 10^12 overflowed (ANSI:
+# job failure; non-ANSI: silent wraparound) at ~1.08e7 in-neighbors,
+# which real hub pages exceed.
+SCALE = 1_000_000_000
 
 
 def pagerank_fixed_iters(

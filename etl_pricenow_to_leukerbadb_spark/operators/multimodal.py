@@ -73,50 +73,51 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     plumbing (schema, Arrow batching, partition preservation) is
     identical in both branches and to ``fake_decode_media``.
 
-    The import is re-checked inside the worker: on a real cluster the
-    driver and executors are separate Python environments, and a
-    driver-only Pillow would otherwise fail mid-job with a worse error.
+    The availability check runs INSIDE the worker (not at plan time on
+    the driver): on a real cluster the driver and executors are
+    separate Python environments, so a driver-side check would pick
+    the wrong branch under environment skew — driver-with/executors-
+    without would fail mid-job with a raw ImportError, and driver-
+    without/executors-with would stub out decode that would actually
+    work. Worker-side, each environment answers for itself.
     """
 
-    if pil_available():
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import io
 
-        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import hashlib
-            import io
+        import pandas as pd
 
-            import pandas as pd
+        try:
             from PIL import Image
-
-            for pdf in batches:
-                payloads = pdf[payload_col]
-                n_bytes, sha, widths, heights, frames = [], [], [], [], []
-                for b in payloads:
-                    raw = bytes(b)
-                    n_bytes.append(len(raw))
-                    sha.append(hashlib.sha256(raw).hexdigest())
-                    with Image.open(io.BytesIO(raw)) as img:
-                        widths.append(img.width)
-                        heights.append(img.height)
-                        frames.append(int(getattr(img, "n_frames", 1)))
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf[id_col],
-                        "n_bytes": n_bytes,
-                        "sha256": sha,
-                        "width": pd.Series(widths, dtype="int32"),
-                        "height": pd.Series(heights, dtype="int32"),
-                        "n_frames": pd.Series(frames, dtype="int32"),
-                    }
-                )
-
-    else:
-
-        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        except ImportError as exc:
             raise NotImplementedError(
-                "media codecs unavailable in this environment; "
-                "use fake_decode_media for plumbing tests"
+                "media codecs unavailable in this worker environment "
+                "(Pillow not importable); install Pillow on the executors "
+                "or use fake_decode_media for plumbing tests"
+            ) from exc
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            n_bytes, sha, widths, heights, frames = [], [], [], [], []
+            for b in payloads:
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                sha.append(hashlib.sha256(raw).hexdigest())
+                with Image.open(io.BytesIO(raw)) as img:
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    frames.append(int(getattr(img, "n_frames", 1)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "sha256": sha,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int32"),
+                }
             )
-            yield  # pragma: no cover
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_META_SCHEMA)
 

@@ -22,7 +22,7 @@ from . import analytics_olap  # noqa: F401,E402
 #       (e4_season_reference_2025, u2_except_intersect — driver-sim
 #       verified each round since), the 12 ORACLE-PAIRED round-4 late
 #       additions (ann_ivfpq_topk is no_oracle and deliberately NOT
-#       pinned), then 36 of the 48 oracle-paired entries whose last green
+#       pinned), then 34 of the 48 oracle-paired entries whose last green
 #       row is r3 — prioritizing everything touched by this round's
 #       cosine/salt/streaming fixes (ann_topk_bruteforce,
 #       dd_embedding_cosine, dd_cluster_components, llm_prep_pipeline)

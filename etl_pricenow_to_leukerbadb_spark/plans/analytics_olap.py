@@ -2328,20 +2328,20 @@ e AS (SELECT c AS src, s AS dst FROM eraw
       UNION ALL SELECT s AS src, c AS dst FROM eraw),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
 outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
 c1 AS (SELECT e.dst AS node,
               SUM(((r0.rank * 85) // 100) // o.outdeg) AS in_sum
        FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
        GROUP BY e.dst),
 r1 AS (SELECT n.node,
-              CAST(150000000000 + COALESCE(c1.in_sum, 0) AS BIGINT) AS rank
+              CAST(150000000 + COALESCE(c1.in_sum, 0) AS BIGINT) AS rank
        FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
 c2 AS (SELECT e.dst AS node,
               SUM(((r1.rank * 85) // 100) // o.outdeg) AS in_sum
        FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
        GROUP BY e.dst),
 r2 AS (SELECT n.node,
-              CAST(150000000000 + COALESCE(c2.in_sum, 0) AS BIGINT) AS rank
+              CAST(150000000 + COALESCE(c2.in_sum, 0) AS BIGINT) AS rank
        FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
 top AS (SELECT node, rank FROM r2 ORDER BY rank DESC, node ASC LIMIT 100)
 SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)

@@ -79,8 +79,8 @@ def test_pagerank_matches_hand_computation(spark):
         [("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")], "src string, dst string"
     )
     r1 = {r.node: r.rank for r in pagerank_fixed_iters(edges, n_iters=1).collect()}
-    damp = (SCALE * 85) // 100              # 8.5e11
-    tele = (SCALE * 15) // 100              # 1.5e11
+    damp = (SCALE * 85) // 100              # 8.5e8
+    tele = (SCALE * 15) // 100              # 1.5e8
     assert r1 == {
         "A": tele + 2 * damp,               # B and C each send full damped rank
         "B": tele + damp // 2,
