@@ -167,3 +167,21 @@ def test_reliable_checkpoints_match_local_and_require_dir(spark, tmp_path):
         # the dir so no later test can accidentally checkpoint into it
         # (the scala setter's JVM name contains '$', hence getattr)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_pagerank_hub_node_no_overflow(spark):
+    """Regression for the fixed-point scale: a hub with many
+    in-neighbors must aggregate exactly, not overflow. With SCALE=1e9
+    the in-sum bound is in_degree * 8.5e8, so 20k spokes stays far
+    under Long.MAX while the old 1e12 scale put real web hubs past it;
+    the spoke contribution is exactly (SCALE*85)//100 (outdeg 1)."""
+    n = 20_000
+    spokes = spark.range(1, n + 1).selectExpr("id AS src", "CAST(0 AS LONG) AS dst")
+    ranks = {
+        r.node: r.rank
+        for r in pagerank_fixed_iters(spokes, n_iters=1, assume_distinct=True).collect()
+    }
+    tele = (SCALE * 15) // 100
+    assert ranks[0] == tele + n * ((SCALE * 85) // 100)
+    assert ranks[1] == tele  # spokes have no in-edges
+    assert ranks[0] > 0  # and no silent wraparound
