@@ -171,11 +171,24 @@ def compact_parquet(
     The rewrite goes through a temp dir + atomic-ish swap so readers
     never see a half-written table — same pattern as the upsert sink.
     """
+    import glob
+    import shutil
+
     from .upsert import replace_dir
 
     target_path = os.path.join(path, partition) if partition else path
     df = spark.read.parquet(target_path)
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(target_path.rstrip("/")))
+    # DOT-prefixed temp dir: when compacting one partition the staging
+    # dir lands inside the table root, and a visible name would be
+    # picked up by concurrent readers (partition discovery fails or
+    # rows double-count) and, after a crash, permanently break every
+    # read of the table. Hidden (., _) paths are ignored by Spark's
+    # file index; stale ones from prior crashes are swept here, where
+    # single-writer is the caller's contract.
+    parent = os.path.dirname(target_path.rstrip("/"))
+    for stale in glob.glob(os.path.join(parent, ".compact_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix=".compact_", dir=parent)
     # coalesce, not repartition: narrowing to fewer files needs no shuffle
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # crash-safe backup-aside swap (also clears stale backups from a

@@ -56,23 +56,59 @@ def assert_keys_unique(df: DataFrame, keys: list[str], table: str = "<target>") 
         raise ValueError(f"upsert into {table}: duplicate rows for key(s) {keys}")
 
 
-def merge_upsert_df(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert_df(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    precedence_col: str | None = None,
+) -> DataFrame:
     """Merge semantics: every key in ``updates`` replaces its row in
     ``base``; unmatched base rows pass through (K1, py:98-112).
 
     ``updates`` must be unique per key (enforced upstream by the
-    pipelines; PK semantics)."""
-    surviving = base.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-    return updates.unionByName(surviving)
+    pipelines; PK semantics).
+
+    Default is unconditional replace — correct when updates are known
+    newer (the reference's snapshot upsert). ``precedence_col`` makes
+    the merge keep-newest instead: the surviving row per key is the
+    one with the greatest ``precedence_col`` value (updates win ties),
+    so a late-arriving batch of OLDER events cannot clobber newer base
+    rows — the event-time contract a streaming upsert needs when file
+    arrival order is not event order."""
+    if precedence_col is None:
+        surviving = base.join(
+            updates.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        return updates.unionByName(surviving)
+    tagged = base.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(precedence_col).desc_nulls_last(), F.col("__upd").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
 
 
 def replace_dir(new_dir: str, target_path: str) -> None:
     """Crash-safe directory swap: rename the live target aside, move
     the new directory in, then drop the backup. A crash between the
-    two renames leaves ``<target>.bak`` intact (recoverable) instead of
-    losing the live table; a stale backup from a prior crash is cleared
-    up front so the swap always starts clean."""
-    bak = target_path + ".bak"
+    two renames leaves the hidden ``.<target>.bak`` sibling intact
+    (recoverable) instead of losing the live table; a stale backup
+    from a prior crash is cleared up front so the swap always starts
+    clean. The backup name is DOT-prefixed because the target may be
+    one hive partition inside a table root (partition-scoped
+    compaction/merge), where a visible sibling would break partition
+    discovery for every concurrent reader — and permanently, if the
+    crash happens before cleanup. Spark's file index ignores hidden
+    paths."""
+    d, b = os.path.dirname(os.path.abspath(target_path)), os.path.basename(
+        target_path.rstrip("/")
+    )
+    bak = os.path.join(d, f".{b}.bak")
     if os.path.isdir(bak):
         shutil.rmtree(bak)
     had_old = os.path.isdir(target_path)
@@ -94,6 +130,7 @@ def merge_upsert_parquet(
     target_path: str,
     keys: list[str],
     table: str | None = None,
+    precedence_col: str | None = None,
 ) -> None:
     """Upsert into a parquet-directory table with atomic-ish swap:
     write merged output to a sibling temp dir, then replace the target
@@ -109,16 +146,16 @@ def merge_upsert_parquet(
         f.endswith(".parquet") for f in os.listdir(target_path)
     ):
         base = spark.read.parquet(target_path)
-        merged = merge_upsert_df(base, updates, keys)
+        merged = merge_upsert_df(base, updates, keys, precedence_col=precedence_col)
     else:
         merged = updates
     tmp = tempfile.mkdtemp(
         prefix=".merge_", dir=os.path.dirname(os.path.abspath(target_path))
     )
     out = os.path.join(tmp, "data")
+    # .write.parquet is an action: the output is fully on disk when it
+    # returns (a re-read+count here would just double the read I/O)
     merged.write.mode("overwrite").parquet(out)
-    # force materialization before swapping the live directory
-    spark.read.parquet(out).count()
     replace_dir(out, target_path)
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -161,7 +198,12 @@ def merge_upsert_partitioned(
     for row in touched:
         c = F.lit(True)
         for col in partition_cols:
-            c = c & (F.col(col) == F.lit(row[col]))
+            # eqNullSafe, not ==: a NULL partition value (hive
+            # __HIVE_DEFAULT_PARTITION__) compared with == yields NULL,
+            # which would silently read ZERO base rows for that
+            # partition while dynamic overwrite still rewrites it —
+            # deleting every previously-merged row it held
+            c = c & F.col(col).eqNullSafe(F.lit(row[col]))
         cond = cond | c
     base = spark.read.parquet(target_path).filter(cond)
     merged = merge_upsert_df(base, updates.select(*base.columns), keys)
@@ -255,9 +297,12 @@ def jdbc_upsert(
     placeholders = ", ".join([paramstyle] * len(cols))
     conflict = ", ".join(keys)
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c not in keys)
+    # all-key tables (e.g. a distinct-keys dimension) have nothing to
+    # update on conflict; 'DO UPDATE SET <empty>' is a syntax error
+    action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
     sql = (
         f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        f"ON CONFLICT ({conflict}) {action}"
     )
 
     def write_partition(rows) -> None:

@@ -20,9 +20,25 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.upsert import merge_upsert_parquet
+from ..sinks.upsert import merge_upsert_parquet, replace_dir
 
 DEC = "decimal(15,3)"
+
+
+def _drain_memory_sink(df: DataFrame, name: str) -> DataFrame:
+    """Materialize a memory-sink result and drop its temp view.
+
+    The memory sink already holds the full result on the driver; the
+    collect adds nothing to peak memory, and dropping the view right
+    away means repeated job invocations (benchmark loops, test
+    suites) don't pin one result set per call in the driver catalog
+    forever. Returns an equivalent static DataFrame with the exact
+    same schema."""
+    spark = df.sparkSession
+    rows = df.collect()
+    schema = df.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -89,11 +105,16 @@ def windowed_event_counts(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.table(name).select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n",
-        "sum_value",
+    return _drain_memory_sink(
+        spark.table(name).select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        ),
+        name,
     )
 
 
@@ -129,7 +150,7 @@ def stream_distinct_keys(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drain_memory_sink(spark.table(name), name)
 
 
 def stream_stream_funnel_join(
@@ -195,7 +216,7 @@ def stream_stream_funnel_join(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drain_memory_sink(spark.table(name), name)
 
 
 def stream_static_enriched_counts(
@@ -232,8 +253,11 @@ def stream_static_enriched_counts(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.table(name).select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), dim_col, "n"
+    return _drain_memory_sink(
+        spark.table(name).select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), dim_col, "n"
+        ),
+        name,
     )
 
 
@@ -245,13 +269,22 @@ def stream_upsert_job(
 ) -> None:
     """Streaming keyed upsert: per micro-batch, reduce to one row per
     key (latest by ts) and merge into the parquet target — the
-    streaming-native form of the reference's whole-snapshot upsert."""
+    streaming-native form of the reference's whole-snapshot upsert.
+
+    Latest-by-ts holds ACROSS batches, not just within one: the merge
+    runs with ``precedence_col='ts'``, so a late-arriving batch of
+    older events (file arrival order is not event order, and
+    availableNow can split input into several batches) cannot
+    overwrite a newer row already in the target."""
     from pyspark.sql import Window
 
     keys = list(keys)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.columns:
+        if batch_df.isEmpty():
+            # a 0-row trigger must not pay a full read-merge-rewrite of
+            # the target (note: checking .columns instead would never
+            # fire — a schema'd stream always has columns)
             return
         w = Window.partitionBy(*keys).orderBy(F.col("ts").desc(), F.col("event_id").desc())
         latest = (
@@ -259,7 +292,9 @@ def stream_upsert_job(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        merge_upsert_parquet(batch_df.sparkSession, latest, target_path, keys)
+        merge_upsert_parquet(
+            batch_df.sparkSession, latest, target_path, keys, precedence_col="ts"
+        )
 
     q = (
         _event_stream(spark, events_path)
@@ -294,9 +329,22 @@ def stream_partitioned_upsert_job(
     keys, partition_cols = list(keys), list(partition_cols)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.columns:
+        if batch_df.isEmpty():
             return
-        with_day = batch_df.withColumn("day", F.col("ts").cast("date"))
+        from pyspark.sql import Window
+
+        # one row per key, latest by event time: merge_upsert_df's
+        # contract requires per-key-unique updates, and a raw batch can
+        # repeat a key (duplicate event ids in the source, replays)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        with_day = latest.withColumn("day", F.col("ts").cast("date"))
         merge_upsert_partitioned(
             batch_df.sparkSession, with_day, target_path, keys, partition_cols
         )
@@ -331,19 +379,27 @@ def incremental_agg_apply_batch(
     view at ``target_path``. Returns False (no-op) when ``epoch_id`` is
     already recorded in the view's ``_applied_epoch`` marker — the
     replay-after-crash case foreachBatch's at-least-once contract
-    allows. The marker travels inside the staged directory, so the
-    view and its epoch watermark swap atomically in one rename.
+    allows. The marker travels inside the staged directory and the
+    stage replaces the view via the crash-safe backup-aside swap
+    (``replace_dir``): a crash mid-swap leaves ``.<view>.bak``
+    recoverable instead of destroying the accumulated totals the way
+    a bare rmtree+rename would.
 
     The view directory and the streaming checkpoint form a pair:
     epoch ids are only monotonic within one checkpoint lineage, so to
     rebuild from scratch delete BOTH (a fresh checkpoint restarts epoch
     numbering at 0, which the marker of a kept view would shadow)."""
+    import glob
     import os
     import shutil
     import uuid
 
-    if not batch_df.columns:
+    if batch_df.isEmpty():
         return False
+    # clear stage dirs orphaned by a prior crash (single-writer by the
+    # streaming checkpoint's contract, so anything here is dead)
+    for stale in glob.glob(target_path + "_stage_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(target_path, _INC_EPOCH_MARKER)
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -374,9 +430,7 @@ def incremental_agg_apply_batch(
     part.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _INC_EPOCH_MARKER), "w") as fh:
         fh.write(str(epoch_id))
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
+    replace_dir(tmp, target_path)
     return True
 
 

@@ -54,11 +54,18 @@ def _sessionize_fn(gap_s: int):
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        # floor to epoch seconds FIRST, then diff — matches the batch
-        # twin's unix_timestamp() semantics on sub-second timestamps
-        ts_ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]")
-        secs = (ts_ns.astype("int64") // 1_000_000_000).to_list()
+        # ts_s is unix_timestamp() computed JVM-SIDE before the state
+        # operator: Arrow hands Python tz-NAIVE timestamps rendered in
+        # the session timezone, so flooring those to "epoch" seconds
+        # here would be off by the zone offset whenever the session tz
+        # is not UTC and would repeat/skip an hour across DST
+        # transitions (merging/splitting sessions wrongly). A plain
+        # BIGINT column has no timezone to get wrong, and matches the
+        # batch twin's unix_timestamp() bit-for-bit. Ordering by
+        # (ts_s, event_id) is deterministic; sub-second order within a
+        # second cannot change gap decisions, which see only seconds.
+        batch = batch.sort_values(["ts_s", "event_id"], kind="mergesort")
+        secs = batch["ts_s"].astype("int64").to_list()
 
         if state.exists:
             sid, n, start, last = state.get
@@ -99,7 +106,13 @@ def sessionize_stream(
     """
     from .jobs import _event_stream
 
-    stream = _event_stream(spark, events_path).select("user_id", "event_id", "ts")
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, events_path).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn(gap_s),
         outputStructType=OUTPUT_SCHEMA,
@@ -119,12 +132,15 @@ def sessionize_stream(
         q.awaitTermination()
     finally:
         q.stop()
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import Window
+
+    from .jobs import _drain_memory_sink
 
     w = Window.partitionBy("user_id", "session_id").orderBy(F.col("n_events").desc())
-    return (
+    return _drain_memory_sink(
         spark.table(name)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn"),
+        name,
     )

@@ -128,7 +128,9 @@ def test_replace_dir_is_crash_safe_and_clears_stale_backup(tmp_path):
     target.mkdir()
     (target / "a.txt").write_text("old")
     # stale backup from a simulated prior crash must not break the swap
-    stale = tmp_path / "live.bak"
+    # (hidden name: a visible sibling would break partition discovery
+    # when the target is a hive partition inside a table root)
+    stale = tmp_path / ".live.bak"
     stale.mkdir()
     (stale / "junk.txt").write_text("junk")
     new = tmp_path / "incoming"
