@@ -322,3 +322,61 @@ def test_zorder_clustering_keeps_both_columns_stats_tight(spark, sf_small, tmp_p
     got = spark.read.parquet(p_z)
     assert got.count() == ev.count()
     assert got.exceptAll(ev).count() == 0 and ev.exceptAll(got).count() == 0
+
+
+def test_partition_merge_preserves_null_partition_rows(spark, tmp_path):
+    """A NULL partition value (hive __HIVE_DEFAULT_PARTITION__) must
+    merge like any other partition. The == pruning filter was NULL for
+    those rows, reading zero base rows while dynamic overwrite still
+    rewrote the partition — silently deleting previously merged data;
+    eqNullSafe keeps them."""
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, None, 10.0), (2, "2024-01-01", 20.0)],
+        "event_id long, day string, value double",
+    )
+    merge_upsert_partitioned(
+        spark, first, path, keys=["event_id"], partition_cols=["day"]
+    )
+    second = spark.createDataFrame(
+        [(3, None, 30.0)], "event_id long, day string, value double"
+    )
+    merge_upsert_partitioned(
+        spark, second, path, keys=["event_id"], partition_cols=["day"]
+    )
+    got = {
+        (r.event_id, r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    # event 1 (the pre-existing null-partition row) must survive
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+
+def test_merge_upsert_precedence_keeps_newer_base_rows(spark):
+    """precedence_col merges keep-newest: an update batch carrying an
+    OLDER event must not clobber a newer base row (late file arrival),
+    while newer updates still win — and ties go to the update."""
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_df
+
+    base = spark.createDataFrame(
+        [(1, 100, "new-base"), (2, 50, "old-base"), (3, 10, "tie-base")],
+        "k long, ts long, v string",
+    )
+    updates = spark.createDataFrame(
+        [(1, 90, "stale-upd"), (2, 60, "fresh-upd"), (3, 10, "tie-upd"), (4, 1, "insert")],
+        "k long, ts long, v string",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert_df(base, updates, ["k"], precedence_col="ts").collect()
+    }
+    assert got == {1: "new-base", 2: "fresh-upd", 3: "tie-upd", 4: "insert"}
+    # default (no precedence) stays last-write-wins
+    got_default = {
+        r.k: r.v for r in merge_upsert_df(base, updates, ["k"]).collect()
+    }
+    assert got_default[1] == "stale-upd"

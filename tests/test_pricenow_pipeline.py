@@ -300,3 +300,30 @@ def test_build_prices_requires_seq(spark):
             SeasonConfig(start=dt.date(2026, 1, 10), end=dt.date(2026, 1, 20)),
             dt.datetime(2026, 1, 1),
         )
+
+
+def test_jdbc_upsert_all_key_columns_do_nothing(spark, tmp_path):
+    """A table whose every column is a key has nothing to update on
+    conflict; the statement must be ON CONFLICT ... DO NOTHING (an
+    empty DO UPDATE SET is a syntax error)."""
+    import functools
+
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import jdbc_upsert
+
+    db = str(tmp_path / "keys.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE dim_keys (user_id INT, kind TEXT, PRIMARY KEY (user_id, kind))")
+        c.execute("INSERT INTO dim_keys VALUES (1, 'a')")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "user_id long, kind string"
+    ).coalesce(1)
+    jdbc_upsert(
+        df,
+        table="dim_keys",
+        keys=["user_id", "kind"],
+        connect=functools.partial(_sqlite_connect, db),
+        paramstyle="?",
+    )
+    with sqlite3.connect(db) as c:
+        rows = sorted(c.execute("SELECT user_id, kind FROM dim_keys").fetchall())
+    assert rows == [(1, "a"), (2, "b")]
