@@ -94,7 +94,15 @@ def lang_predict(toks: Column) -> Column:
 
 def quality_features(c: Column | str) -> dict[str, Column]:
     """Deterministic quality features: all ratios are double divisions
-    of integer counts, so they compare exactly across engines."""
+    of integer counts, so they compare exactly across engines.
+
+    ``try_divide``, not ``/``: an empty document has n_chars = 0 (and
+    a punctuation-only one n_tokens = 0), and 0.0/0 is NaN under IEEE
+    double division — NaN then poisons averages and behaves
+    surprisingly in comparisons. try_divide yields NULL for exactly
+    those rows, which is also what DuckDB's default division-by-zero
+    semantics produce, keeping the oracle comparison aligned on
+    degenerate inputs."""
     c = F.col(c) if isinstance(c, str) else c
     toks = tokens(c)
     n_chars = F.length(c)
@@ -102,9 +110,13 @@ def quality_features(c: Column | str) -> dict[str, Column]:
     return {
         "n_chars_calc": n_chars,
         "n_tokens": n_toks,
-        "avg_token_len": n_chars.cast("double") / n_toks,
-        "punct_ratio": F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / n_chars,
-        "stop_ratio": stopword_count(toks, LANG_STOPWORDS["en"]).cast("double") / n_toks,
+        "avg_token_len": F.try_divide(n_chars.cast("double"), n_toks),
+        "punct_ratio": F.try_divide(
+            F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double"), n_chars
+        ),
+        "stop_ratio": F.try_divide(
+            stopword_count(toks, LANG_STOPWORDS["en"]).cast("double"), n_toks
+        ),
     }
 
 

@@ -12,8 +12,9 @@ three semantics, engine-side and scheduler-agnostic:
   when is the next slot, and has a slot elapsed since the last
   successful run (so a missed slot is made up on the next tick, which
   is how cron-with-catchup behaves).
-- ``RunLock``: a filesystem mutex (atomic ``O_EXCL`` create, pid +
-  timestamp inside, stale-lock takeover) — the workflow's concurrency
+- ``RunLock``: a filesystem mutex (atomic create-with-content via
+  ``os.link``, pid + timestamp inside, stale-lock takeover) — the
+  workflow's concurrency
   group for environments without one. ``cancel-in-progress: false``
   maps to "second runner skips instead of killing the first".
 - ``run_guarded``: compose both around a callable and record the
@@ -69,8 +70,9 @@ def is_due(
 class RunLock:
     """Filesystem concurrency group: at most one holder per ``path``.
 
-    ``acquire`` atomically creates the lock file (``O_EXCL``) with the
-    holder's pid and UTC timestamp; a lock older than
+    ``acquire`` atomically publishes the lock file — contents included
+    (private temp + ``os.link``) — with the holder's pid and UTC
+    timestamp; a lock older than
     ``stale_after_s`` is considered abandoned (crashed runner) and
     taken over — the moral equivalent of the workflow timeout freeing
     the concurrency group (yml:21: ``timeout-minutes: 30``)."""
@@ -81,9 +83,21 @@ class RunLock:
 
     def acquire(self, now: dt.datetime | None = None) -> bool:
         now = _utc(now or dt.datetime.now(dt.timezone.utc))
+        # Publish the lock atomically WITH its contents: write a private
+        # temp file first, then os.link it to the lock path — link fails
+        # with FileExistsError instead of overwriting. The previous
+        # O_CREAT|O_EXCL + write-after scheme made the lock visible
+        # EMPTY for a moment; a contender reading the empty file in that
+        # window judged it unreadable->stale and stole a live lock (two
+        # holders). With create-with-content there is no such window:
+        # an unreadable lock can only be real corruption.
+        tmp = f"{self.path}.new.{os.getpid()}.{id(self):x}"
+        with open(tmp, "w") as fh:
+            json.dump({"pid": os.getpid(), "acquired_at": now.isoformat()}, fh)
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self.path)
         except FileExistsError:
+            os.unlink(tmp)
             try:
                 with open(self.path) as fh:
                     held = json.load(fh)
@@ -117,7 +131,7 @@ class RunLock:
                 and (now - grabbed_at).total_seconds() < self.stale_after_s
             ):
                 # Give the live lock back. While self.path is absent a third
-                # contender's O_CREAT|O_EXCL can succeed, so a rename here
+                # contender's link-publish can succeed, so a rename here
                 # would atomically clobber THEIR fresh lock (two holders).
                 # link() fails with FileExistsError instead of overwriting:
                 # if someone re-created the path, leave their lock alone —
@@ -131,20 +145,22 @@ class RunLock:
                 return False
             os.unlink(takeover)
             return self.acquire(now)
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"pid": os.getpid(), "acquired_at": now.isoformat()}, fh)
+        os.unlink(tmp)
         return True
 
     def release(self) -> None:
         # Only unlink a lock this process owns: if our lock was deemed stale
         # and taken over, self.path now belongs to another process and
-        # unlinking it would break THEIR mutual exclusion.
+        # unlinking it would break THEIR mutual exclusion. An unreadable
+        # lock FAILS CLOSED (return, don't unlink): it isn't provably
+        # ours, and deleting a live contender's lock would let a third
+        # runner in — the exact failure this class exists to prevent.
         try:
             with open(self.path) as fh:
                 if json.load(fh).get("pid") != os.getpid():
                     return
         except (OSError, ValueError):
-            pass
+            return
         try:
             os.unlink(self.path)
         except FileNotFoundError:
@@ -169,9 +185,14 @@ def run_guarded(
     now = _utc(now or dt.datetime.now(dt.timezone.utc))
     stamp_path = os.path.join(state_dir, "last_success.json")
     last = None
-    if os.path.exists(stamp_path):
+    # a corrupt stamp (crash mid-write on an older version, disk fault)
+    # reads as never-ran -> due now, instead of crash-looping the
+    # scheduler forever on a JSONDecodeError
+    try:
         with open(stamp_path) as fh:
             last = dt.datetime.fromisoformat(json.load(fh)["finished_at"])
+    except (OSError, ValueError, KeyError):
+        last = None
     if not force and not is_due(now, last, utc_hours):
         return {"ran": False, "reason": "not_due", "next_due": next_due(now, utc_hours).isoformat()}
     lock = RunLock(os.path.join(state_dir, "run.lock"))
@@ -179,8 +200,12 @@ def run_guarded(
         return {"ran": False, "reason": "already_running"}
     try:
         result = job()
-        with open(stamp_path, "w") as fh:
+        # write-then-rename: the stamp is never visible half-written
+        # (a truncate-then-write left a zero-byte stamp on crash)
+        tmp = f"{stamp_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump({"finished_at": now.isoformat()}, fh)
+        os.replace(tmp, stamp_path)
         return {"ran": True, "result": result}
     finally:
         lock.release()

@@ -49,7 +49,7 @@ def get_spark(
     Shuffle partitions default to the local core count — at cluster
     scale this is overridden by AQE's partition coalescing anyway.
     """
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
     builder = (

@@ -27,8 +27,11 @@ def products_from_payloads(spark: SparkSession, payloads: list[str]) -> DataFram
     wrapped = F.from_json(F.col("body"), PRODUCT_ENVELOPE)
     # from_json(ArrayType) turns a dict payload into [null] rather than
     # null, so dispatch on the body's first character instead of
-    # coalescing bare-vs-wrapped directly.
-    is_bare = F.ltrim(F.col("body")).startswith("[")
+    # coalescing bare-vs-wrapped directly. First NON-WHITESPACE char:
+    # Spark's ltrim strips only ASCII space, so a pretty-printed body
+    # starting with a newline/tab before '[' would be misrouted to the
+    # envelope parser and silently yield zero rows.
+    is_bare = F.regexp_extract(F.col("body"), r"^\s*(\S)", 1) == "["
     products = F.when(is_bare, bare).otherwise(
         F.coalesce(wrapped["data"], wrapped["items"], wrapped["results"], F.array())
     )

@@ -161,14 +161,30 @@ class PaginatedRestSource:
 
     def fetch_all(self, path: str, params: dict, page_size: int | None = None) -> list[dict]:
         """S3: loop pages until an empty or short page; hard bound at
-        max_pages (py:179-190)."""
+        max_pages (py:179-190, same silent-cap semantics as the
+        reference). Hitting the bound on a FULL page means the
+        endpoint may hold more rows than were returned — logged as a
+        warning so truncation is distinguishable from natural
+        termination."""
         ps = page_size or self.cfg.page_size
         rows: list[dict] = []
+        batch: list[dict] = []
         for page in range(self.cfg.max_pages):
             batch = self.fetch_page(path, params, page, ps)
             rows.extend(batch)
             if len(batch) < ps:
                 break
+        else:
+            if len(batch) >= ps:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "fetch_all(%s): stopped at max_pages=%d with a full last "
+                    "page — result may be truncated (%d rows returned)",
+                    path,
+                    self.cfg.max_pages,
+                    len(rows),
+                )
         return rows
 
     def to_dataframe(

@@ -98,9 +98,14 @@ class RestPricesReader(DataSourceReader):
                 if isinstance(f, EqualTo):
                     self.pushed_params["ids"] = str(f.value)
                 elif isinstance(f, In):
-                    self.pushed_params["ids"] = ",".join(
-                        str(v) for v in sorted(f.value)
-                    )
+                    # drop NULLs before sorting: IN (..., NULL) can
+                    # never match NULL anyway, and sorted() on a
+                    # None-containing list raises TypeError at plan
+                    # time; the filter stays a leftover either way, so
+                    # Spark re-applies the exact original semantics
+                    vals = sorted(v for v in f.value if v is not None)
+                    if vals:
+                        self.pushed_params["ids"] = ",".join(str(v) for v in vals)
         return iter(filters)  # conservative: every filter re-checked by Spark
 
     def partitions(self) -> Sequence[InputPartition]:

@@ -179,9 +179,14 @@ def test_run_lock_release_by_non_owner_is_noop(tmp_path):
         json.dump({"pid": _os.getpid() + 99999, "acquired_at": now.isoformat()}, fh)
     RunLock(path, stale_after_s=600).release()
     assert _os.path.exists(path)  # foreign lock untouched
-    # an unreadable lock still releases (fail-open, matches acquire's
-    # unreadable-is-stale policy)
+    # an unreadable lock FAILS CLOSED on release: it is not provably
+    # ours, and unlinking a live contender's mid-takeover lock would
+    # admit a third holder. Recovery belongs to acquire(), whose
+    # rename-based stale takeover handles corrupt locks without ever
+    # bare-unlinking a fresh one.
     with open(path, "w") as fh:
         fh.write("not json")
     RunLock(path, stale_after_s=600).release()
-    assert not _os.path.exists(path)
+    assert _os.path.exists(path)
+    # ...and the next acquire() still recovers the corrupt lock
+    assert RunLock(path, stale_after_s=600).acquire(now)
