@@ -59,6 +59,15 @@ def asof_join(
             .drop("__rn")
         )
     left_cols = left.columns
+    # NULL-timestamp handling must match SQL three-valued logic (and
+    # DuckDB's native ASOF JOIN): a NULL ts satisfies neither <= nor >=,
+    # so (a) right rows with NULL ts can never be picked — drop them
+    # before the union (NULLS FIRST ordering would otherwise seed every
+    # early left row with their value), and (b) left rows with NULL ts
+    # must come out with NULL asof values — the nulls-first orderings
+    # below place them before any real right row so the running fill
+    # has seen nothing.
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         *on,
         F.col(ts_col),
@@ -74,7 +83,11 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         *[F.col(c) for c in left_cols if c not in on and c != ts_col],
     )
-    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    ts_order = (
+        F.col(ts_col).asc_nulls_first()
+        if direction == "backward"
+        else F.col(ts_col).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(ts_order, F.col("__side").asc())

@@ -63,8 +63,14 @@ def forward_fill_daily(
     tie = tie_break_cols or []
 
     # T5 null-validity filter (py:204-208) + drop changes after the grid.
+    # The cutoff compares CALENDAR DATES: cast first, because comparing a
+    # timestamp-typed date_col against a date literal promotes the date
+    # to midnight and silently drops same-day changes after 00:00 on
+    # grid_end (the clamping below already casts the same way).
     chg = changes.na.drop(subset=key_cols + [date_col, value_col])
-    chg = chg.filter(F.col(date_col) <= F.lit(str(grid_end)).cast("date"))
+    chg = chg.filter(
+        F.col(date_col).cast("date") <= F.lit(str(grid_end)).cast("date")
+    )
 
     # Seed lookback: pre-grid changes participate, pinned to grid_start.
     clamped = F.greatest(F.col(date_col).cast("date"), F.lit(str(grid_start)).cast("date"))
@@ -139,7 +145,16 @@ def linear_interpolate_daily(
     ties = tie_break_cols or []
 
     d = F.col(date_col)
-    in_range = changes.filter((d >= F.lit(start)) & (d <= F.lit(end)))
+    # same null-validity rule as forward_fill_daily: a NULL-valued (or
+    # NULL-keyed) change row is not an anchor. Keeping it would
+    # desynchronize prev_d from prev_v — last(__d, ignorenulls) advances
+    # to the NULL-valued row's date while last(__v, ignorenulls) still
+    # holds the older anchor's value, corrupting the slope for every day
+    # until the next real anchor (and a NULL-valued row could win the
+    # per-day dedup over a real same-day change).
+    in_range = changes.na.drop(subset=[*key_cols, value_col]).filter(
+        (d >= F.lit(start)) & (d <= F.lit(end))
+    )
     pick = Window.partitionBy(*key_cols, date_col).orderBy(
         *[F.col(c).desc() for c in [date_col, *ties]]
     )

@@ -196,7 +196,11 @@ def ivf_topk(
                 6,
             ).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed — and the shuffle it would cost is pure waste:
+        # every neighbor carries exactly ONE cent_id (ivf_list_assign is
+        # a per-id argmax) and probes are distinct (query_id, cent_id)
+        # rows, so the cent_id equi-join can produce each
+        # (query_id, neighbor_id) pair at most once by construction
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -648,7 +652,6 @@ def kmeans_assign_2iter(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
-    dim: int = 64,
     fp_scale: int = 2**40,
 ) -> DataFrame:
     """Two fixed Lloyd iterations of cosine k-means, fully
@@ -717,6 +720,13 @@ def kmeans_assign_2iter(
         )
 
     def recompute(assigned: DataFrame) -> DataFrame:
+        # per-row fixed-point terms are ~|val| * 2^40 ≈ 2^40..2^43; a
+        # BIGINT sum would overflow past ~2^23 cluster members (tens of
+        # millions of vectors at n_centroids=8 — far below the target
+        # scale), silently wrapping non-ANSI or failing ANSI. Accumulate
+        # in decimal(38,0) instead (exact to ~10^38, i.e. ~10^25 rows);
+        # DuckDB's SUM(BIGINT) widens to HUGEINT the same way, so the
+        # oracle parity is unchanged.
         comp = (
             assigned.join(corpus_n.select(F.col(id_col), F.col(vec_col)), id_col)
             .select("cent_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -724,7 +734,9 @@ def kmeans_assign_2iter(
             .agg(
                 (
                     F.sum(
-                        F.floor(F.col("val").cast("double") * F.lit(float(fp_scale))).cast("long")
+                        F.floor(F.col("val").cast("double") * F.lit(float(fp_scale)))
+                        .cast("long")
+                        .cast("decimal(38,0)")
                     ).cast("double")
                     / (F.count("*") * F.lit(float(fp_scale)))
                 ).alias("mean_val")
@@ -783,13 +795,21 @@ def brute_force_topk_arrow(
             if len(c_mat) == 0:
                 continue
             cn = np.sqrt((c_mat * c_mat).sum(axis=1))
-            sims = (c_mat @ mat.T) / np.outer(cn, qn)  # |batch| x |Q|
+            # zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE
+            # every real double, so an unguarded degenerate vector would
+            # take rank 1 for every query. Emit no candidate row instead
+            # — matching the JVM path's try_divide-NULL, which a
+            # descending sort puts last and the top-k never reaches.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c_mat @ mat.T) / np.outer(cn, qn)  # |batch| x |Q|
             n_c, n_q = sims.shape
+            flat = sims.ravel()
+            keep = np.isfinite(flat)
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(ids, n_c),
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
-                    "cos_sim": np.round(sims.ravel(), 6),
+                    "query_id": np.tile(ids, n_c)[keep],
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q)[keep],
+                    "cos_sim": np.round(flat[keep], 6),
                 }
             )
 
@@ -995,66 +1015,49 @@ def lsh_topk(
     """Approximate cosine top-k: candidates share an LSH bucket in any
     of ``n_tables`` independent hash tables, then exact re-rank.
     Returns the same schema as ``brute_force_topk`` (rank <= k; fewer
-    rows possible when recall misses)."""
-    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
-        out = df
-        for t in range(n_tables):
-            # each table uses its own slice of the deterministic plane space
-            bits = [
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            _hyperplane(t * n_planes + p, dim),
-                            lambda x, y: x.cast("double") * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for p in range(n_planes)
-            ]
-            out = out.withColumn(f"{prefix}b{t}", F.concat(*bits))
-        return out
+    rows possible when recall misses).
 
-    q = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "q"
+    Shares ``sign_lsh_buckets_long`` with the near-dup/stats operators
+    (identical plane space → identical buckets), and moves ONLY
+    (id, tbl, bucket) rows through the bucket join and the candidate
+    dedup — the 64-float vectors re-attach to the surviving distinct
+    pairs by id-join (query side broadcast: small by contract), the
+    same measured-6x shape as ``lsh_near_dup_pairs``."""
+    qb = sign_lsh_buckets_long(queries, id_col, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col).alias("query_id"), "tbl", "bucket"
     )
-    # n_tables x n_planes projections per corpus row: fan the scan out
-    c = with_buckets(
-        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "c"
-    )
-    qb = q.select(
-        "query_id",
-        F.col(vec_col).alias("__qvec"),
-        F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"qb{t}")) for t in range(n_tables)])
-        ).alias("bucket"),
-    )
-    cb = c.select(
-        "neighbor_id",
-        F.col(vec_col).alias("__cvec"),
-        F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{t}/"), F.col(f"cb{t}")) for t in range(n_tables)])
-        ).alias("bucket"),
-    )
+    cb = sign_lsh_buckets_long(
+        fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim
+    ).select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
     cand = (
-        qb.join(cb, "bucket")
+        qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qn", "__cn")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_prenormed(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")),
-            6,
-        ).alias("cos_sim"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -44,6 +44,17 @@ def salted_sum_count(
     algebraic aggregates; decimal accumulation keeps the sum
     order-independent so salting cannot change the result.
 
+    Domain contract of the decimal(25,6) accumulator: values must fit
+    19 integral digits (|v| < 10^19 — money-like measures do by
+    orders of magnitude) and are rounded to 6 decimal places. Outside
+    that domain the per-value cast overflows (NULL non-ANSI, error
+    under ANSI) and the "identical to a plain groupBy" claim no
+    longer holds — this is the same deliberate precision/range trade
+    every decimal-accumulated oracle query in plans/ makes, not a
+    salting artifact. Widening to decimal(38,6) would lift the value
+    bound but leave the SUM no growth headroom (sum of decimal(38,_)
+    stays 38 digits), which is the worse failure at scale.
+
     Caveat: rows that are *bit-identical duplicates* of each other
     hash to the same salt, so a hot key whose rows are all identical
     does not spread. For that shape, pre-aggregate identical rows to

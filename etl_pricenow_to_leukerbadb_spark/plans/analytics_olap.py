@@ -1510,7 +1510,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH chg AS (
   SELECT user_id, CAST(ts AS DATE) AS cd, ts, event_id, value
   FROM events
-  WHERE event_type = 'purchase'
+  WHERE event_type = 'purchase' AND value IS NOT NULL
     AND CAST(ts AS DATE) >= DATE '{{GS}}' AND CAST(ts AS DATE) <= DATE '{{GE}}'
 ), dedup AS (
   SELECT user_id, cd, value FROM (

@@ -795,3 +795,70 @@ def test_containment_catches_excerpts_jaccard_misses(spark):
     assert jac[(1, 2)] < 0.05
     # unrelated doc appears in neither
     assert not any(3 in p for p in con)
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """SQL three-valued logic: a NULL ts satisfies neither <= nor >=.
+    NULL-ts right rows must never be picked (NULLS FIRST ordering used
+    to seed every early left row with their value), and NULL-ts left
+    rows must come out with NULL asof values in BOTH directions (the
+    forward window's default NULLS LAST used to hand them the earliest
+    right row). DuckDB's native ASOF JOIN agrees."""
+    from etl_pricenow_to_leukerbadb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "early"), (1, 20, "late"), (1, None, "null-ts")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, 10, 1.0)], "k long, ts long, v double"
+    )
+    for direction, expected in (
+        ("backward", {"early": None, "late": 1.0, "null-ts": None}),
+        ("forward", {"early": 1.0, "late": None, "null-ts": None}),
+    ):
+        got = {
+            r.tag: r.asof_v
+            for r in asof_join(
+                left, right, on=["k"], ts_col="ts", value_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == expected, direction
+
+
+def test_linear_interpolate_ignores_null_value_anchors(spark):
+    """A NULL-valued change row is not an anchor: keeping it would let
+    prev_d advance past prev_v's row and corrupt the slope for every
+    day until the next real anchor."""
+    from etl_pricenow_to_leukerbadb_spark.operators.forward_fill import (
+        linear_interpolate_daily,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (1, "2024-01-03", None),  # must be invisible
+            (1, "2024-01-05", 20.0),
+        ],
+        "k long, d string, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    got = {
+        str(r.day): r.v
+        for r in linear_interpolate_daily(
+            changes,
+            key_cols=["k"],
+            date_col="d",
+            value_col="v",
+            grid_start="2024-01-01",
+            grid_end="2024-01-05",
+        ).collect()
+    }
+    # pure 10 -> 20 line over 4 days; the NULL row contributes nothing
+    assert got == {
+        "2024-01-01": 10.0,
+        "2024-01-02": 12.5,
+        "2024-01-03": 15.0,
+        "2024-01-04": 17.5,
+        "2024-01-05": 20.0,
+    }
