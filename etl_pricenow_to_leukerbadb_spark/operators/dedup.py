@@ -124,7 +124,18 @@ def lsh_candidate_pairs(
     """Band the signature (rows_per_band = n_hashes // bands) and emit
     distinct candidate pairs sharing any band bucket. The self-join is
     blocked on (band, bucket_key) — no quadratic blow-up unless the
-    data genuinely collides."""
+    data genuinely collides.
+
+    ``bands`` must divide ``n_hashes``: bands > n_hashes would make
+    every bucket key the empty string (the blocking degenerates to the
+    all-pairs cross join this operator exists to prevent), and a
+    non-divisor would silently ignore the trailing hash columns,
+    lowering recall below what the caller configured."""
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(
+            f"lsh_candidate_pairs: bands={bands} must evenly divide "
+            f"n_hashes={n_hashes}"
+        )
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -157,24 +168,27 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k_shingle: int = 5,
-    min_jaccard: float = 0.2,
-    max_shingle_df: int | None = None,
+    k_shingle: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """Exact Jaccard similarity over distinct k-shingle sets for every
-    pair sharing at least one (sufficiently rare) shingle.
+    """Shared inverted-index stage for the n-gram pair metrics:
+    (id_a, id_b, n_common, n_a, n_b) over the distinct k-shingle sets
+    of every document pair sharing at least one shingle.
 
     ``max_shingle_df`` drops shingles appearing in more than that many
-    documents before the inverted-index join — the standard guard
-    against hot-shingle skew at scale (changes candidate recall, not
-    the Jaccard values of surviving pairs' shared-rare-shingle sets).
-    """
+    documents — the standard hot-shingle skew guard at scale. The set
+    SIZES are computed from the SAME filtered shingle universe as the
+    intersections: mixing pre-filter sizes with post-filter
+    intersections would understate every metric (two identical docs
+    whose shingles are mostly ubiquitous would score n_common=1 over
+    n_a=n_b=10 — Jaccard 0.05 for a true duplicate). With the cap,
+    every downstream metric is therefore the EXACT metric over the
+    rare-shingle universe; without it, over the full shingle sets."""
     sh = doc_shingles(df, id_col, text_col, k_shingle)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -183,6 +197,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -196,9 +211,23 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-shingle sets for every
+    pair sharing at least one (sufficiently rare) shingle — see
+    ``_shingle_pair_counts`` for the blocking and the hot-shingle cap
+    semantics (sizes and intersections share one shingle universe)."""
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        _shingle_pair_counts(df, id_col, text_col, k_shingle, max_shingle_df)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -222,35 +251,10 @@ def ngram_containment_pairs(
     relationships that Jaccard structurally misses (a short doc fully
     contained in a long one has Jaccard ~ |short|/|long| -> 0 but
     containment 1.0; Broder's resemblance-vs-containment distinction).
-    Same inverted-index join as ``ngram_jaccard_pairs`` — shuffle
-    proportional to shared-shingle pairs, never all-pairs — with the
-    same optional hot-shingle cap."""
-    sh = doc_shingles(df, id_col, text_col, k_shingle)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    Shares ``_shingle_pair_counts`` with ``ngram_jaccard_pairs`` —
+    shuffle proportional to shared-shingle pairs, never all-pairs."""
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        _shingle_pair_counts(df, id_col, text_col, k_shingle, max_shingle_df)
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
@@ -313,6 +317,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     changed = -1
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.a == labels.node)
@@ -334,6 +339,14 @@ def connected_components(
         changed = new_labels.filter(
             F.col("new_component") != F.col("component")
         ).count()
+        # the PREVIOUS round's persisted blocks (reliable path: persist
+        # backs the checkpoint write) are dead once this round is
+        # materialized — without the unpersist a long job accumulates
+        # one round's labels per iteration in storage memory for the
+        # session lifetime (no-op on the localCheckpoint path)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new_labels
         labels = new_labels.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
@@ -433,10 +446,14 @@ def connected_components_twophase(
         # dominates when the edge set is small and per-job overhead is
         # the cost driver.
         cnt = after.count()
-        if cnt == prev_count and after.exceptAll(edges).isEmpty():
-            edges = after
-            break
+        converged = cnt == prev_count and after.exceptAll(edges).isEmpty()
+        # previous round's persisted blocks are dead now that `after` is
+        # materialized (and the convergence compare above has run) —
+        # see the matching unpersist note in connected_components
+        edges.unpersist()
         edges, prev_count = after, cnt
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"connected_components_twophase: no fixpoint after {max_rounds} rounds"

@@ -101,6 +101,12 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             payloads = pdf[payload_col]
             n_bytes, sha, widths, heights, frames = [], [], [], [], []
             for b in payloads:
+                if b is None:
+                    # NULL payload -> NULL metadata (keep the row for
+                    # audits); bytes(None) would TypeError the whole job
+                    for acc in (n_bytes, sha, widths, heights, frames):
+                        acc.append(None)
+                    continue
                 raw = bytes(b)
                 n_bytes.append(len(raw))
                 sha.append(hashlib.sha256(raw).hexdigest())
@@ -111,11 +117,11 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes,
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
                     "sha256": sha,
-                    "width": pd.Series(widths, dtype="int32"),
-                    "height": pd.Series(heights, dtype="int32"),
-                    "n_frames": pd.Series(frames, dtype="int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="Int32"),
                 }
             )
 
@@ -133,11 +139,18 @@ def resize_media_fake(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            new_w = pdf["width"].clip(upper=max_dim)
-            new_h = pdf["height"].clip(upper=max_dim)
-            scaled = (
-                pdf["n_bytes"] * (new_w * new_h) // (pdf["width"] * pdf["height"])
-            )
+            # int64 BEFORE multiplying: width*height of two int32 series
+            # wraps at 2^31 (a 65536x65536 decode wraps to 0 and then
+            # floor-divides by zero, which numpy silently maps to 0);
+            # zero-area rows estimate 0 bytes explicitly instead
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            new_w = w.clip(upper=max_dim)
+            new_h = h.clip(upper=max_dim)
+            area = w * h
+            scaled = (pdf["n_bytes"].astype("int64") * (new_w * new_h)).floordiv(
+                area.where(area > 0, 1)
+            ).where(area > 0, 0)
             yield type(pdf)(
                 {
                     "doc_id": pdf[id_col],
@@ -159,7 +172,10 @@ def sample_frames(
     frame with its byte offset into the payload — the JVM-side
     (explode) half of a video pipeline; a real frame extractor would
     follow as a mapInPandas over (payload, frame_offset) slices."""
-    stride = decoded.select(
+    # zero-frame rows (a real decoder's corrupt-file branch) must emit
+    # zero sampled rows, not crash: sequence(0, -1, k) raises "Illegal
+    # sequence boundaries" at runtime
+    stride = decoded.filter(F.col("n_frames") > 0).select(
         F.col(id_col),
         F.col("n_bytes"),
         F.col("n_frames"),
@@ -189,16 +205,29 @@ def fake_decode_media(
 
         import pandas as pd
 
+        def m(payloads, fn):
+            # NULL payload -> NULL metadata, same contract as the real
+            # decoder (len(None)/bytes(None) would fail the job)
+            return payloads.map(lambda b: None if b is None else fn(bytes(b)))
+
         for pdf in batches:
             payloads = pdf[payload_col]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len),
-                    "sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "width": payloads.map(lambda b: 16 + (bytes(b)[0] if len(b) else 0)),
-                    "height": payloads.map(lambda b: 16 + (bytes(b)[-1] if len(b) else 0)),
-                    "n_frames": payloads.map(lambda b: 1 + len(b) % 7),
+                    "n_bytes": pd.array(m(payloads, len), dtype="Int64"),
+                    "sha256": m(payloads, lambda b: hashlib.sha256(b).hexdigest()),
+                    "width": pd.array(
+                        m(payloads, lambda b: 16 + (b[0] if len(b) else 0)),
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        m(payloads, lambda b: 16 + (b[-1] if len(b) else 0)),
+                        dtype="Int32",
+                    ),
+                    "n_frames": pd.array(
+                        m(payloads, lambda b: 1 + len(b) % 7), dtype="Int32"
+                    ),
                 }
             )
             yield out

@@ -46,8 +46,14 @@ def build_products(
     """E2: products payload -> product dimension (product_id, category,
     age, duration, duration_days, updated_at)."""
     defs = explode_product_definitions(products_from_payloads(spark, payloads))
+    # T4, pre-fetch. NULL-age definitions are KEPT: the reference's
+    # `if age != 'small_child'` (py:322) is true for None, while a bare
+    # ~isin() is NULL for NULL and filter() would silently drop the row
+    # (and never fetch its prices) — a semantic divergence, not a
+    # cleanup.
+    keep = F.col("age").isNull() | ~F.col("age").isin(*excluded_ages)
     return (
-        defs.filter(~F.col("age").isin(*excluded_ages))  # T4, pre-fetch
+        defs.filter(keep)
         .withColumn("duration_days", parse_duration_days("duration"))  # T3
         .withColumn("updated_at", snapshot_ts(run_ts))  # T11
     )

@@ -142,6 +142,10 @@ def merge_upsert_parquet(
     ``merge_upsert_partitioned``, which only rewrites the hive
     partitions present in the update set."""
     assert_keys_not_null(updates, keys, table or target_path)
+    # merge_upsert_df's contract requires per-key-unique updates;
+    # enforce it here (like the reference's Postgres PK would) instead
+    # of silently persisting duplicate "PK" rows
+    assert_keys_unique(updates, keys, table or target_path)
     if os.path.isdir(target_path) and any(
         f.endswith(".parquet") for f in os.listdir(target_path)
     ):
@@ -190,6 +194,7 @@ def merge_upsert_partitioned(
     from .layout import parquet_file_count
 
     assert_keys_not_null(updates, keys, table or target_path)
+    assert_keys_unique(updates, keys, table or target_path)
     if parquet_file_count(target_path) == 0:
         updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
         return

@@ -862,3 +862,74 @@ def test_linear_interpolate_ignores_null_value_anchors(spark):
         "2024-01-04": 17.5,
         "2024-01-05": 20.0,
     }
+
+
+def test_multimodal_null_payload_and_zero_frames(spark):
+    """NULL payloads yield NULL metadata rows (not a worker TypeError),
+    and zero-frame rows sample zero frames (not an illegal-sequence
+    crash)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.multimodal import (
+        fake_decode_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in fake_decode_media(df).collect()}
+    assert rows[1].n_bytes == 3 and rows[1].width is not None
+    assert rows[2].n_bytes is None and rows[2].sha256 is None
+
+    decoded = spark.createDataFrame(
+        [(1, 100, 4), (2, 50, 0)], "doc_id long, n_bytes long, n_frames int"
+    )
+    sampled = sample_frames(decoded).collect()
+    assert {r.doc_id for r in sampled} == {1}
+
+
+def test_lsh_candidate_pairs_validates_bands(spark):
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=8)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=3)
+
+
+def test_ngram_metrics_use_filtered_shingle_universe(spark):
+    """With a hot-shingle cap, set sizes must come from the SAME
+    filtered universe as the intersections: two identical docs must
+    score jaccard/containment 1.0 over their rare shingles, not
+    n_common / (pre-filter sizes)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # 10 docs share the 'x0..x9' boilerplate run (hot shingles, df=10);
+    # docs 100/101 are identical and also carry a unique rare tail
+    boiler = " ".join(f"x{i}" for i in range(10))
+    rows = [(i, f"{boiler} filler{i} a b c") for i in range(10)]
+    rows += [(100, f"{boiler} rare tail one two"), (101, f"{boiler} rare tail one two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k_shingle=3, min_jaccard=0.9, max_shingle_df=4
+        ).collect()
+    }
+    assert jac.get((100, 101)) == 1.0
+    con = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", k_shingle=3, min_containment=0.9, max_shingle_df=4
+        ).collect()
+    }
+    assert con.get((100, 101)) == 1.0

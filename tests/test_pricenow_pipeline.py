@@ -327,3 +327,42 @@ def test_jdbc_upsert_all_key_columns_do_nothing(spark, tmp_path):
     with sqlite3.connect(db) as c:
         rows = sorted(c.execute("SELECT user_id, kind FROM dim_keys").fetchall())
     assert rows == [(1, "a"), (2, "b")]
+
+
+def test_build_products_keeps_null_age_rows(spark):
+    """Reference parity: `if age != 'small_child'` (py:322) is True for
+    None, so a definition with a missing/null age stays in the product
+    dimension. A bare ~isin() filter would silently drop it (NULL
+    predicate), and its prices would never be fetched."""
+    import datetime as _dt
+
+    from etl_pricenow_to_leukerbadb_spark.plans.pricenow import build_products
+
+    payload = (
+        '{"data": [{"name": "skitickets", "productDefinitions": ['
+        '{"id": 1, "attributes": {"age": {"value": "adult"},'
+        ' "duration": {"value": "1d"}}},'
+        '{"id": 2, "attributes": {"duration": {"value": "2d"}}},'
+        '{"id": 3, "attributes": {"age": {"value": "small_child"},'
+        ' "duration": {"value": "1d"}}}]}]}'
+    )
+    got = {
+        r.product_id: r.age
+        for r in build_products(
+            spark, [payload], _dt.datetime(2026, 1, 1)
+        ).collect()
+    }
+    assert got == {1: "adult", 2: None}  # null age kept, small_child dropped
+
+
+def test_merge_upsert_parquet_rejects_duplicate_keys(spark, tmp_path):
+    """The parquet merge enforces per-key uniqueness like the
+    reference's Postgres PK would — duplicate 'PK' rows must fail the
+    write, not silently persist."""
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import (
+        merge_upsert_parquet,
+    )
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert_parquet(spark, dup, str(tmp_path / "t"), keys=["k"])
