@@ -137,3 +137,72 @@ def pagerank_fixed_iters(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph, by
+    degree-oriented wedge enumeration — the shape that scales to
+    web-size graphs (each triangle is enumerated exactly once, from
+    its lowest-degree corner).
+
+    Input: an edge list in either or both directions, possibly with
+    duplicates and self-loops (both are cleaned here). Output:
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    Why orient by degree instead of joining the raw edge list: the
+    wedge join's cost is sum(out_degree^2). Orienting every edge from
+    its lower-(degree, id) endpoint to the higher one caps out-degree
+    at O(sqrt(|E|)) (a node of degree d only keeps out-edges to
+    neighbors of degree >= d, and there can be at most ~2|E|/d such
+    neighbors), so a power-law hub with millions of raw neighbors
+    contributes wedges only from its few high-degree peers. The
+    closing-edge probe is an equi-join on the oriented pair — no
+    nested loop, no cartesian, three shuffles total (degree, wedge,
+    close). The (degree, id) total order ties identical degrees
+    deterministically, so the enumeration — hence the count — is a
+    pure function of the edge set.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") < F.col("v"))  # drops self-loops and null ends
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("b"), F.col("dst_deg").alias("db")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("c"), F.col("dst_deg").alias("dc")
+    )
+    wedges = w1.join(w2, "apex").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
+    corners = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

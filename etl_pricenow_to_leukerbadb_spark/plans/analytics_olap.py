@@ -2389,3 +2389,113 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node") % 2 == 0, F.concat(F.lit("C"), F.expr("node div 2"))
     ).otherwise(F.concat(F.lit("S"), F.expr("node div 2")))
     return top.select(label.alias("node"), "rank")
+
+
+@register(
+    "gr_triangle_count",
+    tags=("GR", "J1", "A1"),
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.s < b.s),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node
+""",
+)
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-occurrence graph
+    (two suppliers are adjacent when they ship lines of the same
+    order) — the clustering-coefficient building block a corpus
+    pipeline runs over its near-dup/link graph to find tightly knit
+    template families. Graph construction is itself bounded: lineitem
+    groups are per-order (<= 7 lines in TPC-H-shaped data), so the
+    same-order pair join emits O(|lines|^2) per order, never a global
+    cross. Counting uses degree-oriented wedge enumeration
+    (operators/graph.py:triangle_counts): every triangle is found
+    exactly once from its lowest-(degree, id) corner, capping wedge
+    fan-out at O(sqrt(|E|)) per node — the hub-proof form. The oracle
+    enumerates the same triangles by plain id-ordering (a < b < c);
+    both count each triangle once, so the per-node sums must agree
+    bit-for-bit.
+    """
+    from ..operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pairs = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+    ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+    return triangle_counts(pairs)
+
+
+@register(
+    "ts_ohlc_rollup",
+    tags=("A1", "A2", "T7"),
+    oracle="""
+WITH b AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+         event_type, value, ts, event_id
+  FROM events),
+r AS (
+  SELECT bucket, event_type, value,
+         row_number() OVER (PARTITION BY bucket, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM b)
+SELECT bucket, event_type,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(CASE WHEN rn = n THEN value END) AS close,
+       MIN(value) AS low,
+       MAX(value) AS high,
+       CAST(SUM(CAST(value AS DECIMAL(15,3))) AS DOUBLE) AS vol,
+       COUNT(*) AS n_events
+FROM r GROUP BY bucket, event_type
+""",
+)
+def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: hourly OHLC bars per event
+    type — the continuous-aggregate shape (TimescaleDB rollup /
+    InfluxDB downsample) that turns a raw event stream into the
+    compact bar table dashboards and models read. One shuffle total:
+    the row_number window and the group-by share the same
+    (bucket, event_type) partitioning, so Catalyst reuses the exchange
+    and the aggregate runs on already-partitioned data. Determinism:
+    open/close pick STORED doubles via a (ts, event_id)-tie-broken
+    row_number (no float arithmetic), min/max pass through stored
+    values, and the volume sum accumulates in DECIMAL before a single
+    cast to double (module determinism rules). Bucket is emitted as a
+    formatted string — never a raw timestamp — per the same rules. At
+    100 TB this is the textbook map-side-combine aggregate: cardinality
+    collapses from |events| to |buckets x types|, and a coarser or
+    finer grain is the same plan with a different date_trunc unit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    keys = ["bucket", "event_type"]
+    w = Window.partitionBy(*keys).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wall = Window.partitionBy(*keys)
+    r = (
+        ev.withColumn(
+            "bucket",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    return r.groupBy(*keys).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("vol"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

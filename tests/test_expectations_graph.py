@@ -185,3 +185,38 @@ def test_pagerank_hub_node_no_overflow(spark):
     assert ranks[0] == tele + n * ((SCALE * 85) // 100)
     assert ranks[1] == tele  # spokes have no in-edges
     assert ranks[0] > 0  # and no silent wraparound
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {1,2,3,4} plus a pendant edge 4-5: every K4 node is in
+    C(3,2)=3 triangles, node 5 in none. Input arrives messy — mixed
+    directions, duplicates, a self-loop — and must be cleaned."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (4, 5), (5, 4), (3, 3)], ["src", "dst"]
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free_bipartite(spark):
+    """A bipartite graph (odd cycles impossible) yields zero rows."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in (1, 2, 3) for b in (10, 20)], ["src", "dst"]
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_degree_tie_exactly_once(spark):
+    """All-equal degrees (a single triangle): the (degree, id)
+    tie-break must still enumerate the triangle exactly once per
+    corner, not zero or three times."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -354,3 +354,43 @@ def test_expectations_match_sequential_counts(spark, rows):
     assert out["uq"] == len(ids) - len({i for i in ids if i is not None})
     assert out["rg"] == sum(1 for v in values if v is not None and not 0 <= v <= 100)
     assert out["fk"] == sum(1 for f in fks if f is not None and f not in (0, 1))
+
+
+# --- Triangle counting vs a brute-force reference --------------------------
+
+tc_edge_lists = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1,
+    max_size=28,
+)
+
+
+def _triangle_model(edges):
+    """Brute force: count triangles per node on the cleaned undirected
+    simple graph."""
+    e = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj: dict[int, set[int]] = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    counts: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in nodes:
+                if c > b and c in adj[a] and c in adj[b]:
+                    for n in (a, b, c):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@given(edges=tc_edge_lists)
+@SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _triangle_model(edges)
