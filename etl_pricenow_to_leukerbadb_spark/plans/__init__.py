@@ -26,18 +26,24 @@ from . import analytics_olap  # noqa: F401,E402
 #       row is r3 — prioritizing everything touched by this round's
 #       cosine/salt/streaming fixes (ann_topk_bruteforce,
 #       dd_embedding_cosine, dd_cluster_components, llm_prep_pipeline)
-#       and all SURVEY §2 anchors — and the four queries REGISTERED this
+#       and all SURVEY §2 anchors — and the seven queries REGISTERED this
 #       round (dq_expectations, gr_pagerank, gr_triangle_count,
-#       ts_ohlc_rollup), pinned immediately so they get first-contact
+#       ts_ohlc_rollup, ts_ewma_smooth, dq_fk_orphans,
+#       tx_ngram_lm_score), pinned immediately so they get first-contact
 #       driver rows in their own round instead of becoming next round's
-#       late-addition backlog (the r4 lesson).
+#       late-addition backlog (the r4 lesson). To make room, three
+#       r3-green entries (q21_suppliers_waiting, tx_lang_id,
+#       tx_fingerprint) moved to the r6 block — age 3 = exactly the
+#       staleness budget, enforced below.
 #   r6 (next): the 16 r3-green entries that did not fit this window —
 #       mm_binary_meta, mm_fake_decode, mm_resize, mm_frame_sample,
 #       st_windowed_counts, st_stream_static_join, st_dedup_keys,
 #       st_sessionize, tx_chunk_windows, tx_hash_sample,
 #       tx_cap_per_source, tx_pack_sequences, dd_ngram_jaccard,
 #       dd_simhash, tx_token_count, tx_quality_score (all
-#       static/deterministic and untouched in r5) —
+#       static/deterministic and untouched in r5), plus the three
+#       displaced above (q21_suppliers_waiting, tx_lang_id,
+#       tx_fingerprint) —
 #       then the entries whose last green row is r4.
 #       The staleness guard in tests/test_oracle_parity.py fails the suite
 #       if any pin list would let an oracle-paired entry go >3 rounds
@@ -92,15 +98,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "s2_rest_pushdown_scan",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q21_suppliers_waiting",
-    "tx_lang_id",
-    "tx_fingerprint",
     "dd_exact",
     # registered this round — first-contact driver rows now, not later
     "dq_expectations",
     "gr_pagerank",
     "gr_triangle_count",
     "ts_ohlc_rollup",
+    "ts_ewma_smooth",
+    "dq_fk_orphans",
+    "tx_ngram_lm_score",
 )
 
 

@@ -1717,3 +1717,98 @@ def tx_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.max("n_chars").alias("best_n_chars"),
     )
+
+
+@register(
+    "tx_ngram_lm_score",
+    tags=("TX", "A1", "J1"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, string_split({NORM}, ' ') AS t FROM documents)
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+cbd AS (SELECT doc_id, w1, w2, COUNT(*) AS c_doc FROM big GROUP BY ALL),
+cb  AS (SELECT w1, w2, SUM(c_doc) AS c_big FROM cbd GROUP BY w1, w2),
+cu  AS (SELECT w1, SUM(c_big) AS c_uni FROM cb GROUP BY w1),
+sc  AS (SELECT cb.w1, cb.w2, (cb.c_big * 1000000) // cu.c_uni AS score
+        FROM cb JOIN cu USING (w1)),
+doc AS (
+  SELECT cbd.doc_id,
+         SUM(sc.score * cbd.c_doc) AS s,
+         SUM(cbd.c_doc) AS n_big
+  FROM cbd JOIN sc USING (w1, w2)
+  GROUP BY cbd.doc_id)
+SELECT doc_id, CAST(s // n_big AS BIGINT) AS lm_score,
+       CAST(n_big AS BIGINT) AS n_bigrams
+FROM doc ORDER BY lm_score ASC, doc_id ASC LIMIT 100
+""",
+)
+def tx_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (the CCNet/Gopher-style 'perplexity'
+    gate, relationally approximated): build a bigram conditional-
+    probability model FROM the corpus itself, score every document by
+    its mean bigram probability, and surface the 100 least-natural
+    documents — the rows a curation pipeline routes to quarantine.
+
+    Model and score are EXACT integer arithmetic end-to-end so the
+    result is hash-verifiable: per-bigram score is
+    (count(w1,w2) * 1e6) div count(w1 as bigram head) — a fixed-point
+    MLE conditional probability — and a doc's lm_score is the
+    count-weighted integer mean over its bigrams. No logs, no doubles,
+    no ulp drift between engines; `div` keeps it exact at any corpus
+    size (a double mantissa would silently round past 2^53 pairs).
+
+    Scale shape: ONE shingle explosion feeds a (doc_id, w1, w2)
+    aggregate; the global bigram model (cb) and head totals (cu) both
+    derive from THAT aggregate, not from re-scanning the explosion —
+    the exchange on the per-doc counts is reused by both branches
+    (AQE ReusedExchange), and the model join runs on aggregated
+    bigram TYPES (vocabulary-sized, Zipf-bounded), never on token
+    instances. Per-doc scoring joins the model back to doc-level
+    counts — key-partitioned on (w1, w2) — and the final top-100 is a
+    TakeOrderedAndProject, never a global sort. At 100 TB the model
+    tables are the only broadcast-questionable piece: they stay
+    shuffle joins, bounded by vocabulary^2 observed (not possible)
+    bigrams, i.e. ~|corpus| in the worst case and ~millions in
+    practice."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    # bigrams without a positional self-join: zip the token array with
+    # its own tail — map-side, no shuffle, no second explosion.
+    bg = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big = docs.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    cbd = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_doc")
+    )
+    cb = cbd.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_big"))
+    cu = cb.groupBy("w1").agg(F.sum("c_big").alias("c_uni"))
+    sc = cb.join(cu, "w1").select(
+        "w1", "w2", F.expr("(c_big * 1000000) div c_uni").alias("score")
+    )
+    doc = (
+        cbd.join(sc, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("score") * F.col("c_doc")).alias("s"),
+            F.sum("c_doc").alias("n_big"),
+        )
+    )
+    return (
+        doc.select(
+            "doc_id",
+            F.expr("s div n_big").alias("lm_score"),
+            F.col("n_big").cast("long").alias("n_bigrams"),
+        )
+        .orderBy(F.col("lm_score").asc(), F.col("doc_id").asc())
+        .limit(100)
+    )

@@ -2499,3 +2499,190 @@ def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("vol"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ts_ewma_smooth",
+    tags=("TS", "A1", "A2"),
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(greatest(value, 0) * 1000000) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+g AS (
+  SELECT user_id,
+         list(v ORDER BY ts ASC, event_id ASC) AS vs,
+         COUNT(*) AS n_events
+  FROM f GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(list_reduce(vs, (acc, x) -> acc - acc // 4 + x // 4) AS BIGINT)
+         AS ewma_fixed
+FROM g
+""",
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    an ORDER-DEPENDENT sequential fold no plain aggregate can express
+    (e_0 = v_0; e_i = e_{i-1} - e_{i-1} div 4 + v_i div 4, i.e.
+    alpha = 1/4 in integer fixed point). Runs entirely JVM-side via
+    higher-order functions: collect_list -> array_sort ->
+    F.aggregate — one shuffle on user_id, zero Python UDFs, codegen'd
+    lambda per group. Determinism: values clamp to >= 0 and quantize
+    to 1e-6 fixed point BEFORE the fold (floor(value*1e6) is the same
+    double->int map in every IEEE engine), the fold is pure BIGINT
+    arithmetic, and the ordering key (ts, event_id) is unique — the
+    result is a pure function of the group's rows, hash-verifiable
+    against DuckDB's list_reduce (which seeds from the first element,
+    exactly e_0 = v_0).
+
+    100 TB note: per-group state is that user's event list — the same
+    bounded-group contract as tx_pack_sequences (document caps /
+    per-user event counts are pipeline-bounded). For genuinely
+    unbounded keys the same recurrence runs as an
+    applyInPandasWithState streaming fold (streaming/stateful.py);
+    this batch form is the backfill path."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    v = F.floor(F.greatest(F.col("value"), F.lit(0.0)) * 1000000).cast("long")
+    grouped = (
+        ev.select("user_id", "ts", "event_id", v.alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("evs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    vs = F.transform(F.col("evs"), lambda s: s["v"])
+    seed = F.element_at(vs, 1)
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    # acc stays <= max(v) <= 1e9 by induction (convex combination), so
+    # the double division below is exact (< 2^53) and cast('long')
+    # truncation == floor on the non-negative domain.
+    ewma = F.aggregate(
+        rest,
+        seed,
+        lambda acc, x: acc
+        - (acc / F.lit(4)).cast("long")
+        + (x / F.lit(4)).cast("long"),
+    )
+    return grouped.select("user_id", "n_events", ewma.alias("ewma_fixed"))
+
+
+@register(
+    "dq_fk_orphans",
+    tags=("DQ", "J3", "A1"),
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_rows,
+       (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         = 0 AS ok
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) = 0
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_suppkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_suppkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) = 0
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL),
+       (SELECT COUNT(*) FROM customer c WHERE c_nationkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer c WHERE c_nationkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+         = 0
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL),
+       (SELECT COUNT(*) FROM supplier s WHERE s_nationkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+       (SELECT COUNT(*) FROM supplier s WHERE s_nationkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+         = 0
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL),
+       (SELECT COUNT(*) FROM nation n WHERE n_regionkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+       (SELECT COUNT(*) FROM nation n WHERE n_regionkey IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+         = 0
+UNION ALL
+SELECT 'events.user_id->customer',
+       (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+       (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+       (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL AND NOT
+          EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0
+""",
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide referential-integrity audit: every FK edge of the
+    warehouse star schema checked in ONE query — the cross-table
+    companion to dq_expectations' single-edge referential rule (that
+    one gates a batch; this one fingerprints the whole warehouse after
+    a load). Per edge: child rows with a non-null FK are left-joined to
+    the parent key and counted (total + unmatched) in one aggregate —
+    Catalyst plans the dim-sized parents (nation, region, customer,
+    supplier, part) as broadcast joins, and the two fact-sized edges
+    (lineitem->orders at ~4:1, events->customer) as shuffle joins that
+    AQE right-sizes. The eight edge checks are independent branches of
+    a union — on a cluster they run concurrently; no branch scans a
+    table it doesn't need (verified: each scan's ReadSchema is just
+    the FK column). Result is 8 rows — safe to collect, alert on, or
+    journal per batch."""
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for fk_name, child, fk, parent, pk in edges:
+        c = (
+            _t(spark, sf_dir, child)
+            .select(F.col(fk).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("p")).distinct()
+        row = (
+            c.join(p, c["k"] == p["p"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("p").isNull(), 1)).alias("n_orphans"),
+            )
+            .select(
+                F.lit(fk_name).alias("fk"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
