@@ -797,6 +797,38 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_ewma_fold",
+    tags=("ST", "TS"),
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(greatest(value, 0) * 1000000) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+g AS (
+  SELECT user_id,
+         list(v ORDER BY ts ASC, event_id ASC) AS vs,
+         COUNT(*) AS n_events
+  FROM f GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(list_reduce(vs, (acc, x) -> acc - acc // 4 + x // 4) AS BIGINT)
+         AS ewma_fixed
+FROM g
+""",
+)
+def st_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_ewma_smooth: the SAME integer EWMA
+    recurrence folded incrementally via applyInPandasWithState with
+    O(1) state per key (n_events, acc) — the unbounded-key scale path
+    the batch operator's docstring points at. On the finite test
+    input (one availableNow batch) the final state equals the batch
+    fold exactly, so it shares the batch twin's oracle."""
+    from ..streaming.stateful import ewma_stream
+
+    return ewma_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "llm_prep_pipeline",
     headline=True,
     tags=("TX", "DD", "A1"),

@@ -144,3 +144,116 @@ def sessionize_stream(
         .drop("__rn"),
         name,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA fold — the incremental twin of the batch ts_ewma_smooth
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_fixed", LongType()),
+    ]
+)
+
+#: carry-over: (n_events, acc) — O(1) state per key, unlike the batch
+#: form's whole-group list. This is why the streaming fold is the
+#: scale path for unbounded keys.
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("acc", LongType()),
+    ]
+)
+
+
+def _ewma_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user integer EWMA: e_0 = v_0; e_i = e - e//4 + v_i//4 —
+    IDENTICAL recurrence to plans.analytics_olap.ts_ewma_smooth (the
+    batch/backfill twin; pytest asserts row-level equality of the two
+    on a finite input). `v` is quantized JVM-side (floor(max(value,0)
+    * 1e6)) for the same reason ts_s is: Arrow-side re-derivation
+    could disagree with the batch twin; a plain BIGINT cannot.
+    Within a batch, rows fold in (ts_s, event_id) order; across
+    batches, state folds in arrival order — exact batch equality
+    holds when the finite input arrives in one availableNow batch
+    (the test path) or in time-ordered batches (a watermarked
+    production source)."""
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts_s", "event_id"], kind="mergesort")
+    vals = batch["v"].astype("int64").to_list()
+
+    if state.exists:
+        n, acc = state.get
+    else:
+        n, acc = 0, None
+
+    for v in vals:
+        if acc is None:
+            acc = v
+        else:
+            acc = acc - acc // 4 + v // 4
+        n += 1
+    state.update((n, acc))
+    yield pd.DataFrame(
+        [(user_id, n, acc)], columns=["user_id", "n_events", "ewma_fixed"]
+    )
+
+
+def ewma_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the stateful EWMA fold over the events stream to completion
+    (availableNow) and return the final per-user rows. Update-mode
+    memory sink appends every emission; the final state per user is
+    the row with the highest n_events."""
+    from pyspark.sql import functions as F
+
+    from .jobs import _drain_memory_sink, _event_stream
+
+    stream = (
+        _event_stream(spark, events_path)
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+            F.floor(F.greatest(F.col("value"), F.lit(0.0)) * 1000000)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        folded.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return _drain_memory_sink(
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn"),
+        name,
+    )

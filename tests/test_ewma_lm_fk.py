@@ -85,6 +85,21 @@ def test_ewma_equal_timestamps_tiebreak_on_event_id(spark, tmp_path):
     assert got[1] == (2, _ewma_ref([0.0, 100.0]))
 
 
+def test_ewma_stream_equals_batch(spark, sf_small):
+    """The streaming fold (O(1) state/key) must equal the batch fold
+    (whole-group list) row-for-row on a finite input — the claim both
+    docstrings make."""
+    batch = {
+        r["user_id"]: (r["n_events"], r["ewma_fixed"])
+        for r in REGISTRY["ts_ewma_smooth"].fn(spark, sf_small).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["ewma_fixed"])
+        for r in REGISTRY["st_ewma_fold"].fn(spark, sf_small).collect()
+    }
+    assert batch == stream
+
+
 # ---------------------------------------------------------------------------
 # tx_ngram_lm_score — hand-computed mini corpus
 # ---------------------------------------------------------------------------
