@@ -29,21 +29,24 @@ from . import analytics_olap  # noqa: F401,E402
 #       and all SURVEY §2 anchors — and the seven queries REGISTERED this
 #       round (dq_expectations, gr_pagerank, gr_triangle_count,
 #       ts_ohlc_rollup, ts_ewma_smooth, dq_fk_orphans,
-#       tx_ngram_lm_score, st_ewma_fold), pinned immediately so they get
-#       first-contact driver rows in their own round instead of becoming
-#       next round's late-addition backlog (the r4 lesson). To make
-#       room, four r3-green entries (q21_suppliers_waiting, tx_lang_id,
-#       tx_fingerprint, q3_shipping_priority) moved to the r6 block —
-#       age 3 = exactly the staleness budget, enforced below.
+#       tx_ngram_lm_score, st_ewma_fold, k9_evolve_merge, dq_drift_tvd),
+#       pinned immediately so they get first-contact driver rows in
+#       their own round instead of becoming next round's late-addition
+#       backlog (the r4 lesson). To make room, six r3-green entries
+#       (q21_suppliers_waiting, tx_lang_id, tx_fingerprint,
+#       q3_shipping_priority, q5_region_revenue, dd_exact) moved to the
+#       r6 block — age 3 = exactly the staleness budget, enforced
+#       below.
 #   r6 (next): the 16 r3-green entries that did not fit this window —
 #       mm_binary_meta, mm_fake_decode, mm_resize, mm_frame_sample,
 #       st_windowed_counts, st_stream_static_join, st_dedup_keys,
 #       st_sessionize, tx_chunk_windows, tx_hash_sample,
 #       tx_cap_per_source, tx_pack_sequences, dd_ngram_jaccard,
 #       dd_simhash, tx_token_count, tx_quality_score (all
-#       static/deterministic and untouched in r5), plus the four
+#       static/deterministic and untouched in r5), plus the six
 #       displaced above (q21_suppliers_waiting, tx_lang_id,
-#       tx_fingerprint, q3_shipping_priority) —
+#       tx_fingerprint, q3_shipping_priority, q5_region_revenue,
+#       dd_exact) —
 #       then the entries whose last green row is r4.
 #       The staleness guard in tests/test_oracle_parity.py fails the suite
 #       if any pin list would let an oracle-paired entry go >3 rounds
@@ -96,8 +99,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "e2_products_flatten",
     "e3_prices_daily",
     "s2_rest_pushdown_scan",
-    "q5_region_revenue",
-    "dd_exact",
     # registered this round — first-contact driver rows now, not later
     "dq_expectations",
     "gr_pagerank",
@@ -107,6 +108,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dq_fk_orphans",
     "tx_ngram_lm_score",
     "st_ewma_fold",
+    "k9_evolve_merge",
+    "dq_drift_tvd",
 )
 
 

@@ -2686,3 +2686,145 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "k9_evolve_merge",
+    tags=("K1", "K2"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS okey, o_totalprice AS price, 'base' AS src,
+         CAST(NULL AS BIGINT) AS score
+  FROM orders
+), upd AS (
+  SELECT o_orderkey AS okey,
+         CAST(CAST(o_totalprice AS {DEC}) * 2 AS DOUBLE) AS price,
+         CAST(NULL AS VARCHAR) AS src,
+         (o_orderkey % 100) + 1 AS score
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT okey, price, src, score FROM upd
+UNION ALL
+SELECT b.okey, b.price, b.src, b.score FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.okey = b.okey)
+""",
+)
+def k9_evolve_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge: the update feed ADDED a column (score)
+    and DROPPED one (src) relative to the base table — the shape every
+    long-lived table hits when an upstream service ships a new field.
+    merge_upsert_evolve pads both sides with typed NULLs and runs the
+    standard keyed merge (updates win, unmatched base survives): old
+    rows read NULL score, updated rows read NULL src, and a TYPE
+    change on a shared column raises instead of silently casting
+    (pytest-pinned). Same single anti-join + union plan as k1 — the
+    padding is projection-only."""
+    from ..sinks.upsert import merge_upsert_evolve
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_totalprice").cast(DEC) * 2).cast("double").alias("price"),
+        ((F.col("o_orderkey") % 100) + 1).alias("score"),
+    )
+    return merge_upsert_evolve(base, updates, keys=["okey"])
+
+
+@register(
+    "dq_drift_tvd",
+    tags=("DQ", "A1"),
+    oracle="""
+WITH b AS (
+  SELECT CAST(least(greatest(floor(value / 100), 0), 9) AS BIGINT) AS bin,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+mid AS (SELECT (MIN(s) + MAX(s)) // 2 AS m FROM b),
+c AS (
+  SELECT bin,
+         COUNT(CASE WHEN s <  (SELECT m FROM mid) THEN 1 END) AS c_ref,
+         COUNT(CASE WHEN s >= (SELECT m FROM mid) THEN 1 END) AS c_cur
+  FROM b GROUP BY bin),
+t AS (
+  SELECT bin, c_ref, c_cur,
+         (c_ref * 1000000) // (SELECT SUM(c_ref) FROM c) AS share_ref_ppm,
+         (c_cur * 1000000) // (SELECT SUM(c_cur) FROM c) AS share_cur_ppm
+  FROM c)
+SELECT bin, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+       CAST(share_ref_ppm AS BIGINT) AS share_ref_ppm,
+       CAST(share_cur_ppm AS BIGINT) AS share_cur_ppm,
+       CAST(abs(share_cur_ppm - share_ref_ppm) AS BIGINT) AS drift_ppm,
+       CAST((SELECT SUM(abs(share_cur_ppm - share_ref_ppm)) FROM t) // 2
+            AS BIGINT) AS tvd_ppm
+FROM t
+""",
+)
+def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two batches: events split at
+    the midpoint of their time range (reference half vs current half),
+    `value` bucketed into 10 fixed-width bins, and the shift reported
+    per bin plus as a single total-variation distance — the
+    batch-over-batch drift gate a feature/training pipeline runs
+    before accepting a new snapshot (the PSI monitor shape, but in
+    EXACT integer arithmetic: shares in ppm via integer division, TVD
+    = half the L1 distance — no logs, no ulp drift, hash-verifiable).
+
+    Scale shape: one scan computes the (min, max) time envelope (tiny
+    broadcast scalar), a second computes all per-bin conditional
+    counts in ONE aggregate (bin cardinality is fixed at 10 —
+    map-side combine collapses everything before the shuffle); shares
+    and the global TVD are arithmetic over those 10 rows (a window
+    over a 10-row frame, not over data). Cost is two scans of the
+    batch regardless of bin count or volume; the same plan monitors
+    any column at any scale by swapping the bucketing expression."""
+    b = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 100), F.lit(0)), F.lit(9)
+            )
+            .cast("long")
+            .alias("bin"),
+            F.unix_timestamp("ts").alias("s"),
+        )
+    )
+    env = b.agg(F.expr("(min(s) + max(s)) div 2").alias("m"))
+    c = (
+        b.crossJoin(F.broadcast(env))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("s") < F.col("m"), 1)).alias("c_ref"),
+            F.count(F.when(F.col("s") >= F.col("m"), 1)).alias("c_cur"),
+        )
+    )
+    # shares + TVD are arithmetic over the 10 bin rows: the window
+    # frame is bins, not data — a constant-size driver-side-free step.
+    wall = Window.partitionBy()
+    t = c.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.expr(
+            "(c_ref * 1000000) div sum(c_ref) over ()"
+        ).alias("share_ref_ppm"),
+        F.expr(
+            "(c_cur * 1000000) div sum(c_cur) over ()"
+        ).alias("share_cur_ppm"),
+    )
+    drift = F.abs(F.col("share_cur_ppm") - F.col("share_ref_ppm"))
+    return t.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        "share_ref_ppm",
+        "share_cur_ppm",
+        drift.cast("long").alias("drift_ppm"),
+        F.expr(
+            "sum(abs(share_cur_ppm - share_ref_ppm)) over () div 2"
+        ).alias("tvd_ppm"),
+    )

@@ -93,6 +93,55 @@ def merge_upsert_df(
     )
 
 
+def merge_upsert_evolve(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Schema-evolution-tolerant merge: like ``merge_upsert_df`` but
+    the two sides may disagree on non-key columns. Columns present on
+    only one side are added to the other as typed NULLs (the lakehouse
+    ``mergeSchema`` / Delta ``schema evolution`` behavior), so a feed
+    that ADDS a column upserts cleanly into an older table (old rows
+    read NULL for the new column) and a feed that DROPPED a column
+    leaves the target column NULL on updated rows rather than failing
+    the load. A column present on both sides with a DIFFERENT data
+    type raises — silent casts corrupt; type changes are a migration,
+    not a merge.
+
+    Zero extra shuffles vs the plain merge: the null-padding is a
+    projection on each side before the same anti-join + union."""
+    for k in keys:
+        if k not in base.columns or k not in updates.columns:
+            raise ValueError(f"merge key {k!r} missing from one side")
+    b_types = dict(base.dtypes)
+    u_types = dict(updates.dtypes)
+    conflicts = {
+        c: (b_types[c], u_types[c])
+        for c in b_types.keys() & u_types.keys()
+        if b_types[c] != u_types[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution cannot merge type-changed columns: {conflicts}"
+        )
+    # base column order first, then update-only columns in their order
+    out_cols = base.columns + [c for c in updates.columns if c not in b_types]
+    base_p = base.select(
+        *[
+            F.col(c) if c in b_types
+            else F.lit(None).cast(u_types[c]).alias(c)
+            for c in out_cols
+        ]
+    )
+    upd_p = updates.select(
+        *[
+            F.col(c) if c in u_types
+            else F.lit(None).cast(b_types[c]).alias(c)
+            for c in out_cols
+        ]
+    )
+    return merge_upsert_df(base_p, upd_p, keys=keys)
+
+
 def replace_dir(new_dir: str, target_path: str) -> None:
     """Crash-safe directory swap: rename the live target aside, move
     the new directory in, then drop the backup. A crash between the

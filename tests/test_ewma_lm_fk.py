@@ -197,3 +197,58 @@ def test_fk_orphans_clean_on_shipped_testdata(spark, sf_small):
     rows = out.collect()
     assert len(rows) == 8
     assert all(r["ok"] for r in rows), [r["fk"] for r in rows if not r["ok"]]
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_evolve — schema-evolution guards and null padding
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_merge_pads_and_merges(spark):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_evolve
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, old string")
+    upd = spark.createDataFrame([(2, 99), (3, 42)], "k long, new long")
+    out = {r["k"]: (r["old"], r["new"]) for r in
+           merge_upsert_evolve(base, upd, keys=["k"]).collect()}
+    assert out == {1: ("a", None), 2: (None, 99), 3: (None, 42)}
+
+
+def test_evolve_merge_rejects_type_change(spark):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_evolve
+
+    base = spark.createDataFrame([(1, 5)], "k long, v long")
+    upd = spark.createDataFrame([(1, "five")], "k long, v string")
+    with pytest.raises(ValueError, match="type-changed"):
+        merge_upsert_evolve(base, upd, keys=["k"])
+
+
+def test_evolve_merge_rejects_missing_key(spark):
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_evolve
+
+    base = spark.createDataFrame([(1, 5)], "k long, v long")
+    upd = spark.createDataFrame([(1,)], "other long")
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert_evolve(base, upd, keys=["k"])
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_tvd — invariants
+# ---------------------------------------------------------------------------
+
+
+def test_drift_tvd_invariants(spark, sf_small):
+    rows = REGISTRY["dq_drift_tvd"].fn(spark, sf_small).collect()
+    assert 1 <= len(rows) <= 10
+    tvds = {r["tvd_ppm"] for r in rows}
+    assert len(tvds) == 1  # global TVD repeated on every bin row
+    tvd = tvds.pop()
+    assert 0 <= tvd <= 1_000_000
+    # TVD = half the L1 distance of the per-bin shares
+    assert tvd == sum(r["drift_ppm"] for r in rows) // 2
+    # shares are ppm integers that sum to ~1e6 (floor-division slack
+    # strictly less than one ppm per bin)
+    s_ref = sum(r["share_ref_ppm"] for r in rows)
+    s_cur = sum(r["share_cur_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s_ref <= 1_000_000
+    assert 1_000_000 - len(rows) < s_cur <= 1_000_000
