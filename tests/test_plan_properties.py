@@ -149,6 +149,7 @@ _INTENTIONAL_UNKEYED_JOINS = {
     "q11_important_stock",  # single-row scalar-agg broadcast (HAVING)
     "q22_global_sales",     # single-row scalar avg subquery
     "tx_tfidf_topk",        # single-row corpus-size constant
+    "dq_drift_tvd",         # single-row time-envelope scalar broadcast
 }
 
 
