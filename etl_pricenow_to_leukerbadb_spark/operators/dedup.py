@@ -34,18 +34,26 @@ from ..sources.tables import fan_out
 # 0.9 s WITH AQE vs 1.8 s without — AQE's runtime broadcast-join
 # conversion and partition coalescing beat the static SortMergeJoin
 # plan even though the static plan schedules a third as many jobs.
-# AQE stays on; the cheap wins are the lazy checkpoints (below) that
-# fold each round's materialization into its convergence count job.
+# AQE stays on. A second tempting non-win, also measured: LAZY
+# localCheckpoint(eager=False) to fold each round's materialization
+# into its convergence-count job. Back-to-back at sf0.1 it is WORSE —
+# median 8.3 s vs 4.7 s eager, with 2-3x the spread (16 s outliers):
+# the lazily-registered blocks race the ContextCleaner and later
+# rounds intermittently recompute pre-checkpoint lineage. Eager
+# materialization per round is the stable plan; the extra driver job
+# is noise next to that.
 
 
 def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     """Per-round lineage truncation for iterative operators.
 
-    ``reliable=False`` (default): ``localCheckpoint(eager=False)`` —
-    executor-local blocks, zero extra I/O, materialized inside the next
-    action that consumes the round. The right choice on a healthy
-    cluster and in local mode, with the documented caveat that losing
-    an executor loses its blocks and fails the query.
+    ``reliable=False`` (default): ``localCheckpoint(eager=True)`` —
+    executor-local blocks, zero extra I/O, materialized immediately so
+    every later consumer (convergence count, exceptAll, next round)
+    reads settled blocks. The right choice on a healthy cluster and in
+    local mode, with the documented caveat that losing an executor
+    loses its blocks and fails the query. (eager=False was measured
+    slower AND noisier back-to-back — see the module NOTE above.)
 
     ``reliable=True``: ``checkpoint(eager=False)`` to the session's
     checkpoint directory (HDFS/S3 in production) — survives executor
@@ -63,7 +71,7 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     Raises with setup instructions if no checkpoint dir is configured,
     instead of Spark's late SparkException mid-iteration."""
     if not reliable:
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=True)
     if df.sparkSession.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             "reliable_checkpoints=True requires a checkpoint directory: "
@@ -304,11 +312,8 @@ def connected_components(
         pairs.select(src.alias("a"), dst.alias("b"))
         .unionByName(pairs.select(dst.alias("a"), src.alias("b")))
         .distinct(),
-        # eager=False inside: materialization folds into the next
-        # count/convergence job instead of paying a separate
-        # driver-scheduled job per round — measured ~25% off the whole
-        # query at sf0.1 (iteration cost is driver job latency, not
-        # data volume, at the candidate-pair scale)
+        # eager materialization per round — measured faster and far
+        # more stable than lazy (module NOTE above)
         reliable_checkpoints,
     )
     labels = (
@@ -392,8 +397,7 @@ def connected_components_twophase(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct(),
-        # eager=False inside: see connected_components — the count()
-        # right below materializes the checkpoint in the same job
+        # eager materialization — see connected_components
         reliable_checkpoints,
     )
 
@@ -424,7 +428,7 @@ def connected_components_twophase(
         # growth across rounds and makes the count fixpoint test exact).
         return out.distinct() if dedup else out
 
-    prev_count = edges.count()  # materializes the lazy checkpoint
+    prev_count = edges.count()  # cheap: edges just checkpointed
     for _ in range(max_rounds):
         # One large+small contraction pair per checkpoint. Tempting to
         # fuse TWO pairs per cycle to halve the driver-side job count,

@@ -90,16 +90,16 @@ def pagerank_fixed_iters(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    # eager=False on all three: the blocks materialize inside the FIRST
-    # action that consumes the returned plan (and are reused from the
-    # block store by every later reference), so the caller's action
-    # subsumes the three checkpoint jobs — the lineage truncation (1
-    # edge-derivation scan total, not O(iterations²)) is identical
-    # either way. Small, consistent win (~3 fewer driver-scheduled
-    # jobs per run at sf0.1); the iteration's remaining cost is AQE
-    # stage scheduling, which is the right trade (AQE's runtime
-    # broadcast conversion beats the static plan — see the measured
-    # note in operators/dedup.py).
+    # Checkpoint the three loop-invariant tables once, eagerly: every
+    # iteration re-reads them from the block store instead of
+    # re-deriving from the raw edge list (1 edge-derivation scan
+    # total, not O(iterations)). Eager materialization is deliberate —
+    # lazy localCheckpoint was measured slower and far noisier
+    # back-to-back (see the module NOTE in operators/dedup.py). The
+    # rank-update loop itself stays UNmaterialized: each iteration
+    # references the previous ranks exactly once, so the whole
+    # n_iters-deep plan runs as ONE action with no recompute blow-up,
+    # and AQE re-plans each join at runtime.
     from .dedup import iter_checkpoint
 
     e = iter_checkpoint(e, reliable_checkpoints)
