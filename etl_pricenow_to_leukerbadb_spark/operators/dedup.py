@@ -22,6 +22,8 @@ hashes so DuckDB oracles can reproduce them byte-for-byte.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import content_fingerprint, tokens, word_shingles
@@ -79,6 +81,34 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
             "before running the operator"
         )
     return df.persist().checkpoint(eager=False)
+
+
+@contextmanager
+def _loop_shuffle_partitions(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+    """Bound ``spark.sql.shuffle.partitions`` to the MEASURED size of an
+    iterative loop's working set, restoring the caller's value on exit.
+
+    The contraction loops below run a dozen shuffle stages per round
+    over an edge set that is usually tiny (LSH candidate pairs, not the
+    corpus). With the session default (e.g. 32-200, or thousands on a
+    real cluster), every one of those stages plans the full partition
+    count and AQE coalesces it back down — pure scheduling overhead
+    that dominates when the data is small. Measured at sf0.1 (826
+    edges): 3.5 s -> 2.0 s for the whole contraction just by sizing the
+    loop's shuffles to the data. Scale-safe by construction: the bound
+    is ceil(n_rows / 2M) capped below by 1 and above by the caller's
+    own setting — a billion-edge graph keeps full parallelism, and the
+    conf is restored even on error. (Session confs are session-global;
+    a caller running concurrent queries on the same session during the
+    loop would see the narrowed value — the documented trade.)"""
+    conf = spark.conf
+    before = conf.get("spark.sql.shuffle.partitions")
+    target = max(1, min(int(before), (n_rows + rows_per_partition - 1) // rows_per_partition))
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(target))
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", before)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -323,38 +353,43 @@ def connected_components(
     )
     changed = -1
     prev_ckpt: DataFrame | None = None
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = iter_checkpoint(
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nmin"), F.col("component")),
-                ).alias("new_component"),
-                "component",
-            ),
-            reliable_checkpoints,
-        )
-        changed = new_labels.filter(
-            F.col("new_component") != F.col("component")
-        ).count()
-        # the PREVIOUS round's persisted blocks (reliable path: persist
-        # backs the checkpoint write) are dead once this round is
-        # materialized — without the unpersist a long job accumulates
-        # one round's labels per iteration in storage memory for the
-        # session lifetime (no-op on the localCheckpoint path)
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = new_labels
-        labels = new_labels.select("node", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
+    n_edges = edges.count()  # cheap: just checkpointed; sizes the loop
+    with _loop_shuffle_partitions(pairs.sparkSession, n_edges):
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("component").alias("nmin"))
+            )
+            new_labels = iter_checkpoint(
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")),
+                    ).alias("new_component"),
+                    "component",
+                ),
+                reliable_checkpoints,
+            )
+            changed = new_labels.filter(
+                F.col("new_component") != F.col("component")
+            ).count()
+            # the PREVIOUS round's persisted blocks (reliable path:
+            # persist backs the checkpoint write) are dead once this
+            # round is materialized — without the unpersist a long job
+            # accumulates one round's labels per iteration in storage
+            # memory for the session lifetime (no-op on the
+            # localCheckpoint path)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_labels
+            labels = new_labels.select(
+                "node", F.col("new_component").alias("component")
+            )
+            if changed == 0:
+                break
     if changed != 0:
         raise RuntimeError(
             f"connected_components: labels still changing after {max_iter} "
@@ -429,46 +464,55 @@ def connected_components_twophase(
         return out.distinct() if dedup else out
 
     prev_count = edges.count()  # cheap: edges just checkpointed
-    for _ in range(max_rounds):
-        # One large+small contraction pair per checkpoint. Tempting to
-        # fuse TWO pairs per cycle to halve the driver-side job count,
-        # but each star round references its input ~4x (nbrs union +
-        # neighbor-min + join), so an uncheckpointed 4-star chain
-        # recomputes the intermediate O(4^depth) times — measured 2.97
-        # -> 11.2 s at sf0.1. The checkpoint every pair IS the
-        # optimization.
-        after = iter_checkpoint(
-            star_round(star_round(edges, large=True, dedup=False), large=False),
-            reliable_checkpoints,
+    spark = pairs.sparkSession
+    converged = False
+    with _loop_shuffle_partitions(spark, prev_count):
+        for _ in range(max_rounds):
+            # One large+small contraction pair per checkpoint. Tempting
+            # to fuse TWO pairs per cycle to halve the driver-side job
+            # count, but each star round references its input ~4x (nbrs
+            # union + neighbor-min + join), so an uncheckpointed 4-star
+            # chain recomputes the intermediate O(4^depth) times —
+            # measured 2.97 -> 11.2 s at sf0.1. The checkpoint every
+            # pair IS the optimization.
+            after = iter_checkpoint(
+                star_round(star_round(edges, large=True, dedup=False), large=False),
+                reliable_checkpoints,
+            )
+            # Fixpoint test, cheapest-first: a count mismatch (one light
+            # job over checkpointed data) proves non-convergence without
+            # any join; only on a count match run ONE one-sided exceptAll
+            # — after ⊆ edges as multisets plus |after| = |edges| implies
+            # set equality, so the second exceptAll the naive check runs
+            # every round is never needed. Saves a shuffle join per
+            # round, which dominates when the edge set is small and
+            # per-job overhead is the cost driver.
+            cnt = after.count()
+            converged = cnt == prev_count and after.exceptAll(edges).isEmpty()
+            # previous round's persisted blocks are dead now that `after`
+            # is materialized (and the convergence compare above has run)
+            # — see the matching unpersist note in connected_components
+            edges.unpersist()
+            edges, prev_count = after, cnt
+            if converged:
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_twophase: no fixpoint after "
+                f"{max_rounds} rounds"
+            )
+        # fixpoint edges are stars (member, center): members point at
+        # the component minimum; centers label themselves. Built (and
+        # its one distinct-shuffle materialized) INSIDE the bounded-
+        # partition scope — a lazy return would run that shuffle under
+        # the caller's restored partition count.
+        members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        centers = edges.select(F.col("v").alias("node")).distinct().withColumn(
+            "component", F.col("node")
         )
-        # Fixpoint test, cheapest-first: a count mismatch (one light job
-        # over checkpointed data) proves non-convergence without any
-        # join; only on a count match run ONE one-sided exceptAll —
-        # after ⊆ edges as multisets plus |after| = |edges| implies set
-        # equality, so the second exceptAll the naive check runs every
-        # round is never needed. Saves a shuffle join per round, which
-        # dominates when the edge set is small and per-job overhead is
-        # the cost driver.
-        cnt = after.count()
-        converged = cnt == prev_count and after.exceptAll(edges).isEmpty()
-        # previous round's persisted blocks are dead now that `after` is
-        # materialized (and the convergence compare above has run) —
-        # see the matching unpersist note in connected_components
-        edges.unpersist()
-        edges, prev_count = after, cnt
-        if converged:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components_twophase: no fixpoint after {max_rounds} rounds"
+        return iter_checkpoint(
+            members.unionByName(centers), reliable_checkpoints
         )
-    # fixpoint edges are stars (member, center): members point at the
-    # component minimum; centers label themselves
-    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    centers = edges.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-    return members.unionByName(centers)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
