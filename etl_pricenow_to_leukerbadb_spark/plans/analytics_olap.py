@@ -2383,7 +2383,9 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank_fixed_iters(edges, n_iters=2, assume_distinct=True)
+    ranks = pagerank_fixed_iters(
+        edges, n_iters=2, assume_distinct=True, symmetric=True
+    )
     top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("C"), F.expr("node div 2"))

@@ -312,6 +312,28 @@ def test_pagerank_matches_sequential_model(spark, edges):
     assert got == _pagerank_model(edges)
 
 
+@given(edges=pr_edge_lists)
+@SETTINGS
+def test_pagerank_symmetric_fast_path_matches_general(spark, edges):
+    """symmetric=True must produce identical BIGINT ranks on any
+    symmetrized edge list (both directions present) — the contract the
+    fast path's dropped node-union and left-join rely on."""
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import pagerank_fixed_iters
+
+    sym = sorted({(u, v) for u, v in edges if u != v} | {(v, u) for u, v in edges if u != v})
+    if not sym:
+        return
+    df = spark.createDataFrame(sym, "src long, dst long")
+    fast = {
+        r.node: r.rank
+        for r in pagerank_fixed_iters(
+            df, n_iters=2, assume_distinct=True, symmetric=True
+        ).collect()
+    }
+    general = {r.node: r.rank for r in pagerank_fixed_iters(df, n_iters=2).collect()}
+    assert fast == general == _pagerank_model(sym)
+
+
 # --- Expectations vs a pandas-free sequential reference --------------------
 
 exp_rows = st.lists(
