@@ -1,0 +1,219 @@
+"""Persisted ANN index: build once to parquet, search many times.
+
+The in-memory ANN scorers (``similarity.pq_adc_topk`` and friends)
+derive their index structures — PQ codes and codebook — from the
+corpus on every call. That is the right shape for an oracle-checkable
+query, but not for production retrieval at 100 TB: there the O(N)
+index build runs ONCE (when the corpus snapshot lands), the artifacts
+are written next to the data, and every search afterwards scans only
+the quantized codes (4 small ints per vector) plus a dimension-sized
+codebook — never the raw float vectors, except for the final exact
+re-rank of a k x rerank_factor shortlist.
+
+Layout under ``path/``:
+
+    meta/       1-row parquet: (n_subspaces, sub_dim, n_codes,
+                id_col, vec_col) — the build parameters, so search
+                never has to guess them and a mismatched caller fails
+                loudly instead of computing garbage distances.
+    codebook/   (subspace, code, __code_sub) — n_subspaces x n_codes
+                rows, each a sub_dim-wide float slice. Dimension-sized:
+                always broadcast.
+    codes/      (<id_col>, subspace, code) — n_subspaces small ints
+                per corpus vector. THE scan side of every search;
+                written without the raw vectors so a search job's
+                ReadSchema is three narrow columns.
+
+Search = ``similarity.pq_adc_search`` over the loaded tables: per
+query one broadcast (subspace, code) -> distance lookup table, one
+map-side-combinable sum over the code scan, a per-query shortlist
+window, and (when the caller passes the corpus) an exact re-rank join
+touching only shortlist raw vectors. Distances are 1e-6 fixed-point
+BIGINTs end to end, so persisted-index search is bit-identical to the
+from-scratch scorer — pytest-verified, which is the point: persisting
+the index changes WHERE the structures live, never what they compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .similarity import (
+    _pq_codebook,
+    ivf_list_assign,
+    ivf_pq_search,
+    pq_adc_search,
+    pq_assign_codes,
+)
+
+_META_COLS = ("n_subspaces", "sub_dim", "n_codes", "id_col", "vec_col")
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    overwrite: bool = False,
+) -> None:
+    """Quantize the corpus and persist the PQ index under ``path``.
+
+    One pass over the raw vectors (the ``pq_assign_codes`` broadcast
+    argmin — no data-sized shuffle) plus a dimension-sized codebook
+    write. ``overwrite=False`` (default) refuses to clobber an
+    existing index — rebuilds are deliberate, not accidental."""
+    mode = "overwrite" if overwrite else "errorifexists"
+    spark = corpus.sparkSession
+    meta = spark.createDataFrame(
+        [(n_subspaces, sub_dim, n_codes, id_col, vec_col)],
+        "n_subspaces int, sub_dim int, n_codes int, id_col string, vec_col string",
+    )
+    # meta first: a crashed build leaves meta without codes, which
+    # load_pq_index turns into a clean "missing codes" read error
+    # rather than a silently param-less index
+    meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes).write.mode(
+        mode
+    ).parquet(f"{path}/codebook")
+    pq_assign_codes(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes).select(
+        id_col, "subspace", "code"
+    ).write.mode(mode).parquet(f"{path}/codes")
+
+
+def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load (codes, codebook, params) from a ``build_pq_index`` path.
+
+    Validates that the codebook row count matches the persisted
+    parameters (n_subspaces x n_codes) — the cheap structural check
+    that catches a half-written or hand-edited index before a search
+    silently computes distances against missing codes."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1 or set(_META_COLS) - set(meta_rows[0].asDict()):
+        raise ValueError(f"load_pq_index: malformed meta at {path}/meta")
+    params = meta_rows[0].asDict()
+    codebook = spark.read.parquet(f"{path}/codebook")
+    expected = params["n_subspaces"] * params["n_codes"]
+    actual = codebook.count()  # dimension-sized table: a cheap job
+    if actual != expected:
+        raise ValueError(
+            f"load_pq_index: codebook at {path} has {actual} entries, "
+            f"expected n_subspaces*n_codes = {expected} — index is corrupt "
+            "or was built with different parameters"
+        )
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes, codebook, params
+
+
+def search_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """Top-k ANN over a persisted PQ index.
+
+    ``corpus`` (the raw-vector table) enables the exact re-rank stage;
+    ``corpus=None`` returns ADC-distance top-k straight off the code
+    scan — the pure quantized path for when raw vectors are cold
+    storage. Search output is bit-identical to ``pq_adc_topk`` run
+    from scratch with the build's parameters (pytest-gated)."""
+    codes, codebook, params = load_pq_index(spark, path)
+    return pq_adc_search(
+        codes.select(
+            F.col(params["id_col"]).alias("neighbor_id"), "subspace", "code"
+        ),
+        codebook,
+        queries,
+        corpus,
+        id_col=params["id_col"],
+        vec_col=params["vec_col"],
+        n_subspaces=params["n_subspaces"],
+        sub_dim=params["sub_dim"],
+        k=k,
+        rerank_factor=rerank_factor,
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    overwrite: bool = False,
+) -> None:
+    """Persist the full IVFADC index: the PQ artifacts plus
+    ``centroids/`` (cent_id, __cent — the coarse quantizer, always
+    broadcast-sized) and ``lists/`` (<id_col>, cent_id — the inverted-
+    list assignment). Two linear passes over the corpus (PQ argmin +
+    IVF argmax, both broadcast aggregations), zero data-sized
+    shuffles; everything a search needs afterwards except the raw
+    vectors for the final re-rank."""
+    build_pq_index(
+        corpus, path, id_col, vec_col, n_subspaces, sub_dim, n_codes, overwrite
+    )
+    mode = "overwrite" if overwrite else "errorifexists"
+    n_cent = corpus.sparkSession.createDataFrame(
+        [(n_centroids,)], "n_centroids int"
+    )
+    n_cent.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_meta")
+    corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+    ).write.mode(mode).parquet(f"{path}/centroids")
+    ivf_list_assign(corpus, id_col, vec_col, n_centroids).select(
+        id_col, "cent_id"
+    ).write.mode(mode).parquet(f"{path}/lists")
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    rerank_factor: int = 20,
+) -> DataFrame:
+    """Top-k IVFADC over a persisted index: coarse-probe the persisted
+    centroid table, ADC-scan only the probed lists of the persisted
+    code table, exact-re-rank the shortlist against ``corpus`` raw
+    vectors. Bit-identical to ``ivf_pq_topk`` run from scratch with
+    the build's parameters (pytest-gated)."""
+    codes, codebook, params = load_pq_index(spark, path)
+    cent_rows = spark.read.parquet(f"{path}/ivf_meta").collect()
+    if len(cent_rows) != 1:
+        raise ValueError(f"search_ivfpq_index: malformed ivf_meta at {path}")
+    n_centroids = cent_rows[0]["n_centroids"]
+    centroids = spark.read.parquet(f"{path}/centroids")
+    actual = centroids.count()  # broadcast-sized table: a cheap job
+    if actual != n_centroids:
+        raise ValueError(
+            f"search_ivfpq_index: centroid table at {path} has {actual} "
+            f"rows, expected {n_centroids} — index is corrupt or was "
+            "built with different parameters"
+        )
+    nid = F.col(params["id_col"]).alias("neighbor_id")
+    lists = spark.read.parquet(f"{path}/lists").select(nid, "cent_id")
+    index = codes.select(nid, "subspace", "code").join(lists, "neighbor_id")
+    return ivf_pq_search(
+        index,
+        centroids,
+        codebook,
+        queries,
+        corpus,
+        id_col=params["id_col"],
+        vec_col=params["vec_col"],
+        n_subspaces=params["n_subspaces"],
+        sub_dim=params["sub_dim"],
+        n_probe=n_probe,
+        k=k,
+        rerank_factor=rerank_factor,
+    )

@@ -325,6 +325,29 @@ def _sq_l2_fp(a: F.Column, b: F.Column) -> F.Column:
     ).cast("long")
 
 
+def _pq_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    sub_dim: int,
+    n_codes: int,
+) -> DataFrame:
+    """(subspace, code, __code_sub): the fixed PQ codebook — matching
+    slices of the first ``n_codes`` corpus vectors by id (deterministic
+    and engine-checkable; a trained quantizer slots in by swapping this
+    one function — see ``kmeans_assign_2iter`` for the trained path)."""
+    return _pq_subvectors(
+        corpus.filter(F.col(id_col) < n_codes),
+        id_col,
+        vec_col,
+        "code",
+        "__code_sub",
+        n_subspaces,
+        sub_dim,
+    )
+
+
 def pq_assign_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -357,17 +380,7 @@ def pq_assign_codes(
     sub = _pq_subvectors(
         fan_out(corpus), id_col, vec_col, id_col, "__sub", n_subspaces, sub_dim
     )
-    cb = F.broadcast(
-        _pq_subvectors(
-            corpus.filter(F.col(id_col) < n_codes),
-            id_col,
-            vec_col,
-            "code",
-            "__code_sub",
-            n_subspaces,
-            sub_dim,
-        )
-    )
+    cb = F.broadcast(_pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes))
     dist_fp = _sq_l2_fp(F.col("__sub"), F.col("__code_sub"))
     # argmin via a packed BIGINT instead of min_by(struct, struct):
     # encoded = dist_fp * 256 + code preserves the (dist_fp ASC, code
@@ -438,20 +451,44 @@ def pq_adc_topk(
     codes = pq_assign_codes(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
     ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    cb = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    return pq_adc_search(
+        codes, cb, queries, corpus, id_col, vec_col, n_subspaces, sub_dim,
+        k, rerank_factor,
+    )
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    k: int = 5,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """The ADC search core over materialized index structures — shared
+    by ``pq_adc_topk`` (structures derived in-memory) and
+    ``ann_index.search_pq_index`` (structures loaded from parquet), so
+    persisting an index cannot change what a search computes.
+
+    ``codes``: (neighbor_id, subspace, code) — the only corpus-sized
+    scan. ``codebook``: (subspace, code, __code_sub). ``n_subspaces``
+    and ``sub_dim`` must match the codebook's build geometry (the
+    index loader reads them from the persisted meta). ``corpus=None``
+    skips the exact re-rank and returns the top-k by ADC distance
+    directly (``dist_fp`` is then the quantized distance) — the pure
+    code-scan path for raw vectors in cold storage."""
     qsub = _pq_subvectors(
         queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
     )
-    cb = _pq_subvectors(
-        corpus.filter(F.col(id_col) < n_codes),
-        id_col,
-        vec_col,
-        "code",
-        "__code_sub",
-        n_subspaces,
-        sub_dim,
-    )
+    # per-query LUT: distance from each query subvector to every
+    # codebook entry — |Q| x n_subspaces x n_codes rows, broadcast
     qd = F.broadcast(
-        qsub.join(cb, "subspace").select(
+        qsub.join(codebook, "subspace").select(
             "query_id",
             "subspace",
             "code",
@@ -469,9 +506,16 @@ def pq_adc_topk(
     )
     shortlist = (
         scored.withColumn("pr", F.row_number().over(w_short))
-        .filter(F.col("pr") <= k * rerank_factor)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("pr") <= (k * rerank_factor if corpus is not None else k))
+        .select("query_id", "neighbor_id", "adc_dist_fp", F.col("pr"))
     )
+    if corpus is None:
+        return shortlist.select(
+            "query_id",
+            "neighbor_id",
+            F.col("pr").alias("rank"),
+            F.col("adc_dist_fp").alias("dist_fp"),
+        )
     # exact re-rank: raw vectors only for the shortlist candidates
     qraw = F.broadcast(
         queries.select(
@@ -482,7 +526,8 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     exact = (
-        shortlist.join(craw, "neighbor_id")
+        shortlist.select("query_id", "neighbor_id")
+        .join(craw, "neighbor_id")
         .join(qraw, "query_id")
         .select(
             "query_id",
@@ -522,7 +567,8 @@ def ivf_pq_topk(
 
     Dataflow, sized for 100 TB of vectors:
 
-    1. **Index build** (in production: precomputed and stored): one
+    1. **Index build** (in production: precomputed and stored — see
+       ``ann_index.build_ivfpq_index`` for the persisted form): one
        co-partitioned join of the PQ code table with the IVF list
        assignment on the vector id — both are map-side aggregations
        over the same corpus scan, so AQE plans a local join; the
@@ -551,12 +597,44 @@ def ivf_pq_topk(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
     ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
     index = codes.join(lists, "neighbor_id")
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+    )
+    cb = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    return ivf_pq_search(
+        index, cents, cb, queries, corpus, id_col, vec_col,
+        n_subspaces, sub_dim, n_probe, k, rerank_factor,
+    )
 
+
+def ivf_pq_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    rerank_factor: int = 20,
+) -> DataFrame:
+    """The IVFADC search core over materialized index structures —
+    shared by ``ivf_pq_topk`` (structures derived in-memory) and
+    ``ann_index.search_ivfpq_index`` (structures loaded from parquet),
+    so persisting the index cannot change what a search computes.
+
+    ``index``: (cent_id, neighbor_id, subspace, code) — the only
+    corpus-sized scan. ``centroids``: (cent_id, __cent). ``codebook``:
+    (subspace, code, __code_sub). ``n_probe``/``k``/``rerank_factor``
+    are search-time knobs; the geometry params must match the build."""
     cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cent"),
-            F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
+        centroids.select(
+            "cent_id",
+            F.col("__cent"),
+            F.sqrt(norm_sq(F.col("__cent"))).alias("__centn"),
         )
     )
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -587,17 +665,8 @@ def ivf_pq_topk(
     qsub = _pq_subvectors(
         queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
     )
-    cb = _pq_subvectors(
-        corpus.filter(F.col(id_col) < n_codes),
-        id_col,
-        vec_col,
-        "code",
-        "__code_sub",
-        n_subspaces,
-        sub_dim,
-    )
     qd = F.broadcast(
-        qsub.join(cb, "subspace").select(
+        qsub.join(codebook, "subspace").select(
             "query_id",
             "subspace",
             "code",
