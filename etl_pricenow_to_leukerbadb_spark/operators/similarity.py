@@ -458,6 +458,36 @@ def pq_adc_topk(
     )
 
 
+def _require_query_dim(
+    queries: DataFrame, vec_col: str, expected: int, ctx: str
+) -> DataFrame:
+    """Fail a search loudly when a query vector is too short for the
+    index geometry. Without this, ``F.slice`` past the end yields a
+    short subvector, ``zip_with`` NULL-pads it, and the NULL distance
+    sorts LAST under ASC — the query silently gets garbage neighbors
+    instead of an error. Query-side only (queries are small by
+    contract; the corpus side is quantized at build time).
+
+    The guard lives INSIDE the vector expression (`when`/`raise_error`
+    on the column itself) — a detached ``assert_true`` column gets
+    pruned by Catalyst the moment nothing reads it, which is exactly
+    what happened to the first version of this check (pytest-pinned)."""
+    return queries.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) >= F.lit(expected), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{ctx}: query {vec_col} needs >= {expected} elements "
+                        "(index geometry n_subspaces*sub_dim), got "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        ),
+    )
+
+
 def pq_adc_search(
     codes: DataFrame,
     codebook: DataFrame,
@@ -482,6 +512,9 @@ def pq_adc_search(
     skips the exact re-rank and returns the top-k by ADC distance
     directly (``dist_fp`` is then the quantized distance) — the pure
     code-scan path for raw vectors in cold storage."""
+    queries = _require_query_dim(
+        queries, vec_col, n_subspaces * sub_dim, "pq_adc_search"
+    )
     qsub = _pq_subvectors(
         queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
     )
@@ -663,7 +696,13 @@ def ivf_pq_search(
     )
 
     qsub = _pq_subvectors(
-        queries, id_col, vec_col, "query_id", "__qsub", n_subspaces, sub_dim
+        _require_query_dim(queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"),
+        id_col,
+        vec_col,
+        "query_id",
+        "__qsub",
+        n_subspaces,
+        sub_dim,
     )
     qd = F.broadcast(
         qsub.join(codebook, "subspace").select(

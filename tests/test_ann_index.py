@@ -120,6 +120,14 @@ def test_ivfpq_search_matches_from_scratch(spark, corpus, queries, tmp_path):
     assert from_disk == from_scratch and len(from_disk) == 15
 
 
+def test_short_query_vector_fails_loudly(spark, corpus, queries, index_path):
+    """A query vector shorter than the index geometry must raise, not
+    silently rank on NULL-padded distances."""
+    short = queries.select("vec_id", F.slice("embedding", 1, 10).alias("embedding"))
+    with pytest.raises(Exception, match="needs >= 64 elements"):
+        search_pq_index(spark, index_path, short, corpus, k=5).collect()
+
+
 def test_corrupt_codebook_detected(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     build_pq_index(corpus, path, **PARAMS)
