@@ -157,6 +157,22 @@ def build_ivfpq_index(
     IVF argmax, both broadcast aggregations), zero data-sized
     shuffles; everything a search needs afterwards except the raw
     vectors for the final re-rank."""
+    # Validate the coarse quantizer BEFORE writing anything: the
+    # fixed-codebook convention takes ids 0..n_centroids-1, and a
+    # corpus whose ids don't cover that range (fewer vectors, or ids
+    # not starting at 0) would otherwise build successfully and fail
+    # only at search time with a misleading "index is corrupt"
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+    )
+    n_found = cents.count()
+    if n_found != n_centroids:
+        raise ValueError(
+            f"build_ivfpq_index: corpus has {n_found} vectors with "
+            f"{id_col} < {n_centroids}; the fixed-codebook convention "
+            f"needs ids 0..{n_centroids - 1} present exactly once — "
+            "lower n_centroids or renumber the corpus ids"
+        )
     build_pq_index(
         corpus, path, id_col, vec_col, n_subspaces, sub_dim, n_codes, overwrite
     )
@@ -165,9 +181,7 @@ def build_ivfpq_index(
         [(n_centroids,)], "n_centroids int"
     )
     n_cent.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_meta")
-    corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
-    ).write.mode(mode).parquet(f"{path}/centroids")
+    cents.write.mode(mode).parquet(f"{path}/centroids")
     ivf_list_assign(corpus, id_col, vec_col, n_centroids).select(
         id_col, "cent_id"
     ).write.mode(mode).parquet(f"{path}/lists")

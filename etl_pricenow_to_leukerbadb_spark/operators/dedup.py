@@ -57,19 +57,24 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     loses its blocks and fails the query. (eager=False was measured
     slower AND noisier back-to-back — see the module NOTE above.)
 
-    ``reliable=True``: ``checkpoint(eager=False)`` to the session's
+    ``reliable=True``: ``checkpoint(eager=True)`` to the session's
     checkpoint directory (HDFS/S3 in production) — survives executor
     loss, which is the correct trade for many-round jobs on large
     clusters where the probability of losing SOME executor before
-    convergence approaches 1. Costs one distributed write per round;
-    the DataFrame is ``persist()``ed first so the checkpoint job
-    writes from cached blocks instead of recomputing the round's
+    convergence approaches 1. Costs one distributed write per round.
+    The DataFrame is ``persist()``ed around the eager checkpoint so
+    the write reads cached blocks instead of recomputing the round's
     whole lineage a second time (Spark's documented checkpoint
-    behavior for unpersisted RDDs). Checkpoint files accumulate one
-    round-set per iteration and are reclaimed on GC only when
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off by
-    default) — set it, or point the checkpoint dir at scratch storage
-    with a lifecycle policy.
+    behavior for unpersisted RDDs), and the cache is released HERE,
+    immediately after the write — the data now lives in the
+    checkpoint files, and unpersisting the *returned* DataFrame from
+    caller code frees nothing (the persist belongs to the
+    pre-checkpoint plan; verified empirically, and the reason a
+    many-round reliable job used to accumulate one round's cache per
+    iteration). Checkpoint files themselves are reclaimed on GC only
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (off by default) — set it, or point the checkpoint dir at scratch
+    storage with a lifecycle policy.
     Raises with setup instructions if no checkpoint dir is configured,
     instead of Spark's late SparkException mid-iteration."""
     if not reliable:
@@ -80,7 +85,11 @@ def iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
             "call spark.sparkContext.setCheckpointDir('<hdfs/s3/local path>') "
             "before running the operator"
         )
-    return df.persist().checkpoint(eager=False)
+    cached = df.persist()
+    try:
+        return cached.checkpoint(eager=True)
+    finally:
+        cached.unpersist()
 
 
 @contextmanager
@@ -352,7 +361,6 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     changed = -1
-    prev_ckpt: DataFrame | None = None
     n_edges = edges.count()  # cheap: just checkpointed; sizes the loop
     with _loop_shuffle_partitions(pairs.sparkSession, n_edges):
         for _ in range(max_iter):
@@ -376,15 +384,13 @@ def connected_components(
             changed = new_labels.filter(
                 F.col("new_component") != F.col("component")
             ).count()
-            # the PREVIOUS round's persisted blocks (reliable path:
-            # persist backs the checkpoint write) are dead once this
-            # round is materialized — without the unpersist a long job
-            # accumulates one round's labels per iteration in storage
-            # memory for the session lifetime (no-op on the
-            # localCheckpoint path)
-            if prev_ckpt is not None:
-                prev_ckpt.unpersist()
-            prev_ckpt = new_labels
+            # per-round block hygiene lives inside iter_checkpoint: the
+            # reliable path releases its backing cache right after the
+            # eager checkpoint write (unpersisting the RETURNED frame
+            # here would free nothing — the persist belongs to the
+            # pre-checkpoint plan), and localCheckpoint blocks are
+            # reclaimed by the ContextCleaner once the previous round's
+            # references go out of scope.
             labels = new_labels.select(
                 "node", F.col("new_component").alias("component")
             )
@@ -489,10 +495,8 @@ def connected_components_twophase(
             # per-job overhead is the cost driver.
             cnt = after.count()
             converged = cnt == prev_count and after.exceptAll(edges).isEmpty()
-            # previous round's persisted blocks are dead now that `after`
-            # is materialized (and the convergence compare above has run)
-            # — see the matching unpersist note in connected_components
-            edges.unpersist()
+            # block hygiene lives inside iter_checkpoint — see the
+            # matching note in connected_components
             edges, prev_count = after, cnt
             if converged:
                 break

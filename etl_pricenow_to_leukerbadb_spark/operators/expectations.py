@@ -10,7 +10,8 @@ passes that can evaluate them:
   table, however many rules there are (the Deequ/Great-Expectations
   execution trick — rule count must not multiply scan count at 100 TB);
 - uniqueness rules ride the same single aggregate via
-  count(*) - count_distinct(cols);
+  count_if(all key cols non-null) - count_distinct(cols) — SQL
+  UNIQUE-constraint semantics, NULL-keyed rows exempt;
 - referential rules each add one LEFT ANTI join against the referenced
   key set (broadcast when the dimension is small, which is the normal
   shape for FK targets).
@@ -26,6 +27,8 @@ published Deequ "compute all metrics in one aggregation" design.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import reduce
+from operator import and_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,7 +40,10 @@ class Expectation:
 
     - ``not_null``:        col must not be NULL
     - ``unique``:          cols must be row-unique (violations = rows
-                           beyond the first per duplicate key)
+                           beyond the first per duplicate key;
+                           NULL-keyed rows are exempt, as in a SQL
+                           UNIQUE constraint — pair with not_null to
+                           forbid NULL keys)
     - ``in_range``:        lo <= col <= hi (NULLs don't violate —
                            pair with not_null to forbid them)
     - ``accepted_values``: col must be one of ``values``
@@ -67,7 +73,15 @@ def _violation_expr(e: Expectation) -> Column:
     if e.kind == "not_null":
         return F.count_if(col.isNull())
     if e.kind == "unique":
-        return F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in e.cols])
+        # SQL UNIQUE-constraint semantics: rows with any NULL key
+        # component are exempt (count_distinct already skips them, so
+        # the minuend must too — counting ALL rows made every
+        # NULL-keyed row a violation even with no duplicate present;
+        # declare a not_null rule alongside to forbid NULL keys)
+        all_nonnull = reduce(and_, (F.col(c).isNotNull() for c in e.cols))
+        return F.count_if(all_nonnull) - F.count_distinct(
+            *[F.col(c) for c in e.cols]
+        )
     if e.kind == "in_range":
         return F.count_if((col < F.lit(e.lo)) | (col > F.lit(e.hi)))
     if e.kind == "accepted_values":

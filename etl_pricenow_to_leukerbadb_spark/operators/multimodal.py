@@ -160,8 +160,19 @@ def resize_media_fake(
                 }
             )
 
-    return decoded.select(id_col, "width", "height", "n_bytes").mapInPandas(
-        run, schema="doc_id long, width int, height int, n_bytes_est long"
+    # NULL-metadata rows (the decoders keep NULL-payload rows for
+    # audits) have no defined resize: drop them JVM-side BEFORE the
+    # Arrow hop — inside the batch they arrive as float64-with-NaN
+    # (Arrow's null-int -> pandas conversion) and .astype('int64')
+    # raises, failing the whole job on one corrupt row
+    return (
+        decoded.select(id_col, "width", "height", "n_bytes")
+        .filter(
+            F.col("width").isNotNull()
+            & F.col("height").isNotNull()
+            & F.col("n_bytes").isNotNull()
+        )
+        .mapInPandas(run, schema="doc_id long, width int, height int, n_bytes_est long")
     )
 
 

@@ -2254,8 +2254,8 @@ SELECT 'ev_event_id_not_null' AS rule, 'not_null' AS kind,
 FROM events
 UNION ALL
 SELECT 'ev_event_id_unique', 'unique',
-       COUNT(*) - COUNT(DISTINCT event_id),
-       COUNT(*) - COUNT(DISTINCT event_id) = 0
+       COUNT(event_id) - COUNT(DISTINCT event_id),
+       COUNT(event_id) - COUNT(DISTINCT event_id) = 0
 FROM events
 UNION ALL
 SELECT 'ev_value_in_range', 'in_range',

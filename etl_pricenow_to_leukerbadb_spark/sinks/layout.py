@@ -184,11 +184,16 @@ def compact_parquet(
     # rows double-count) and, after a crash, permanently break every
     # read of the table. Hidden (., _) paths are ignored by Spark's
     # file index; stale ones from prior crashes are swept here, where
-    # single-writer is the caller's contract.
+    # single-writer is the caller's contract. The staging prefix
+    # embeds the TARGET's basename and the sweep matches only that
+    # prefix: single-writer is per-TABLE, so a whole-table compaction
+    # (staging in the directory shared by sibling tables) must not
+    # delete a concurrent sibling compaction's live staging dir.
     parent = os.path.dirname(target_path.rstrip("/"))
-    for stale in glob.glob(os.path.join(parent, ".compact_*")):
+    prefix = f".compact_{os.path.basename(target_path.rstrip('/'))}_"
+    for stale in glob.glob(os.path.join(parent, glob.escape(prefix) + "*")):
         shutil.rmtree(stale, ignore_errors=True)
-    tmp = tempfile.mkdtemp(prefix=".compact_", dir=parent)
+    tmp = tempfile.mkdtemp(prefix=prefix, dir=parent)
     # coalesce, not repartition: narrowing to fewer files needs no shuffle
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # crash-safe backup-aside swap (also clears stale backups from a

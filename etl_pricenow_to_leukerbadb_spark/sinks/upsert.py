@@ -220,6 +220,7 @@ def merge_upsert_partitioned(
     keys: list[str],
     partition_cols: list[str],
     table: str | None = None,
+    precedence_col: str | None = None,
 ) -> None:
     """Partition-scoped MERGE into a hive-partitioned parquet table:
     only the partitions present in the update set are read, merged and
@@ -239,7 +240,11 @@ def merge_upsert_partitioned(
 
     Update rows must carry their partition columns, and a key's
     partition must be stable across batches (same contract as
-    partitioned ``MERGE`` everywhere)."""
+    partitioned ``MERGE`` everywhere). ``precedence_col`` gives the
+    merge keep-newest instead of unconditional-replace semantics —
+    same contract as ``merge_upsert_df`` — so a late-arriving batch
+    of OLDER events cannot clobber newer rows already merged into a
+    partition."""
     from .layout import parquet_file_count
 
     assert_keys_not_null(updates, keys, table or target_path)
@@ -260,7 +265,9 @@ def merge_upsert_partitioned(
             c = c & F.col(col).eqNullSafe(F.lit(row[col]))
         cond = cond | c
     base = spark.read.parquet(target_path).filter(cond)
-    merged = merge_upsert_df(base, updates.select(*base.columns), keys)
+    merged = merge_upsert_df(
+        base, updates.select(*base.columns), keys, precedence_col=precedence_col
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

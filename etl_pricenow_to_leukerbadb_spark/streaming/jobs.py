@@ -323,7 +323,8 @@ def stream_partitioned_upsert_job(
     a micro-batch covers a bounded time slice, so per-trigger write
     amplification is bounded by the touched partitions, not by table
     size (contrast ``stream_upsert_job``, which rewrites the whole
-    dimension-sized target per batch)."""
+    dimension-sized target per batch). Latest-by-ts holds across
+    batches via ``precedence_col='ts'``, like ``stream_upsert_job``."""
     from ..sinks.upsert import merge_upsert_partitioned
 
     keys, partition_cols = list(keys), list(partition_cols)
@@ -345,8 +346,18 @@ def stream_partitioned_upsert_job(
             .drop("__rn")
         )
         with_day = latest.withColumn("day", F.col("ts").cast("date"))
+        # precedence_col: latest-by-ts must hold ACROSS batches too —
+        # availableNow can split input into several micro-batches with
+        # file-arrival order != event order, and without it a later
+        # batch of older events would clobber newer merged rows (the
+        # same contract stream_upsert_job's merge carries)
         merge_upsert_partitioned(
-            batch_df.sparkSession, with_day, target_path, keys, partition_cols
+            batch_df.sparkSession,
+            with_day,
+            target_path,
+            keys,
+            partition_cols,
+            precedence_col="ts",
         )
 
     q = (

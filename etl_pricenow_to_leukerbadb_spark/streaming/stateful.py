@@ -176,9 +176,17 @@ def _ewma_fn(
     IDENTICAL recurrence to plans.analytics_olap.ts_ewma_smooth (the
     batch/backfill twin; pytest asserts row-level equality of the two
     on a finite input). `v` is quantized JVM-side (floor(max(value,0)
-    * 1e6)) for the same reason ts_s is: Arrow-side re-derivation
-    could disagree with the batch twin; a plain BIGINT cannot.
-    Within a batch, rows fold in (ts_s, event_id) order; across
+    * 1e6)) for the same reason the timestamp is: Arrow-side
+    re-derivation could disagree with the batch twin; a plain BIGINT
+    cannot. Ordering uses MICROSECOND-precision unix_micros, not
+    whole seconds: EWMA is order-dependent, the batch twin (and its
+    shared oracle) order by the full-precision ts, and the events
+    fixture carries same-user same-second collisions whose sub-second
+    order disagrees with event_id order — a seconds-truncated sort
+    key would fold those in a different order and diverge. (The
+    sessionize fold can truncate to seconds because its OUTPUT is
+    second-granular; this one cannot.)
+    Within a batch, rows fold in (ts_us, event_id) order; across
     batches, state folds in arrival order — exact batch equality
     holds when the finite input arrives in one availableNow batch
     (the test path) or in time-ordered batches (a watermarked
@@ -187,7 +195,7 @@ def _ewma_fn(
     batch = pd.concat(list(pdfs), ignore_index=True)
     if len(batch) == 0:
         return
-    batch = batch.sort_values(["ts_s", "event_id"], kind="mergesort")
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
     vals = batch["v"].astype("int64").to_list()
 
     if state.exists:
@@ -222,7 +230,7 @@ def ewma_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
             F.floor(F.greatest(F.col("value"), F.lit(0.0)) * 1000000)
             .cast("long")
             .alias("v"),

@@ -128,6 +128,21 @@ def test_short_query_vector_fails_loudly(spark, corpus, queries, index_path):
         search_pq_index(spark, index_path, short, corpus, k=5).collect()
 
 
+def test_ivfpq_build_validates_centroid_coverage(spark, corpus, tmp_path):
+    """A corpus whose ids don't cover 0..n_centroids-1 must fail the
+    BUILD with an actionable message — not build successfully and then
+    fail every search with 'index is corrupt'."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    shifted = corpus.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="lower n_centroids or renumber"):
+        build_ivfpq_index(shifted, str(tmp_path / "bad"), n_centroids=16, **PARAMS)
+
+
 def test_corrupt_codebook_detected(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     build_pq_index(corpus, path, **PARAMS)

@@ -85,6 +85,32 @@ def test_ewma_equal_timestamps_tiebreak_on_event_id(spark, tmp_path):
     assert got[1] == (2, _ewma_ref([0.0, 100.0]))
 
 
+def test_ewma_stream_orders_subsecond_collisions_by_ts(spark, tmp_path):
+    """Same-second events whose MICROSECOND order disagrees with
+    event_id order must fold in full-ts order (the batch twin's and
+    the oracle's ordering). A seconds-truncated sort key folded these
+    by event_id instead and diverged — the fixture events carry such
+    collisions."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.stateful import ewma_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # event 9 is EARLIER by microseconds but LATER by event_id
+        (9, t0 + dt.timedelta(microseconds=100), 1, 100.0),
+        (2, t0 + dt.timedelta(microseconds=900), 1, 0.0),
+    ]
+    # a plain directory (not a *.parquet single-file path): Spark's
+    # write produces a directory, and the stream's pathGlobFilter
+    # branch is for the testdata's single-FILE events.parquet layout
+    d = os.path.join(str(tmp_path), "events_dir")
+    _events_df(spark, rows).write.mode("overwrite").parquet(d)
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_fixed"])
+        for r in ewma_stream(spark, d).collect()
+    }
+    assert got[1] == (2, _ewma_ref([100.0, 0.0]))
+
+
 def test_ewma_stream_equals_batch(spark, sf_small):
     """The streaming fold (O(1) state/key) must equal the batch fold
     (whole-group list) row-for-row on a finite input — the claim both

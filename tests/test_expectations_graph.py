@@ -38,9 +38,10 @@ def test_expectations_counts_each_violation_kind(spark):
     got = [(r.rule, r.n_violations, r.passed) for r in check_expectations(df, rules).collect()]
     assert got == [
         ("id_not_null", 1, False),
-        # 5 rows, distinct non-null ids {1,2,4} -> 5-3=2 (the dup row + the
-        # null row both exceed the distinct count)
-        ("id_unique", 2, False),
+        # 4 non-null-keyed rows, distinct ids {1,2,4} -> 4-3=1 (only the
+        # duplicate; the NULL-keyed row is exempt per SQL UNIQUE semantics
+        # and is flagged by id_not_null instead)
+        ("id_unique", 1, False),
         ("value_range", 2, False),
         ("kind_ok", 1, False),
         ("fk_ok", 1, False),

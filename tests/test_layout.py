@@ -380,3 +380,26 @@ def test_merge_upsert_precedence_keeps_newer_base_rows(spark):
         r.k: r.v for r in merge_upsert_df(base, updates, ["k"]).collect()
     }
     assert got_default[1] == "stale-upd"
+
+
+def test_merge_upsert_partitioned_precedence_cross_batch(spark, tmp_path):
+    """The partitioned merge honors precedence_col too: a later batch
+    carrying an OLDER event for a key must not clobber the newer row
+    already merged into its partition — the cross-batch event-time
+    contract the partitioned STREAMING upsert relies on (availableNow
+    can split input so file-arrival order != event order)."""
+    from etl_pricenow_to_leukerbadb_spark.sinks.upsert import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, "d1", 100, "newer"), (2, "d1", 50, "old")],
+        "k long, day string, ts long, v string",
+    )
+    merge_upsert_partitioned(spark, b1, path, ["k"], ["day"], precedence_col="ts")
+    b2 = spark.createDataFrame(
+        [(1, "d1", 90, "stale-late"), (2, "d1", 60, "fresh")],
+        "k long, day string, ts long, v string",
+    )
+    merge_upsert_partitioned(spark, b2, path, ["k"], ["day"], precedence_col="ts")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "newer", 2: "fresh"}

@@ -886,6 +886,17 @@ def test_multimodal_null_payload_and_zero_frames(spark):
     sampled = sample_frames(decoded).collect()
     assert {r.doc_id for r in sampled} == {1}
 
+    # resize over a decode output containing a NULL-metadata row (the
+    # NULL-payload audit row) must skip it, not fail the batch: Arrow
+    # hands null ints to pandas as float64-with-NaN and a bare
+    # .astype('int64') raises
+    from etl_pricenow_to_leukerbadb_spark.operators.multimodal import (
+        resize_media_fake,
+    )
+
+    resized = {r.doc_id: r for r in resize_media_fake(fake_decode_media(df)).collect()}
+    assert set(resized) == {1} and resized[1].width is not None
+
 
 def test_lsh_candidate_pairs_validates_bands(spark):
     from etl_pricenow_to_leukerbadb_spark.operators.dedup import (

@@ -373,7 +373,9 @@ def test_expectations_match_sequential_counts(spark, rows):
     values = [r[1] for r in rows]
     fks = [r[2] for r in rows]
     assert out["nn"] == sum(1 for i in ids if i is None)
-    assert out["uq"] == len(ids) - len({i for i in ids if i is not None})
+    # SQL UNIQUE semantics: NULL-keyed rows exempt
+    nn_ids = [i for i in ids if i is not None]
+    assert out["uq"] == len(nn_ids) - len(set(nn_ids))
     assert out["rg"] == sum(1 for v in values if v is not None and not 0 <= v <= 100)
     assert out["fk"] == sum(1 for f in fks if f is not None and f not in (0, 1))
 
