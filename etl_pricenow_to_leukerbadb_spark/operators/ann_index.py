@@ -139,6 +139,54 @@ def search_pq_index(
     )
 
 
+def append_to_pq_index(
+    delta: DataFrame,
+    path: str,
+    assume_new_ids: bool = False,
+) -> None:
+    """Incrementally extend a persisted PQ index with a corpus delta —
+    the streaming-ingest shape: quantize ONLY the new vectors against
+    the index's FROZEN codebook (one broadcast argmin pass over the
+    delta) and append their code rows; nothing existing is rewritten,
+    and the result is bit-identical to a full rebuild over the union
+    (pytest-gated — the codebook is fixed, so assignment is a pure
+    per-vector function).
+
+    Duplicate ids would silently corrupt every subsequent search (the
+    ADC sum would add two code rows per subspace for that vector), so
+    the delta's ids are anti-joined against the existing code table
+    and the append REFUSES on overlap. That check is one pass over
+    the (4-small-ints-per-vector) code table; callers whose ingest
+    already guarantees fresh ids (e.g. a monotonic sequence) can skip
+    it with ``assume_new_ids=True``."""
+    spark = delta.sparkSession
+    codes, codebook, params = load_pq_index(spark, path)
+    id_col = params["id_col"]
+    if not assume_new_ids:
+        n_dup = (
+            delta.select(F.col(id_col))
+            .join(codes.select(id_col).distinct(), id_col, "inner")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"append_to_pq_index: {n_dup} delta id(s) already exist in "
+                f"the index at {path} — appending would double-count their "
+                "code rows in every ADC sum. Deduplicate the delta (or pass "
+                "assume_new_ids=True only when ids are provably fresh)"
+            )
+    new_codes = pq_assign_codes(
+        delta,
+        id_col,
+        params["vec_col"],
+        params["n_subspaces"],
+        params["sub_dim"],
+        params["n_codes"],
+        codebook=codebook,
+    ).select(id_col, "subspace", "code")
+    new_codes.write.mode("append").parquet(f"{path}/codes")
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,

@@ -355,6 +355,7 @@ def pq_assign_codes(
     n_subspaces: int = 4,
     sub_dim: int = 16,
     n_codes: int = 8,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment: split each vector into
     ``n_subspaces`` contiguous ``sub_dim``-dim subvectors and map every
@@ -374,13 +375,21 @@ def pq_assign_codes(
     One broadcast of the (n_subspaces x n_codes) codebook against a
     fanned-out corpus scan, one map-side ``min_by`` aggregation —
     no data-sized shuffle. Returns (vec_id, subspace, code, dist_fp)
-    with dist_fp = round(squared_L2 * 1e6) of the chosen code."""
+    with dist_fp = round(squared_L2 * 1e6) of the chosen code.
+
+    ``codebook`` overrides the derive-from-corpus convention with an
+    EXPLICIT (subspace, code, __code_sub) table — how a corpus DELTA
+    is quantized against a persisted index's frozen codebook
+    (``ann_index.append_to_pq_index``): same assignment arithmetic,
+    codebook loaded instead of derived."""
     if n_codes > 256:
         raise ValueError("pq_assign_codes: n_codes must be <= 256 (code packing)")
     sub = _pq_subvectors(
         fan_out(corpus), id_col, vec_col, id_col, "__sub", n_subspaces, sub_dim
     )
-    cb = F.broadcast(_pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes))
+    if codebook is None:
+        codebook = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    cb = F.broadcast(codebook)
     dist_fp = _sq_l2_fp(F.col("__sub"), F.col("__code_sub"))
     # argmin via a packed BIGINT instead of min_by(struct, struct):
     # encoded = dist_fp * 256 + code preserves the (dist_fp ASC, code

@@ -128,6 +128,54 @@ def test_short_query_vector_fails_loudly(spark, corpus, queries, index_path):
         search_pq_index(spark, index_path, short, corpus, k=5).collect()
 
 
+def test_append_delta_equals_full_rebuild(spark, corpus, queries, tmp_path):
+    """Appending a delta against the frozen codebook must produce an
+    index bit-identical to rebuilding over the union — and search
+    results over it must match the from-scratch scorer on the union."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    inc_path = str(tmp_path / "inc")
+    build_pq_index(old, inc_path, **PARAMS)
+    append_to_pq_index(delta, inc_path)
+
+    full_path = str(tmp_path / "full")
+    # NOTE: the union's codebook equals old's (ids < n_codes all in old)
+    build_pq_index(corpus, full_path, **PARAMS)
+
+    inc_codes = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{inc_path}/codes").collect()
+    )
+    full_codes = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{full_path}/codes").collect()
+    )
+    assert inc_codes == full_codes
+
+    got = sorted(
+        tuple(r) for r in search_pq_index(spark, inc_path, queries, corpus, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pq_adc_topk(corpus, queries, k=5, **PARAMS).collect()
+    )
+    assert got == want
+
+
+def test_append_refuses_duplicate_ids(spark, corpus, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+    )
+
+    path = str(tmp_path / "dup")
+    build_pq_index(corpus, path, **PARAMS)
+    with pytest.raises(ValueError, match="already exist in"):
+        append_to_pq_index(corpus.limit(5), path)
+
+
 def test_ivfpq_build_validates_centroid_coverage(spark, corpus, tmp_path):
     """A corpus whose ids don't cover 0..n_centroids-1 must fail the
     BUILD with an actionable message — not build successfully and then
