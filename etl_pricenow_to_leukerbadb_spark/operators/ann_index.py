@@ -163,6 +163,18 @@ def append_to_pq_index(
     codes, codebook, params = load_pq_index(spark, path)
     id_col = params["id_col"]
     if not assume_new_ids:
+        # one aggregate over the delta covers both corruption modes:
+        # internal duplicates AND collisions with the existing index
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"append_to_pq_index: delta contains {stats['n'] - stats['nd']} "
+                "internally duplicated id(s) — each would emit duplicate code "
+                "rows and double-count in every ADC sum. Deduplicate the delta"
+            )
         n_dup = (
             delta.select(F.col(id_col))
             .join(codes.select(id_col).distinct(), id_col, "inner")

@@ -174,6 +174,10 @@ def test_append_refuses_duplicate_ids(spark, corpus, tmp_path):
     build_pq_index(corpus, path, **PARAMS)
     with pytest.raises(ValueError, match="already exist in"):
         append_to_pq_index(corpus.limit(5), path)
+    # internal duplicates are rejected before touching the index
+    fresh = corpus.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="internally duplicated"):
+        append_to_pq_index(fresh.limit(3).unionAll(fresh.limit(3)), path)
 
 
 def test_ivfpq_build_validates_centroid_coverage(spark, corpus, tmp_path):
