@@ -144,27 +144,61 @@ def append_to_pq_index(
     path: str,
     assume_new_ids: bool = False,
 ) -> None:
-    """Incrementally extend a persisted PQ index with a corpus delta —
-    the streaming-ingest shape: quantize ONLY the new vectors against
-    the index's FROZEN codebook (one broadcast argmin pass over the
-    delta) and append their code rows; nothing existing is rewritten,
-    and the result is bit-identical to a full rebuild over the union
-    (pytest-gated — the codebook is fixed, so assignment is a pure
+    """Incrementally extend a persisted PQ or IVFADC index with a
+    corpus delta — the streaming-ingest shape: quantize ONLY the new
+    vectors against the index's FROZEN codebook (one broadcast argmin
+    pass over the delta) and append their code rows; on an IVFADC
+    layout (``build_ivfpq_index``) the delta is also assigned to the
+    frozen coarse centroids and appended to the inverted lists, so
+    both search paths see it. Nothing existing is rewritten, and the
+    result is bit-identical to a full rebuild over the union
+    (pytest-gated — the quantizers are fixed, so assignment is a pure
     per-vector function).
 
-    Duplicate ids would silently corrupt every subsequent search (the
-    ADC sum would add two code rows per subspace for that vector), so
-    the delta's ids are anti-joined against the existing code table
-    and the append REFUSES on overlap. That check is one pass over
-    the (4-small-ints-per-vector) code table; callers whose ingest
-    already guarantees fresh ids (e.g. a monotonic sequence) can skip
-    it with ``assume_new_ids=True``."""
+    Guards, each failing loudly instead of corrupting searches:
+    delta vectors must cover the index geometry (short/NULL vectors
+    would append NULL-code rows whose undercounted ADC sums wrongly
+    PROMOTE the vector); delta ids must be internally unique and
+    disjoint from the index (duplicates double-count in every ADC
+    sum) — skippable with ``assume_new_ids=True`` when the ingest
+    guarantees fresh ids; and a post-append invariant detects a
+    partially-committed prior append (vectors with an incomplete
+    per-subspace code set)."""
+    import os
+
     spark = delta.sparkSession
     codes, codebook, params = load_pq_index(spark, path)
-    id_col = params["id_col"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    dim = params["n_subspaces"] * params["sub_dim"]
+    # Dimension guard BEFORE quantizing: a short (or NULL) delta vector
+    # would slice short subvectors, zip_with would NULL-pad them, the
+    # argmin would emit NULL codes, and those rows would fail the ADC
+    # join at search time — an artificially SMALL distance that wrongly
+    # promotes the vector into top-k. Same in-expression raise_error
+    # pattern as _require_query_dim (a detached assert gets pruned);
+    # unlike the build path, an append delta comes from a separate
+    # ingest and is exactly where a dim mismatch happens.
+    delta = delta.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) >= F.lit(dim), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"append_to_pq_index: delta {vec_col} needs >= {dim} "
+                        "elements (index geometry n_subspaces*sub_dim), got "
+                    ),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                )
+            )
+        ),
+    )
     if not assume_new_ids:
-        # one aggregate over the delta covers both corruption modes:
-        # internal duplicates AND collisions with the existing index
+        # two passes, one per corruption mode: (1) an aggregate over
+        # the delta catches INTERNAL duplicates, (2) a semi-join from
+        # the delta into the code table catches collisions with the
+        # EXISTING index. Neither alone covers both.
         stats = delta.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col(id_col)).alias("nd"),
@@ -175,11 +209,10 @@ def append_to_pq_index(
                 "internally duplicated id(s) — each would emit duplicate code "
                 "rows and double-count in every ADC sum. Deduplicate the delta"
             )
-        n_dup = (
-            delta.select(F.col(id_col))
-            .join(codes.select(id_col).distinct(), id_col, "inner")
-            .count()
-        )
+        # left_semi from the delta: no distinct over the whole code
+        # table (delta ids are proven unique above, and semi-join
+        # existence semantics absorb the n_subspaces rows per id)
+        n_dup = delta.select(F.col(id_col)).join(codes, id_col, "left_semi").count()
         if n_dup:
             raise ValueError(
                 f"append_to_pq_index: {n_dup} delta id(s) already exist in "
@@ -190,13 +223,47 @@ def append_to_pq_index(
     new_codes = pq_assign_codes(
         delta,
         id_col,
-        params["vec_col"],
+        vec_col,
         params["n_subspaces"],
         params["sub_dim"],
         params["n_codes"],
         codebook=codebook,
     ).select(id_col, "subspace", "code")
     new_codes.write.mode("append").parquet(f"{path}/codes")
+    # An IVFADC index (build_ivfpq_index layout) must ALSO extend the
+    # inverted lists: search_ivfpq_index inner-joins codes to lists, so
+    # codes-only appends would be silently invisible to IVFADC search
+    # (while plain PQ search over the same path saw them).
+    if os.path.isdir(f"{path}/ivf_meta"):
+        n_centroids = spark.read.parquet(f"{path}/ivf_meta").collect()[0][
+            "n_centroids"
+        ]
+        centroids = spark.read.parquet(f"{path}/centroids")
+        ivf_list_assign(
+            delta, id_col, vec_col, n_centroids, centroids=centroids
+        ).select(id_col, "cent_id").write.mode("append").parquet(f"{path}/lists")
+    # Post-append invariant, scoped loudness over silent corruption: a
+    # partially-committed append (crash during job commit) leaves some
+    # vectors with fewer than n_subspaces code rows, which searches
+    # would read as undercounted ADC sums. One scan of the
+    # 4-small-ints code table per append is the cheap insurance; a
+    # violation names the recovery (rebuild, or prune the partial ids)
+    # instead of poisoning every later search.
+    bad = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != params["n_subspaces"])
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"append_to_pq_index: {bad} vector(s) in {path}/codes have a "
+            f"partial code set (!= {params['n_subspaces']} rows) after the "
+            "append — a previous append likely crashed mid-commit. Rebuild "
+            "the index with build_pq_index(..., overwrite=True) or remove "
+            "the partial ids before searching"
+        )
 
 
 def build_ivfpq_index(

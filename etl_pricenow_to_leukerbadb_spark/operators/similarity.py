@@ -217,6 +217,7 @@ def ivf_list_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact inverted-list assignment of ``ivf_topk``'s blocking
     structure: every corpus vector mapped to its nearest centroid
@@ -230,17 +231,26 @@ def ivf_list_assign(
     the corpus, one map-side ``max_by`` aggregation keyed on the
     vector id; no data-sized shuffle.
 
-    Returns (vec_id, cent_id, cos_sim) of the final assignment."""
+    Returns (vec_id, cent_id, cos_sim) of the final assignment.
+
+    ``centroids`` overrides the derive-from-corpus convention with an
+    EXPLICIT (cent_id, __cent) table — how a corpus DELTA is assigned
+    against a persisted index's frozen coarse quantizer
+    (``ann_index.append_to_pq_index`` on an IVFADC index)."""
     if n_centroids > 1024:
         raise ValueError("ivf_list_assign: n_centroids must be <= 1024 (packing)")
     corpus_n = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
     )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+        )
     cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cent"),
-            F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
+        centroids.select(
+            "cent_id",
+            "__cent",
+            F.sqrt(norm_sq(F.col("__cent"))).alias("__centn"),
         )
     )
     # argmax via a packed BIGINT instead of max_by(struct, struct) —

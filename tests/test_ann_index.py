@@ -173,11 +173,62 @@ def test_append_refuses_duplicate_ids(spark, corpus, tmp_path):
     path = str(tmp_path / "dup")
     build_pq_index(corpus, path, **PARAMS)
     with pytest.raises(ValueError, match="already exist in"):
-        append_to_pq_index(corpus.limit(5), path)
+        append_to_pq_index(corpus.filter(F.col("vec_id") < 5), path)
     # internal duplicates are rejected before touching the index
-    fresh = corpus.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    # (deterministic subset — LIMIT without ORDER BY can pick different
+    # rows per evaluation and would flake the n==nd check)
+    fresh = corpus.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") < 100_003)
     with pytest.raises(ValueError, match="internally duplicated"):
-        append_to_pq_index(fresh.limit(3).unionAll(fresh.limit(3)), path)
+        append_to_pq_index(fresh.unionAll(fresh), path)
+
+
+def test_append_rejects_short_vectors(spark, corpus, tmp_path):
+    """A delta vector shorter than the index geometry must raise, not
+    append NULL-code rows whose undercounted ADC sums would wrongly
+    promote the vector in every later search."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+    )
+
+    path = str(tmp_path / "short")
+    build_pq_index(corpus, path, **PARAMS)
+    bad = corpus.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.slice("embedding", 1, 10).alias("embedding"),
+    ).filter(F.col("vec_id") < 100_002)
+    with pytest.raises(Exception, match="needs >= 64 elements"):
+        append_to_pq_index(bad, path)
+
+
+def test_append_extends_ivfpq_lists(spark, corpus, queries, tmp_path):
+    """Appending to an IVFADC-layout index must extend the inverted
+    lists too — codes-only appends would be silently invisible to
+    search_ivfpq_index (its codes-to-lists join is inner)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import ivf_pq_topk
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    append_to_pq_index(delta, path)
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, path, queries, corpus, n_probe=4, k=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            corpus, queries, n_centroids=16, n_probe=4, k=5, **PARAMS
+        ).collect()
+    )
+    assert got == want and len(got) == 15
 
 
 def test_ivfpq_build_validates_centroid_coverage(spark, corpus, tmp_path):

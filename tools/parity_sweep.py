@@ -15,35 +15,26 @@ range splits the run into restartable chunks. Uses the engine session
 (get_spark) — the documented way to run the engine; a default-heap
 vanilla session OOMs on the heaviest graph query at sf0.1 (see
 SCALE.md's operational note).
+
+The compare reuses ``tests/oracle_util.py`` (same view registration,
+same value normalization incl. NaN -> "NaN") so a query this sweep
+passes is a query the driver-sim gate passes — a private _norm here
+already diverged once (raw NaN compares unequal to itself, yielding a
+false MISMATCH on any legitimately-NaN output).
 """
 
 from __future__ import annotations
 
-import datetime as dt
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _norm(v):
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    return v
-
 
 def main() -> int:
-    import duckdb
-
     import __spark_entry__ as entry
     from etl_pricenow_to_leukerbadb_spark.session import get_spark
+    from tests.oracle_util import duckdb_con, rows_normalized
 
     lo = sys.argv[1] if len(sys.argv) > 1 else ""
     hi = sys.argv[2] if len(sys.argv) > 2 else "￿"
@@ -51,25 +42,21 @@ def main() -> int:
     spark = get_spark(app_name="parity_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_con(sf_dir)
 
     fails, n_ok = [], 0
     names = [n for n in sorted(qs) if n in osql and lo <= n < hi]
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            s_cols, s_rows = rows_normalized(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
+            )
             res = con.execute(osql[name])
-            dcols = [c[0] for c in res.description]
-            drows = res.fetchall()
-            scols = sdf.columns
-            i_s = sorted(range(len(scols)), key=lambda i: scols[i])
-            i_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            sn = sorted([tuple(_norm(r[i]) for i in i_s) for r in srows], key=str)
-            dn = sorted([tuple(_norm(r[i]) for i in i_d) for r in drows], key=str)
-            ok = sorted(scols) == sorted(dcols) and sn == dn
+            d_cols, d_rows = rows_normalized(
+                [c[0] for c in res.description], res.fetchall()
+            )
+            ok = s_cols == d_cols and s_rows == d_rows
             tag = "MISMATCH"
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             ok, tag = False, f"ERROR ({str(ex)[:120]})"
