@@ -13,9 +13,15 @@ re-rank of a k x rerank_factor shortlist.
 Layout under ``path/``:
 
     meta/       1-row parquet: (n_subspaces, sub_dim, n_codes,
-                id_col, vec_col) — the build parameters, so search
-                never has to guess them and a mismatched caller fails
-                loudly instead of computing garbage distances.
+                id_col, vec_col, build_id) — the build parameters, so
+                search never has to guess them and a mismatched caller
+                fails loudly instead of computing garbage distances.
+    commit/     1-row parquet: (build_id) — written LAST. A load
+                verifies commit.build_id == meta.build_id, so a build
+                that crashed anywhere mid-way (fresh OR overwrite)
+                reads as "incomplete", never as a silently
+                mixed-generation index (old codes under a new
+                codebook).
     codebook/   (subspace, code, __code_sub) — n_subspaces x n_codes
                 rows, each a sub_dim-wide float slice. Dimension-sized:
                 always broadcast.
@@ -36,17 +42,46 @@ the index changes WHERE the structures live, never what they compute.
 
 from __future__ import annotations
 
+import uuid
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .similarity import (
     _pq_codebook,
     ivf_list_assign,
     ivf_pq_search,
+    kmeans_centroids_2iter,
     pq_adc_search,
     pq_assign_codes,
+    trained_pq_codebook,
 )
 
 _META_COLS = ("n_subspaces", "sub_dim", "n_codes", "id_col", "vec_col")
+
+
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Spark-side existence probe: read the path, or None if absent.
+
+    Layout decisions MUST go through Spark's filesystem, never
+    ``os.path`` — the index lives wherever ``spark.write`` put it
+    (HDFS/S3 in production), and a driver-local check is silently
+    False there, which turns "append to both tables" into "append to
+    one", the exact corruption this module exists to prevent."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API —
+    works on any scheme Spark itself can write to (local, HDFS, S3A),
+    unlike ``shutil``. No-op when the path does not exist."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def build_pq_index(
@@ -58,42 +93,109 @@ def build_pq_index(
     sub_dim: int = 16,
     n_codes: int = 8,
     overwrite: bool = False,
-) -> None:
+    train: bool = False,
+    _commit: bool = True,
+) -> str:
     """Quantize the corpus and persist the PQ index under ``path``.
 
     One pass over the raw vectors (the ``pq_assign_codes`` broadcast
     argmin — no data-sized shuffle) plus a dimension-sized codebook
     write. ``overwrite=False`` (default) refuses to clobber an
-    existing index — rebuilds are deliberate, not accidental."""
+    existing index — rebuilds are deliberate, not accidental.
+
+    ``train=True`` swaps the fixed id-seeded codebook for
+    ``trained_pq_codebook`` (one deterministic Lloyd refinement per
+    subspace — better-centered codes, measurably higher recall at the
+    same search cost). Everything downstream is codebook-agnostic:
+    search loads whatever codebook was persisted, and appends
+    quantize deltas against it frozen, so the flag exists only at
+    build time.
+
+    Crash safety is generation-tokened: every build stamps a fresh
+    ``build_id`` into meta and writes a 1-row ``commit`` marker LAST;
+    ``load_pq_index`` requires the two to agree. An overwrite rebuild
+    deletes the old commit marker (and any stale IVFADC artifacts —
+    a plain-PQ rebuild over an IVFADC path must not leave old
+    inverted lists pointing at new codes) BEFORE touching anything,
+    so a crash at any point leaves the index loudly unloadable
+    instead of silently pairing old codes with a new codebook.
+    Returns the ``build_id``. ``_commit=False`` is internal for
+    ``build_ivfpq_index``, which writes the marker after its own
+    artifacts."""
+    build_id = uuid.uuid4().hex
     mode = "overwrite" if overwrite else "errorifexists"
     spark = corpus.sparkSession
+    if overwrite:
+        for sub in ("commit", "ivf_meta", "centroids", "lists"):
+            _fs_delete(spark, f"{path}/{sub}")
     meta = spark.createDataFrame(
-        [(n_subspaces, sub_dim, n_codes, id_col, vec_col)],
-        "n_subspaces int, sub_dim int, n_codes int, id_col string, vec_col string",
+        [(n_subspaces, sub_dim, n_codes, id_col, vec_col, build_id, train)],
+        "n_subspaces int, sub_dim int, n_codes int, id_col string, "
+        "vec_col string, build_id string, trained boolean",
     )
-    # meta first: a crashed build leaves meta without codes, which
-    # load_pq_index turns into a clean "missing codes" read error
-    # rather than a silently param-less index
+    # meta first: a crashed build leaves meta without a commit marker,
+    # which load_pq_index turns into a clean "incomplete build" error
+    # rather than a silently param-less or mixed-generation index
     meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
-    _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes).write.mode(
-        mode
-    ).parquet(f"{path}/codebook")
-    pq_assign_codes(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes).select(
-        id_col, "subspace", "code"
-    ).write.mode(mode).parquet(f"{path}/codes")
+    if train:
+        cb = trained_pq_codebook(
+            corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
+        )
+    else:
+        cb = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    cb.write.mode(mode).parquet(f"{path}/codebook")
+    # assign against the PERSISTED codebook (read back, not the
+    # in-memory plan): for train=True the codebook is itself a
+    # two-stage aggregate, and re-deriving it inside the assignment
+    # plan would recompute it per-partition; the written parquet is
+    # the broadcast-sized artifact searches will use anyway, so codes
+    # are quantized against byte-identical entries
+    cb_disk = spark.read.parquet(f"{path}/codebook")
+    pq_assign_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes, codebook=cb_disk
+    ).select(id_col, "subspace", "code").write.mode(mode).parquet(f"{path}/codes")
+    if _commit:
+        _write_commit(spark, path, build_id)
+    return build_id
+
+
+def _write_commit(spark: SparkSession, path: str, build_id: str) -> None:
+    # mode=overwrite is safe here: any pre-existing marker belongs to
+    # a superseded generation and was already deleted on the overwrite
+    # path; on a fresh build the meta write above has already enforced
+    # errorifexists for the index as a whole
+    spark.createDataFrame([(build_id,)], "build_id string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
 def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """Load (codes, codebook, params) from a ``build_pq_index`` path.
 
-    Validates that the codebook row count matches the persisted
-    parameters (n_subspaces x n_codes) — the cheap structural check
-    that catches a half-written or hand-edited index before a search
-    silently computes distances against missing codes."""
+    Validates (a) that the commit marker exists and its build_id
+    matches meta's — a crashed fresh build has no marker, a crashed
+    OVERWRITE rebuild has the old generation's marker under the new
+    meta, and both must read as "incomplete", never as an index whose
+    codes and codebook come from different builds — and (b) that the
+    codebook row count matches the persisted parameters
+    (n_subspaces x n_codes), the cheap structural check that catches
+    a half-written or hand-edited index before a search silently
+    computes distances against missing codes."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1 or set(_META_COLS) - set(meta_rows[0].asDict()):
         raise ValueError(f"load_pq_index: malformed meta at {path}/meta")
     params = meta_rows[0].asDict()
+    commit = _try_read_parquet(spark, f"{path}/commit")
+    commit_rows = commit.collect() if commit is not None else []
+    if len(commit_rows) != 1 or commit_rows[0]["build_id"] != params.get(
+        "build_id"
+    ):
+        raise ValueError(
+            f"load_pq_index: index at {path} has no matching commit marker "
+            "— the build (or an overwrite rebuild) crashed before "
+            "completing, and the artifacts may mix generations. Rebuild "
+            "with overwrite=True"
+        )
     codebook = spark.read.parquet(f"{path}/codebook")
     expected = params["n_subspaces"] * params["n_codes"]
     actual = codebook.count()  # dimension-sized table: a cheap job
@@ -162,10 +264,9 @@ def append_to_pq_index(
     disjoint from the index (duplicates double-count in every ADC
     sum) — skippable with ``assume_new_ids=True`` when the ingest
     guarantees fresh ids; and a post-append invariant detects a
-    partially-committed prior append (vectors with an incomplete
-    per-subspace code set)."""
-    import os
-
+    partially-committed append, prior or current (vectors with an
+    incomplete per-subspace code set, or an IVFADC codes/lists id
+    disagreement)."""
     spark = delta.sparkSession
     codes, codebook, params = load_pq_index(spark, path)
     id_col, vec_col = params["id_col"], params["vec_col"]
@@ -220,6 +321,27 @@ def append_to_pq_index(
                 "code rows in every ADC sum. Deduplicate the delta (or pass "
                 "assume_new_ids=True only when ids are provably fresh)"
             )
+    # An IVFADC index (build_ivfpq_index layout) must ALSO extend the
+    # inverted lists: search_ivfpq_index inner-joins codes to lists, so
+    # codes-only appends would be silently invisible to IVFADC search
+    # (while plain PQ search over the same path saw them). Layout
+    # detection goes through Spark's filesystem (_try_read_parquet) —
+    # an os.path probe is driver-local and silently False on HDFS/S3,
+    # which would reintroduce exactly that corruption one layer up.
+    ivf_meta = _try_read_parquet(spark, f"{path}/ivf_meta")
+    if ivf_meta is not None:
+        # lists BEFORE codes: the two appends cannot be atomic across
+        # directories, and this order makes the crash window benign —
+        # a list row whose id has no codes yet is invisible to BOTH
+        # search paths (PQ scans codes; IVFADC inner-joins codes to
+        # lists), whereas codes-first would leave the delta visible to
+        # PQ search but missing from IVFADC until repaired. The
+        # invariant below still detects the half-append loudly.
+        n_centroids = ivf_meta.collect()[0]["n_centroids"]
+        centroids = spark.read.parquet(f"{path}/centroids")
+        ivf_list_assign(
+            delta, id_col, vec_col, n_centroids, centroids=centroids
+        ).select(id_col, "cent_id").write.mode("append").parquet(f"{path}/lists")
     new_codes = pq_assign_codes(
         delta,
         id_col,
@@ -230,40 +352,54 @@ def append_to_pq_index(
         codebook=codebook,
     ).select(id_col, "subspace", "code")
     new_codes.write.mode("append").parquet(f"{path}/codes")
-    # An IVFADC index (build_ivfpq_index layout) must ALSO extend the
-    # inverted lists: search_ivfpq_index inner-joins codes to lists, so
-    # codes-only appends would be silently invisible to IVFADC search
-    # (while plain PQ search over the same path saw them).
-    if os.path.isdir(f"{path}/ivf_meta"):
-        n_centroids = spark.read.parquet(f"{path}/ivf_meta").collect()[0][
-            "n_centroids"
-        ]
-        centroids = spark.read.parquet(f"{path}/centroids")
-        ivf_list_assign(
-            delta, id_col, vec_col, n_centroids, centroids=centroids
-        ).select(id_col, "cent_id").write.mode("append").parquet(f"{path}/lists")
     # Post-append invariant, scoped loudness over silent corruption: a
     # partially-committed append (crash during job commit) leaves some
     # vectors with fewer than n_subspaces code rows, which searches
     # would read as undercounted ADC sums. One scan of the
     # 4-small-ints code table per append is the cheap insurance; a
     # violation names the recovery (rebuild, or prune the partial ids)
-    # instead of poisoning every later search.
-    bad = (
+    # instead of poisoning every later search. The same scan also
+    # yields the distinct-id count, so the IVFADC codes/lists
+    # agreement check below costs only one extra scan of the
+    # 2-column lists table.
+    stats = (
         spark.read.parquet(f"{path}/codes")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") != params["n_subspaces"])
-        .count()
-    )
-    if bad:
-        raise RuntimeError(
-            f"append_to_pq_index: {bad} vector(s) in {path}/codes have a "
-            f"partial code set (!= {params['n_subspaces']} rows) after the "
-            "append — a previous append likely crashed mid-commit. Rebuild "
-            "the index with build_pq_index(..., overwrite=True) or remove "
-            "the partial ids before searching"
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.count(
+                F.when(F.col("n") != params["n_subspaces"], F.lit(1))
+            ).alias("bad"),
         )
+        .collect()[0]
+    )
+    if stats["bad"]:
+        raise RuntimeError(
+            f"append_to_pq_index: {stats['bad']} vector(s) in {path}/codes "
+            f"have a partial code set (!= {params['n_subspaces']} rows) "
+            "after the append — a previous append likely crashed "
+            "mid-commit. Rebuild the index with build_pq_index(..., "
+            "overwrite=True) or remove the partial ids before searching"
+        )
+    if ivf_meta is not None:
+        # codes/lists must agree on the id universe: a crash between
+        # the two appends (this one or a prior one) leaves them
+        # disagreeing, and IVFADC search would silently drop the
+        # difference at its inner join.
+        n_list_ids = (
+            spark.read.parquet(f"{path}/lists")
+            .agg(F.count_distinct(F.col(id_col)).alias("n"))
+            .collect()[0]["n"]
+        )
+        if n_list_ids != stats["n_ids"]:
+            raise RuntimeError(
+                f"append_to_pq_index: codes at {path} cover "
+                f"{stats['n_ids']} distinct id(s) but the inverted lists "
+                f"cover {n_list_ids} — a previous append crashed between "
+                "the lists and codes writes. Rebuild the index with "
+                "build_ivfpq_index(..., overwrite=True) before searching"
+            )
 
 
 def build_ivfpq_index(
@@ -276,14 +412,24 @@ def build_ivfpq_index(
     sub_dim: int = 16,
     n_codes: int = 8,
     overwrite: bool = False,
-) -> None:
+    train: bool = False,
+) -> str:
     """Persist the full IVFADC index: the PQ artifacts plus
     ``centroids/`` (cent_id, __cent — the coarse quantizer, always
     broadcast-sized) and ``lists/`` (<id_col>, cent_id — the inverted-
     list assignment). Two linear passes over the corpus (PQ argmin +
     IVF argmax, both broadcast aggregations), zero data-sized
     shuffles; everything a search needs afterwards except the raw
-    vectors for the final re-rank."""
+    vectors for the final re-rank.
+
+    ``train=True`` trains BOTH quantizers deterministically: the
+    coarse centroids via ``kmeans_centroids_2iter`` (one Lloyd
+    refinement of the id seeds under cosine — the composition
+    ``emb_kmeans_assign`` was designed to slot into) and the PQ
+    codebook via ``trained_pq_codebook``. Search and append are
+    quantizer-agnostic — they load whatever tables were persisted —
+    so the flag changes index QUALITY (recall at equal probe cost),
+    never the search contract."""
     # Validate the coarse quantizer BEFORE writing anything: the
     # fixed-codebook convention takes ids 0..n_centroids-1, and a
     # corpus whose ids don't cover that range (fewer vectors, or ids
@@ -300,18 +446,44 @@ def build_ivfpq_index(
             f"needs ids 0..{n_centroids - 1} present exactly once — "
             "lower n_centroids or renumber the corpus ids"
         )
-    build_pq_index(
-        corpus, path, id_col, vec_col, n_subspaces, sub_dim, n_codes, overwrite
+    # _commit=False: the marker must land only after the IVF artifacts
+    # below, so a crash mid-IVF-write leaves the whole index loudly
+    # unloadable rather than a "complete" PQ index with half an IVFADC
+    # layout beside it
+    build_id = build_pq_index(
+        corpus,
+        path,
+        id_col,
+        vec_col,
+        n_subspaces,
+        sub_dim,
+        n_codes,
+        overwrite,
+        train=train,
+        _commit=False,
     )
     mode = "overwrite" if overwrite else "errorifexists"
-    n_cent = corpus.sparkSession.createDataFrame(
-        [(n_centroids,)], "n_centroids int"
-    )
+    spark = corpus.sparkSession
+    n_cent = spark.createDataFrame([(n_centroids,)], "n_centroids int")
     n_cent.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_meta")
+    if train:
+        cents = kmeans_centroids_2iter(
+            corpus, id_col, vec_col, n_centroids
+        ).select("cent_id", "__cent")
     cents.write.mode(mode).parquet(f"{path}/centroids")
-    ivf_list_assign(corpus, id_col, vec_col, n_centroids).select(
-        id_col, "cent_id"
-    ).write.mode(mode).parquet(f"{path}/lists")
+    # same persisted-artifact discipline as the codebook: assign the
+    # lists against the centroids read back from disk, so trained
+    # (multi-stage-aggregate) centroids are computed once and the
+    # lists are exactly what a search's coarse probe will see
+    ivf_list_assign(
+        corpus,
+        id_col,
+        vec_col,
+        n_centroids,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+    ).select(id_col, "cent_id").write.mode(mode).parquet(f"{path}/lists")
+    _write_commit(spark, path, build_id)
+    return build_id
 
 
 def search_ivfpq_index(

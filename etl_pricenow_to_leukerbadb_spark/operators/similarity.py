@@ -500,7 +500,13 @@ def _require_query_dim(
                         f"{ctx}: query {vec_col} needs >= {expected} elements "
                         "(index geometry n_subspaces*sub_dim), got "
                     ),
-                    F.size(F.col(vec_col)).cast("string"),
+                    # coalesce: a NULL query vector has NULL size, which
+                    # would NULL the whole concat and fire raise_error
+                    # with an empty message — guard still trips, but the
+                    # diagnostic is lost (mirrors the append-path twin)
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
                 )
             )
         ),
@@ -802,6 +808,43 @@ def kmeans_assign_2iter(
     a pure function of the input, which is what lets a SQL oracle
     reproduce it; production k-means iterates the same two stages
     inside the driver loop with ``localCheckpoint`` per round."""
+    assign, recompute, cents0 = _kmeans_parts(
+        corpus, id_col, vec_col, n_centroids, fp_scale
+    )
+    return assign(recompute(assign(cents0)))
+
+
+def kmeans_centroids_2iter(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    fp_scale: int = 2**40,
+) -> DataFrame:
+    """The TRAINED coarse-quantizer table behind
+    ``kmeans_assign_2iter``: (cent_id, __cent, __centn) after one
+    deterministic Lloyd refinement of the id-seeded centroids — the
+    same fixed-point means, exposed as a table so
+    ``build_ivfpq_index(train=True)`` can persist trained centroids
+    and ``ivf_list_assign(centroids=...)`` can assign against them.
+    ``kmeans_assign_2iter(corpus) ==
+    assign-against(kmeans_centroids_2iter(corpus))`` by construction
+    (shared internals)."""
+    assign, recompute, cents0 = _kmeans_parts(
+        corpus, id_col, vec_col, n_centroids, fp_scale
+    )
+    return recompute(assign(cents0))
+
+
+def _kmeans_parts(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    fp_scale: int,
+):
+    """Shared internals of the 2-iter k-means family: the normalized
+    corpus, the assign/recompute stages, and the id-seeded centroids."""
     corpus_n = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
     )
@@ -884,7 +927,77 @@ def kmeans_assign_2iter(
         F.col(vec_col).alias("__cent"),
         F.sqrt(norm_sq(F.col(vec_col))).alias("__centn"),
     )
-    return assign(recompute(assign(cents0)))
+    return assign, recompute, cents0
+
+
+def trained_pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    fp_scale: int = 2**40,
+) -> DataFrame:
+    """TRAINED PQ codebook: the fixed id-seeded codebook refined by
+    one deterministic Lloyd iteration per subspace under squared L2 —
+    assign every subvector to its nearest seed entry
+    (``pq_assign_codes``), recompute each entry as the per-dimension
+    fixed-point mean of its members, keep the seed slice for any code
+    that attracted no members (so the codebook always has exactly
+    n_subspaces x n_codes rows and ``load_pq_index``'s structural
+    check holds). Returns (subspace, code, __code_sub) — a drop-in
+    replacement for the fixed ``_pq_codebook`` in
+    ``pq_assign_codes(codebook=...)`` and
+    ``build_pq_index(train=True)``.
+
+    Deterministic end to end: means accumulate floor(val * 2^40)
+    longs in decimal (exact, order-independent — same arithmetic as
+    ``kmeans_assign_2iter``'s recompute step), so a SQL oracle can
+    replay the whole refinement and the trained code assignment stays
+    hash-checkable even though the DOWNSTREAM top-k search built on
+    it is approximate."""
+    seed = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    assigned = pq_assign_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    ).select(id_col, "subspace", "code")
+    sub = _pq_subvectors(
+        fan_out(corpus), id_col, vec_col, id_col, "__sub", n_subspaces, sub_dim
+    )
+    means = (
+        assigned.join(sub, [id_col, "subspace"])
+        .select("subspace", "code", F.posexplode("__sub").alias("pos", "val"))
+        .groupBy("subspace", "code", "pos")
+        .agg(
+            (
+                # decimal accumulator for the same overflow headroom
+                # rationale as the k-means recompute step above
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(float(fp_scale)))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / (F.count("*") * F.lit(float(fp_scale)))
+            ).alias("mean_val")
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pm")
+        )
+        .select(
+            "subspace",
+            "code",
+            F.transform(F.col("pm"), lambda x: x["mean_val"]).alias("__trained"),
+        )
+    )
+    return seed.join(means, ["subspace", "code"], "left").select(
+        "subspace",
+        "code",
+        F.coalesce(
+            F.col("__trained"),
+            F.transform(F.col("__code_sub"), lambda x: x.cast("double")),
+        ).alias("__code_sub"),
+    )
 
 
 def brute_force_topk_arrow(

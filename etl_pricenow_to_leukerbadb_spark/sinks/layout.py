@@ -171,7 +171,6 @@ def compact_parquet(
     The rewrite goes through a temp dir + atomic-ish swap so readers
     never see a half-written table — same pattern as the upsert sink.
     """
-    import glob
     import shutil
 
     from .upsert import replace_dir
@@ -184,19 +183,26 @@ def compact_parquet(
     # rows double-count) and, after a crash, permanently break every
     # read of the table. Hidden (., _) paths are ignored by Spark's
     # file index; stale ones from prior crashes are swept here, where
-    # single-writer is the caller's contract. The staging prefix
-    # embeds the TARGET's basename and the sweep matches only that
-    # prefix: single-writer is per-TABLE, so a whole-table compaction
-    # (staging in the directory shared by sibling tables) must not
-    # delete a concurrent sibling compaction's live staging dir.
+    # single-writer is the caller's contract. Staging lives under a
+    # PER-TARGET directory (.compact/<basename>/<rand>): single-writer
+    # is per-TABLE, so a whole-table compaction (staging in the
+    # directory shared by sibling tables) must not delete a concurrent
+    # sibling compaction's live staging dir. A flat name-prefix sweep
+    # cannot guarantee that — '.compact_events_*' also matches
+    # '.compact_events_v2_<rand>' because mkdtemp's suffix alphabet
+    # includes '_' — whereas directory boundaries are unambiguous:
+    # sweeping .compact/events/ can never touch .compact/events_v2/.
     parent = os.path.dirname(target_path.rstrip("/"))
-    prefix = f".compact_{os.path.basename(target_path.rstrip('/'))}_"
-    for stale in glob.glob(os.path.join(parent, glob.escape(prefix) + "*")):
-        shutil.rmtree(stale, ignore_errors=True)
-    tmp = tempfile.mkdtemp(prefix=prefix, dir=parent)
+    staging_root = os.path.join(
+        parent, ".compact", os.path.basename(target_path.rstrip("/"))
+    )
+    shutil.rmtree(staging_root, ignore_errors=True)  # stale from prior crash
+    os.makedirs(staging_root)
+    tmp = tempfile.mkdtemp(prefix="stage_", dir=staging_root)
     # coalesce, not repartition: narrowing to fewer files needs no shuffle
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # crash-safe backup-aside swap (also clears stale backups from a
     # prior crash, which the old unconditional rename tripped over)
     replace_dir(tmp, target_path)
+    shutil.rmtree(staging_root, ignore_errors=True)
     return parquet_file_count(target_path)

@@ -403,3 +403,25 @@ def test_merge_upsert_partitioned_precedence_cross_batch(spark, tmp_path):
     merge_upsert_partitioned(spark, b2, path, ["k"], ["day"], precedence_col="ts")
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "newer", 2: "fresh"}
+
+
+def test_compaction_staging_cannot_sweep_underscore_sibling(spark, sf_small, tmp_path):
+    """Single-writer is per-TABLE: compacting 'events' must not sweep a
+    concurrent 'events_v2' compaction's live staging. A flat
+    '.compact_<name>_*' glob fails this — '_' is in mkdtemp's suffix
+    alphabet, so '.compact_events_*' also matches
+    '.compact_events_v2_<rand>'. Staging under a per-target DIRECTORY
+    ('.compact/<name>/') makes the boundary unambiguous."""
+    import os
+
+    df = load_table(spark, sf_small, "region")
+    path = str(tmp_path / "events")
+    df.repartition(8).write.parquet(path)
+    # simulate the sibling table's live staging dir
+    sibling_stage = tmp_path / ".compact" / "events_v2" / "stage_live"
+    sibling_stage.mkdir(parents=True)
+    (sibling_stage / "part-0.parquet").write_text("in flight")
+    compact_parquet(spark, path, target_files=2)
+    assert (sibling_stage / "part-0.parquet").exists()
+    # the target's own staging root is cleaned up after the swap
+    assert not os.path.exists(str(tmp_path / ".compact" / "events"))
