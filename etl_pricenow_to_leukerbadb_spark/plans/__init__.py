@@ -51,65 +51,79 @@ from . import analytics_olap  # noqa: F401,E402
 #       The staleness guard in tests/test_oracle_parity.py fails the suite
 #       if any pin list would let an oracle-paired entry go >3 rounds
 #       without a driver row.
+#   r6 (this file): the pre-committed plan above, landed with one
+#       amendment — the round-6 consolidation merged the four mm_*
+#       entries into mm_media_pipeline, w6+w7 into
+#       w6_w7_window_functions, and u1+u2 into u1_u2_set_ops (registry
+#       127 -> 124 net of the two new registrations
+#       emb_pq_codes_trained and dd_embedding_near_dup_hi), so the
+#       merged names enter as first-contact pins and the freed slots
+#       backfill r4-green entries (through k5_partition_merge;
+#       a10_salted_agg onward displaced to r7, age 2 -> 3, within
+#       budget).
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # last green r2 — oldest rows in the registry, front-loaded per r4 plan
-    "e4_season_reference_2025",
-    "u2_except_intersect",
-    # round-4 late additions (oracle-paired only) — first-ever driver rows
-    "a12_cube",
-    "a13_unpivot",
-    "w7_value_functions",
-    "dq_anomaly_zscore",
-    "j7_bucketed_join",
-    "j8_salted_join",
-    "j9_interval_overlap",
-    "j10_asof_forward",
-    "k8_compaction",
-    "dd_ngram_containment",
-    "st_incremental_agg",
-    "st_stream_stream_join",
-    # last green r3 — 36 of 48; those touched by r5 fixes + §2 anchors first
-    "ann_topk_bruteforce",
-    "dd_embedding_cosine",
-    "dd_cluster_components",
-    "llm_prep_pipeline",
-    "t6_forward_fill_daily",
-    "t7_calendar_grid",
-    "t3_duration_parse",
-    "t8_active_flag",
-    "t4_t5_filter_valid",
-    "s5_json_extract",
-    "j1_broadcast_join",
-    "j2_asof_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "a1_pricing_summary",
-    "a2_topk_per_group",
-    "a3_distinct_keys",
-    "a4_pivot_event_matrix",
-    "a5_rollup_summary",
-    "a6_count_distinct",
-    "r1_r2_sort_limit",
-    "u1_union_pages",
-    "e1_full_pipeline",
-    "e2_products_flatten",
-    "e3_prices_daily",
-    "s2_rest_pushdown_scan",
-    # registered this round — first-contact driver rows now, not later
-    "dq_expectations",
-    "gr_pagerank",
-    "gr_triangle_count",
-    "ts_ohlc_rollup",
-    "ts_ewma_smooth",
-    "dq_fk_orphans",
-    "tx_ngram_lm_score",
-    "st_ewma_fold",
-    "k9_evolve_merge",
-    "dq_drift_tvd",
+    # registered/merged this round — first-contact driver rows now (the r4
+    # lesson); the four consolidations (mm quartet -> mm_media_pipeline,
+    # w6+w7, u1+u2) count as never-rowed new names
+    "u1_u2_set_ops",
+    "dd_embedding_near_dup_hi",
+    "mm_media_pipeline",
+    "emb_pq_codes_trained",
+    "w6_w7_window_functions",
+    # last green r3 — age 3 = exactly the staleness budget; the 22-entry
+    # debt pre-committed in the r5 plan (16 window leftovers + 6
+    # displaced), minus the 4 mm entries now folded into mm_media_pipeline
+    # above
+    "tx_token_count",
+    "tx_quality_score",
+    "tx_lang_id",
+    "tx_fingerprint",
+    "dd_exact",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "st_windowed_counts",
+    "st_stream_static_join",
+    "st_dedup_keys",
+    "st_sessionize",
+    "tx_chunk_windows",
+    "tx_hash_sample",
+    "tx_cap_per_source",
+    "tx_pack_sequences",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q21_suppliers_waiting",
+    # last green r4 — oldest remaining; fills the window
+    "dd_minhash_lsh",
+    "dd_embedding_near_dup",
+    "ann_lsh_buckets",
+    "tx_pii_scrub",
+    "tx_tfidf_topk",
+    "dq_profile",
+    "tx_vocab_topk",
+    "tx_repetition",
+    "tx_contamination",
+    "tx_quality_filter",
+    "emb_source_centroids",
+    "emb_kmeans_assign",
+    "ann_ivf_lists",
+    "emb_pq_codes",
+    "tx_dedup_keep_best",
+    "a11_grouping_sets",
+    "w1_running_total",
+    "w2_lag_delta",
+    "w3_sessionize",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q9_product_profit",
+    "q18_large_volume",
+    "a7_percentiles",
+    "a9_portable_stats",
+    "k1_upsert_merge",
+    "k5_partition_merge",
 )
 
 

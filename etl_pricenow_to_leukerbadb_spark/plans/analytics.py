@@ -462,22 +462,55 @@ def r1_r2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u1_union_pages",
+    "u1_u2_set_ops",
     tags=("U1", "R2"),
     oracle="""
-SELECT event_type, COUNT(*) AS n FROM (
+SELECT 'page:' || event_type AS side, COUNT(*) AS n FROM (
   SELECT event_type FROM events WHERE event_id < 2000
   UNION ALL
   SELECT event_type FROM events WHERE event_id >= 2000 AND event_id < 4000
 ) t GROUP BY event_type
+UNION ALL
+SELECT 'only_buyers' AS side, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  EXCEPT
+  SELECT DISTINCT user_id FROM events) t
+UNION ALL
+SELECT 'both' AS side, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  INTERSECT
+  SELECT DISTINCT user_id FROM events) t
 """,
 )
-def u1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union-all of page batches (reference py:186) + count per type."""
+def u1_u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operation battery in one registry entry (round-6
+    consolidation of u1_union_pages + u2_except_intersect): union-all
+    of page batches counted per type (the reference's page
+    accumulation, py:186), plus EXCEPT and INTERSECT over the
+    buyer/actor key domains — every branch labeled into one
+    (side, n) schema. UNION ALL is a zero-shuffle concatenation;
+    EXCEPT/INTERSECT hash-shuffle the deduplicated key domains only
+    (dimension-sized), never the fact rows."""
     ev = _t(spark, sf_dir, "events")
     p1 = ev.filter(F.col("event_id") < 2000).select("event_type")
-    p2 = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select("event_type")
-    return p1.unionByName(p2).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    p2 = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select(
+        "event_type"
+    )
+    pages = (
+        p1.unionByName(p2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("page:"), F.col("event_type")).alias("side"), "n")
+    )
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    actors = ev.select(F.col("user_id").alias("k")).distinct()
+    only = buyers.exceptAll(actors).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_buyers").alias("side"), "n"
+    )
+    both = buyers.intersect(actors).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    return pages.unionByName(only).unionByName(both)
 
 
 _E2_PAYLOAD = """

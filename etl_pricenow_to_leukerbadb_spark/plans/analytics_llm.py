@@ -444,11 +444,15 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_buckets_cte(n_planes: int, n_tables: int, dim: int = 64) -> str:
+def _lsh_buckets_cte(
+    n_planes: int, n_tables: int, dim: int = 64, src: str = "embeddings"
+) -> str:
     """DuckDB CTE chain reproducing ``sign_lsh_buckets_long`` exactly:
     the deterministic hyperplanes are emitted as literal lists (same
     float values the Spark plan embeds), projected per (vector, plane),
-    sign-thresholded, and folded into per-table bit-string buckets."""
+    sign-thresholded, and folded into per-table bit-string buckets.
+    ``src`` names the (vec_id, embedding) relation to bucket — a table
+    or an earlier CTE."""
     rows = ",\n         ".join(
         f"({pid}, [{', '.join(repr(v) for v in _hyperplane_values(pid, dim))}])"
         for pid in range(n_planes * n_tables)
@@ -460,7 +464,7 @@ def _lsh_buckets_cte(n_planes: int, n_tables: int, dim: int = 64) -> str:
          CASE WHEN (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))
                     FROM generate_series(1, {dim}) g(i)) >= 0
               THEN '1' ELSE '0' END AS bit
-  FROM embeddings e, planes p
+  FROM {src} e, planes p
 ), buckets AS (
   SELECT vec_id, CAST(pid // {n_planes} AS INT) AS tbl,
          string_agg(bit, '' ORDER BY pid % {n_planes}) AS bucket
@@ -504,6 +508,94 @@ def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4, n_planes=4, n_tables=16,
+    )
+
+
+#: deterministic near-dup twin derivation shared by the _hi query and
+#: its oracle: per-position scaling factors 0.85..1.15 (period 7), so a
+#: twin's cosine to its base is ~0.995 — above any production near-dup
+#: threshold — while unrelated pairs stay at the corpus's ~0.51 max.
+#: Exact same IEEE double ops in both engines (multiply by an exact
+#: expression), so the rounded cosines are bit-identical.
+_HI_TWIN_SQL = """
+corpus AS (
+  SELECT vec_id,
+         (SELECT list(CAST(embedding[i] AS DOUBLE) ORDER BY i)
+          FROM generate_series(1, 64) g(i)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         (SELECT list(CAST(embedding[i] AS DOUBLE)
+                      * (1.0 + (((i - 1) % 7) - 3) / 20.0) ORDER BY i)
+          FROM generate_series(1, 64) g(i))
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+
+def _hi_twin_corpus(emb: DataFrame) -> DataFrame:
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (
+                F.lit(1.0)
+                + ((i % 7) - F.lit(3)).cast("double") / F.lit(20.0)
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+@register(
+    "dd_embedding_near_dup_hi",
+    headline=True,
+    tags=("DD", "ANN"),
+    oracle=f"""
+WITH {_HI_TWIN_SQL},
+{_lsh_buckets_cte(4, 16, src="corpus")},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT id_a, id_b,
+         round({_DOT.format(a='ea.embedding', b='eb.embedding')}
+               / (sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})
+                  * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')})), 6) AS cos_sim
+  FROM cand
+  JOIN corpus ea ON ea.vec_id = id_a
+  JOIN corpus eb ON eb.vec_id = id_b) t
+WHERE cos_sim >= 0.9
+""",
+)
+def dd_embedding_near_dup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dup at a PRODUCTION threshold (0.9) —
+    the headline demonstration that LSH blocking beats exact all-pairs
+    where it matters. ``dd_embedding_near_dup`` runs at this corpus's
+    forced-low 0.4 threshold, where ~64% of all pairs survive the
+    bucket filter and blocking can't pay for itself (documented in
+    SCALE.md); here the corpus is augmented with deterministic
+    near-dup twins (10% of vectors, per-position scaling, cosine
+    ~0.995 to their base), so the 0.9 threshold has real signal and
+    the bucket join passes a near-constant candidate set instead of
+    O(n^2) pairs. Same sign-LSH blocking (16 tables x 4 planes),
+    same exact rounded-cosine threshold on survivors, fully
+    hash-checkable (the twin derivation is exact double arithmetic in
+    both engines). The measured blocked-vs-exact ratio at sf0.1 is
+    SCALE.md's dd row."""
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    corpus = _hi_twin_corpus(_t(spark, sf_dir, "embeddings"))
+    return lsh_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=16
     )
 
 
@@ -565,91 +657,65 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_binary_meta",
-    tags=("MM",),
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       sha256(text) AS sha256
-FROM documents
-""",
-)
-def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column plumbing, JVM-side metadata path."""
-    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return binary_meta(docs, "doc_id")
-
-
-@register(
-    "mm_fake_decode",
-    tags=("MM",),
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256,
-       CAST(16 + ascii(substr(text, 1, 1)) AS INT) AS width,
-       CAST(16 + ascii(substr(text, length(text), 1)) AS INT) AS height,
-       CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
-FROM documents
-""",
-)
-def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode stub (deterministic fake codec:
-    dimensions derived from payload bytes — ASCII corpus makes the
-    byte/char equivalence in the oracle exact)."""
-    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return fake_decode_media(docs, "doc_id")
-
-
-@register(
-    "mm_resize",
+    "mm_media_pipeline",
     tags=("MM",),
     oracle="""
 WITH d AS (
   SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS meta_bytes,
+         sha256(text) AS sha256,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(16 + ascii(substr(text, 1, 1)) AS INT) AS width,
-         CAST(16 + ascii(substr(text, length(text), 1)) AS INT) AS height
-  FROM documents
-)
-SELECT doc_id,
-       CAST(LEAST(width, 64) AS INT) AS width,
-       CAST(LEAST(height, 64) AS INT) AS height,
-       CAST((n_bytes * (LEAST(width, 64) * LEAST(height, 64))) // (width * height) AS BIGINT) AS n_bytes_est
-FROM d
-""",
-)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage over the decoded metadata (Arrow-batched
-    mapInPandas with deterministic integer math — the batch shape of a
-    real PIL/opencv resampler)."""
-    docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return resize_media_fake(fake_decode_media(docs, "doc_id"), "doc_id", max_dim=64)
-
-
-@register(
-    "mm_frame_sample",
-    tags=("MM",),
-    oracle="""
-WITH d AS (
-  SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(16 + ascii(substr(text, length(text), 1)) AS INT) AS height,
          CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
   FROM documents
 )
-SELECT doc_id, CAST(i AS INT) AS frame_idx,
+SELECT doc_id, meta_bytes, sha256, width, height, n_frames,
+       CAST(LEAST(width, 64) AS INT) AS rs_width,
+       CAST(LEAST(height, 64) AS INT) AS rs_height,
+       CAST((n_bytes * (LEAST(width, 64) * LEAST(height, 64)))
+            // (width * height) AS BIGINT) AS n_bytes_est,
+       CAST(i AS INT) AS frame_idx,
        CAST(i * (n_bytes // n_frames) AS BIGINT) AS byte_offset
-FROM (SELECT doc_id, n_bytes, n_frames,
-             unnest(generate_series(0, n_frames - 1, 2)) AS i
-      FROM d) t
+FROM (SELECT *, unnest(generate_series(0, n_frames - 1, 2)) AS i FROM d) t
 """,
 )
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-2nd-frame sampling with byte offsets — the explode half of
-    a video pipeline (a real extractor follows as mapInPandas over
-    payload slices)."""
+def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal column pipeline in ONE registry entry (the
+    round-6 consolidation of mm_binary_meta / mm_fake_decode /
+    mm_resize / mm_frame_sample — four window slots folded into one
+    without losing operator coverage): attach a binary payload +
+    typed metadata struct (``attach_binary``), extract JVM-side
+    metadata with zero Python (``binary_meta`` -> meta_bytes/sha256),
+    decode via Arrow-batched ``mapInPandas`` (``fake_decode_media``
+    — the deterministic stand-in with the exact batch plumbing of the
+    real Pillow path), resize with the resampler batch shape
+    (``resize_media_fake`` -> rs_width/rs_height/n_bytes_est), and
+    sample every 2nd frame with byte offsets (``sample_frames`` ->
+    frame_idx/byte_offset). One row per (doc, sampled frame), every
+    stage contributing its own columns so the oracle pins each
+    operator's arithmetic. The doc_id joins are co-keyed (one shuffle
+    key end-to-end); a production pipeline would persist the decode
+    output once instead of recomputing it per branch — here the
+    re-derivation is the price of keeping the consolidated query a
+    single declarative, oracle-checkable plan."""
     docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return sample_frames(fake_decode_media(docs, "doc_id"), "doc_id", every_k=2)
+    meta = binary_meta(docs, "doc_id").select(
+        "doc_id", F.col("n_bytes").alias("meta_bytes"), "sha256"
+    )
+    dec = fake_decode_media(docs, "doc_id")
+    res = resize_media_fake(dec, "doc_id", max_dim=64).select(
+        "doc_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        "n_bytes_est",
+    )
+    frames = sample_frames(dec, "doc_id", every_k=2)
+    return (
+        meta.join(dec.select("doc_id", "width", "height", "n_frames"), "doc_id")
+        .join(res, "doc_id")
+        .join(frames, "doc_id")
+    )
 
 
 @register(
@@ -1626,6 +1692,83 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_subspaces=4,
         sub_dim=16,
         n_codes=8,
+    )
+
+
+@register(
+    "emb_pq_codes_trained",
+    tags=("ANN", "A1"),
+    oracle=f"""
+WITH sub AS (SELECT CAST(UNNEST(range(4)) AS INTEGER) AS subspace),
+cb0 AS (
+  SELECT v.vec_id AS code, s.subspace, v.embedding
+  FROM embeddings v, sub s WHERE v.vec_id < 8
+), d0 AS (
+  SELECT e.vec_id, c.subspace, c.code,
+         CAST(ROUND((
+           SELECT SUM((CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
+                       - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE))
+                      * (CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
+                         - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE)))
+           FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
+  FROM embeddings e, cb0 c
+), a0 AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
+    FROM d0) t WHERE rn = 1
+), m AS (
+  SELECT a0.subspace, a0.code, i AS pos,
+         CAST(SUM(CAST(FLOOR(CAST(e.embedding[a0.subspace * 16 + i] AS DOUBLE)
+                             * {_KM_FP}) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * {_KM_FP}.0) AS mean_val
+  FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, 16) g(i)
+  GROUP BY a0.subspace, a0.code, i
+), cm AS (
+  SELECT subspace, code, list(mean_val ORDER BY pos) AS csub
+  FROM m GROUP BY subspace, code
+), cb1 AS (
+  SELECT c.subspace, c.code,
+         COALESCE(cm.csub,
+           (SELECT list(CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE) ORDER BY i)
+            FROM generate_series(1, 16) g(i))) AS csub
+  FROM cb0 c LEFT JOIN cm ON cm.subspace = c.subspace AND cm.code = c.code
+), d1 AS (
+  SELECT e.vec_id, c.subspace, c.code,
+         CAST(ROUND((
+           SELECT SUM((CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE) - c.csub[i])
+                      * (CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE) - c.csub[i]))
+           FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
+  FROM embeddings e, cb1 c
+)
+SELECT vec_id, subspace, code, dist_fp FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
+  FROM d1) t
+WHERE rn = 1
+""",
+)
+def emb_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment under the TRAINED codebook
+    (``trained_pq_codebook``: the id-seeded entries refined by one
+    deterministic Lloyd iteration per subspace — assign, fixed-point
+    per-dimension means, seed fallback for empty codes, reassign).
+    This is the quantizer ``build_pq_index(train=True)`` persists, so
+    the oracle pairing here is what keeps the trained index path
+    hash-checkable end to end: the structure is exact even though the
+    top-k search built on it is approximate — the same split as
+    ``emb_pq_codes`` (fixed codebook) and ``emb_kmeans_assign`` (the
+    trained coarse quantizer). Means accumulate floor(val * 2^40)
+    longs (exact, order-independent), so both engines derive
+    bit-identical codebooks before the final argmin."""
+    from ..operators.similarity import pq_assign_codes, trained_pq_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = trained_pq_codebook(
+        emb, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_codes=8
+    )
+    return pq_assign_codes(
+        emb, "vec_id", "embedding", 4, 16, 8, codebook=cb
     )
 
 

@@ -214,35 +214,44 @@ def a13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w7_value_functions",
+    "w6_w7_window_functions",
     tags=("A2",),
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice,
-       first_value(o_totalprice) OVER w AS top_price,
-       last_value(o_totalprice) OVER w AS bottom_price,
-       nth_value(o_totalprice, 2) OVER w AS second_price,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(o_totalprice) OVER wf AS top_price,
+       last_value(o_totalprice) OVER wf AS bottom_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price,
        lag(o_totalprice, 1) OVER w AS prev_price,
        lead(o_totalprice, 1) OVER w AS next_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
-def w7_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The window value-function family (first/last/nth_value,
-    lag/lead) per customer over order value, completing w6's rank
-    family. The frame is an explicit full-partition ROWS frame —
-    without it last_value/nth_value read the engine-default
-    RANGE-to-current-row frame and the two engines would legitimately
-    disagree. One key-partitioned window, single exchange. lag/lead
-    use the same ordering but ignore the frame by definition (both
-    engines agree on that)."""
+def w6_w7_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-function battery — rank family (rank /
+    dense_rank / ntile / percent_rank / cume_dist) AND value family
+    (first/last/nth_value, lag/lead) — per customer over order value,
+    in ONE query (the round-6 consolidation of w6_rank_functions +
+    w7_value_functions: both used the identical window spec, so two
+    registry slots bought nothing the combined plan doesn't). The
+    ordering key includes o_orderkey so ranks are total and the ratio
+    functions engine-deterministic (rounded to 6 dp). The value
+    functions use an explicit full-partition ROWS frame — without it
+    last_value/nth_value read the engine-default RANGE-to-current-row
+    frame and the engines would legitimately disagree; lag/lead are
+    frame-independent by definition (Spark refuses an explicit frame
+    on them). Everything compiles into ONE window exec over ONE
+    exchange — per-key sorted stream, no global sort."""
     order = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    # Spark refuses an explicit frame on lag/lead (they are
-    # frame-independent), so the framed window is only for the value
-    # functions; both compile into ONE window exec over one exchange.
     framed = order.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -250,6 +259,11 @@ def w7_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
+        F.rank().over(order).cast("long").alias("rnk"),
+        F.dense_rank().over(order).cast("long").alias("drnk"),
+        F.ntile(4).over(order).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(order), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(order), 6).alias("cdist"),
         F.first("o_totalprice").over(framed).alias("top_price"),
         F.last("o_totalprice").over(framed).alias("bottom_price"),
         F.nth_value("o_totalprice", 2).over(framed).alias("second_price"),
@@ -323,42 +337,6 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z,
         )
         .filter(F.abs(F.col("zscore")) > 2.5)
-    )
-
-
-@register(
-    "w6_rank_functions",
-    tags=("A2",),
-    oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice,
-       rank() OVER w AS rnk,
-       dense_rank() OVER w AS drnk,
-       ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cdist
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
-""",
-)
-def w6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full window-rank family (rank / dense_rank / ntile /
-    percent_rank / cume_dist) per customer over order value. The
-    ordering key includes o_orderkey so ranks are total and the
-    ratio functions' outputs engine-deterministic; ratios are rounded
-    to 6 dp. One key-partitioned window — single exchange, per-key
-    sorted stream, no global sort."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
@@ -489,34 +467,6 @@ def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "u2_except_intersect",
-    tags=("U1",),
-    oracle="""
-SELECT 'only_buyers' AS side, COUNT(*) AS n FROM (
-  SELECT DISTINCT o_custkey FROM orders
-  EXCEPT
-  SELECT DISTINCT user_id FROM events) t
-UNION ALL
-SELECT 'both' AS side, COUNT(*) AS n FROM (
-  SELECT DISTINCT o_custkey FROM orders
-  INTERSECT
-  SELECT DISTINCT user_id FROM events) t
-""",
-)
-def u2_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / INTERSECT set operations over key domains."""
-    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
-    actors = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
-    only = buyers.exceptAll(actors).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("only_buyers").alias("side"), "n"
-    )
-    both = buyers.intersect(actors).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("both").alias("side"), "n"
-    )
-    return only.unionByName(both)
 
 
 @register(

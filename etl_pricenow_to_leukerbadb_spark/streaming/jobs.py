@@ -491,3 +491,82 @@ def stream_incremental_agg_job(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def stream_index_ingest_job(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+) -> None:
+    """Streaming ANN-index ingest: micro-batches of new vectors from a
+    parquet directory stream are quantized against the persisted
+    index's FROZEN codebook and appended — the composition that closes
+    the production loop: ``build_pq_index`` once when the corpus
+    snapshot lands, this job as vectors keep arriving, every search
+    still reading only the 3-column code scan.
+
+    Replay safety under foreachBatch's at-least-once contract: a
+    replayed batch is made idempotent by anti-joining the batch's ids
+    against the code table first (already-indexed ids are dropped, the
+    rest appended). The two crash windows both stay safe: a crash
+    AFTER the codes append but before the checkpoint commit replays
+    into an empty anti-join survivor set (no-op); a crash DURING the
+    codes append leaves ids with partial per-subspace code sets, which
+    the anti-join deliberately KEEPS OUT of re-appending (the id
+    exists) so ``append_to_pq_index``'s partial-code-set invariant
+    still fails the next append loudly instead of double-appending.
+
+    Plain-PQ layouts only: an IVFADC append spans two directories
+    (codes + lists), and at-least-once replay around a mid-append
+    crash could re-append one but not the other — exactly-once there
+    needs a transactional table format for the lists; this job
+    refuses the layout up front rather than corrupting it.
+    Cites reference scripts/pricenow_etl.py:329-358 (the incremental
+    "update existing records as needed" contract, re-expressed for an
+    index artifact instead of a row store)."""
+    from ..operators.ann_index import (
+        _try_read_parquet,
+        append_to_pq_index,
+        load_pq_index,
+    )
+
+    codes, _, params = load_pq_index(spark, index_path)
+    if _try_read_parquet(spark, f"{index_path}/ivf_meta") is not None:
+        raise ValueError(
+            "stream_index_ingest_job: streaming ingest supports plain-PQ "
+            "layouts only — an IVFADC append spans codes/ AND lists/, and "
+            "at-least-once batch replay cannot keep the two directories "
+            "consistent across a mid-append crash without a transactional "
+            "store. Use batch append_to_pq_index under a single writer, or "
+            "rebuild with build_ivfpq_index on a schedule"
+        )
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    schema = f"{id_col} long, {vec_col} array<float>"
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df.join(
+            batch_df.sparkSession.read.parquet(f"{index_path}/codes"),
+            id_col,
+            "left_anti",
+        )
+        if fresh.isEmpty():  # full replay of a committed batch
+            return
+        # assume_new_ids=False: the anti-join proved disjointness vs the
+        # index, but the internal-duplicate check still guards a batch
+        # that carries the same new id twice
+        append_to_pq_index(fresh, index_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(vectors_path)
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", index_path + "_ingest_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

@@ -417,3 +417,73 @@ def test_trained_ivfpq_index_searches_and_appends(spark, corpus, tmp_path):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
     assert recall >= 0.8, f"trained IVFADC recall {recall:.2f} too low"
+
+
+def test_stream_index_ingest_matches_rebuild_and_is_idempotent(
+    spark, corpus, queries, tmp_path
+):
+    """Streaming micro-batch appends must leave the index bit-identical
+    to a full rebuild over the union, and replaying the same input
+    against a fresh checkpoint must be a no-op (the anti-join replay
+    guard) — foreachBatch is at-least-once, the index must not
+    double-count."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    path = str(tmp_path / "stream_idx")
+    vecs = str(tmp_path / "vec_stream")
+    build_pq_index(old, path, **PARAMS)
+    # two files -> availableNow may split them into separate micro-batches
+    delta.repartition(2).write.parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+
+    full_path = str(tmp_path / "stream_full")
+    build_pq_index(corpus, full_path, **PARAMS)
+    inc = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    full = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{full_path}/codes").collect()
+    )
+    assert inc == full
+
+    # replay the whole input with a FRESH checkpoint: every id already
+    # indexed -> anti-join drops all, codes unchanged
+    import shutil
+
+    shutil.rmtree(path + "_ingest_ckpt")
+    stream_index_ingest_job(spark, vecs, path)
+    again = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert again == inc
+
+    got = sorted(
+        tuple(r) for r in search_pq_index(spark, path, queries, corpus, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pq_adc_topk(corpus, queries, k=5, **PARAMS).collect()
+    )
+    assert got == want
+
+
+def test_stream_index_ingest_refuses_ivfadc_layout(spark, corpus, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    path = str(tmp_path / "ivf_refuse")
+    build_ivfpq_index(corpus, path, n_centroids=16, **PARAMS)
+    with pytest.raises(ValueError, match="plain-PQ layouts only"):
+        stream_index_ingest_job(spark, str(tmp_path / "nope"), path)
