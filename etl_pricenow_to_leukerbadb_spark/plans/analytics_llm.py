@@ -559,7 +559,7 @@ def _hi_twin_corpus(emb: DataFrame) -> DataFrame:
     tags=("DD", "ANN"),
     oracle=f"""
 WITH {_HI_TWIN_SQL},
-{_lsh_buckets_cte(4, 16, src="corpus")},
+{_lsh_buckets_cte(12, 8, src="corpus")},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b
@@ -586,16 +586,22 @@ def dd_embedding_near_dup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup twins (10% of vectors, per-position scaling, cosine
     ~0.995 to their base), so the 0.9 threshold has real signal and
     the bucket join passes a near-constant candidate set instead of
-    O(n^2) pairs. Same sign-LSH blocking (16 tables x 4 planes),
-    same exact rounded-cosine threshold on survivors, fully
-    hash-checkable (the twin derivation is exact double arithmetic in
-    both engines). The measured blocked-vs-exact ratio at sf0.1 is
-    SCALE.md's dd row."""
+    O(n^2) pairs. The blocking is 8 tables x 12 planes — deeper
+    tables than the 0.4-threshold query's 16x4, because bits per
+    table must grow with corpus size and threshold (4-bit tables
+    have 16 buckets: at 17k+ vectors the in-bucket pair count
+    degenerates back to O(n^2), measured in tools/probe_r6.py; 12-bit
+    tables keep the candidate set ~1% of pairs while the planted
+    pairs' per-table collision prob 0.68 over 8 tables bounds the
+    miss rate at ~1e-4). Same exact rounded-cosine threshold on
+    survivors, fully hash-checkable (the twin derivation is exact
+    double arithmetic in both engines). The measured blocked-vs-exact
+    crossover is SCALE.md's dd row."""
     from ..operators.similarity import lsh_near_dup_pairs
 
     corpus = _hi_twin_corpus(_t(spark, sf_dir, "embeddings"))
     return lsh_near_dup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=16
+        corpus, "vec_id", "embedding", threshold=0.9, n_planes=12, n_tables=8
     )
 
 

@@ -170,7 +170,7 @@ def probe_blocked_near_dup_hi(spark, sf_dir: str, k_inflate: int = 8):
                 (r.id_a, r.id_b)
                 for r in lsh_near_dup_pairs(
                     corpus, "vec_id", "embedding",
-                    threshold=0.9, n_planes=4, n_tables=16,
+                    threshold=0.9, n_planes=12, n_tables=8,
                 ).collect()
             )
 
