@@ -74,6 +74,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "mm_media_pipeline",
     "emb_pq_codes_trained",
     "w6_w7_window_functions",
+    "tx_token_budget_mix",
     # last green r3 — age 3 = exactly the staleness budget; the 22-entry
     # debt pre-committed in the r5 plan (16 window leftovers + 6
     # displaced), minus the 4 mm entries now folded into mm_media_pipeline
@@ -123,7 +124,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a7_percentiles",
     "a9_portable_stats",
     "k1_upsert_merge",
-    "k5_partition_merge",
 )
 
 

@@ -1076,6 +1076,52 @@ def tx_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tx_token_budget_mix",
+    tags=("TX", "A2", "R2"),
+    oracle=f"""
+SELECT source, doc_id, n_tokens, cum_tokens FROM (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY n_tokens DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM (SELECT source, doc_id,
+               CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents) d) t
+WHERE cum_tokens - n_tokens < 2500
+""",
+)
+def tx_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing primitive of a
+    training-corpus builder (DoReMi-style weighting ends here): each
+    source admits its preferred docs in deterministic priority order
+    until a PER-SOURCE TOKEN budget (2500) fills, because training
+    cost is tokens, not documents — a doc-count cap
+    (``tx_cap_per_source``) lets one source of long documents consume
+    the whole compute budget. A doc is admitted iff the budget was
+    not yet full when its turn came (``cum - n < budget``), so the
+    crossing doc is kept and every source with any docs contributes.
+    One running-sum window per source key — single exchange, exact
+    integer token arithmetic, per-source mixture weights would simply
+    replace the constant. At 100 TB: one shuffle on source, state
+    per window = one source's docs, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = token_count("text").cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+        .select("source", "doc_id", "n_tokens", cum.alias("cum_tokens"))
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < 2500)
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing, sequence packing, term ranking, data-quality profiling
 # --------------------------------------------------------------------------

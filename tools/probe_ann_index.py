@@ -80,6 +80,16 @@ def main() -> None:
             "persisted search (no re-rank, corpus=None): "
             f"{best3(lambda: search_pq_index(spark, f'{d}/pq', queries, None, k=5)):.2f}s"
         )
+        # trained vs fixed codebook at the same corpus: the build pays
+        # one extra Lloyd refinement, search cost is identical by
+        # construction (same code-scan shape), recall is what changes
+        t0 = time.perf_counter()
+        build_pq_index(corpus, f"{d}/pq_trained", train=True)
+        print(f"build trained: {time.perf_counter() - t0:.2f}s")
+        print(
+            "persisted trained search (no re-rank): "
+            f"{best3(lambda: search_pq_index(spark, f'{d}/pq_trained', queries, None, k=5)):.2f}s"
+        )
     finally:
         shutil.rmtree(d)
 
