@@ -61,6 +61,23 @@ from . import analytics_olap  # noqa: F401,E402
 #       backfill r4-green entries (through k5_partition_merge;
 #       a10_salted_agg onward displaced to r7, age 2 -> 3, within
 #       budget).
+#   r7 (next): the 22 entries whose last green is r4 — age 3 = exactly
+#       the staleness budget, so they MUST head the window:
+#       a10_salted_agg, j5_asof_two_table, j6_range_join,
+#       k5_partition_merge, k6_cdc_merge, k7_scd2_history,
+#       q11_important_stock, q12_priority_by_flag,
+#       q13_order_distribution, q14_promo_share, q15_top_supplier,
+#       q16_supplier_variety, q17_small_quantity,
+#       q19_discounted_revenue, q20_correlated_max, q22_global_sales,
+#       q2_min_cost_supplier, q4_order_priority, q7_nation_volume,
+#       q8_market_share, w4_linear_interp, w5_rolling_revenue —
+#       plus any r7 registrations (pinned immediately, as always),
+#       then backfill the ~28 remaining slots from the 47 r5-green
+#       entries in registration order. The ~19 r5-greens that do not
+#       fit reach age 3 in r8 and must head THAT window; with the
+#       registry at 125 the cycle stays inside the budget only if
+#       every round lands its full 50 — prefer consolidation over
+#       registration if the count grows.
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).
