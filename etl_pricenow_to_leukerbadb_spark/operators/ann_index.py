@@ -128,10 +128,28 @@ def build_pq_index(
     if overwrite:
         for sub in ("commit", "ivf_meta", "centroids", "lists"):
             _fs_delete(spark, f"{path}/{sub}")
+    # the COLUMN TYPES ride in meta too: a streaming ingest must read
+    # its delta with exactly the corpus's id / vector-element types, or
+    # the appended parquet files carry a different physical type than
+    # the existing ones (schema-merge failures or silent widening on
+    # later reads). Names alone cannot reconstruct that.
     meta = spark.createDataFrame(
-        [(n_subspaces, sub_dim, n_codes, id_col, vec_col, build_id, train)],
+        [
+            (
+                n_subspaces,
+                sub_dim,
+                n_codes,
+                id_col,
+                vec_col,
+                build_id,
+                train,
+                corpus.schema[id_col].dataType.simpleString(),
+                corpus.schema[vec_col].dataType.elementType.simpleString(),
+            )
+        ],
         "n_subspaces int, sub_dim int, n_codes int, id_col string, "
-        "vec_col string, build_id string, trained boolean",
+        "vec_col string, build_id string, trained boolean, "
+        "id_type string, vec_elem_type string",
     )
     # meta first: a crashed build leaves meta without a commit marker,
     # which load_pq_index turns into a clean "incomplete build" error
@@ -180,22 +198,30 @@ def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame,
     codebook row count matches the persisted parameters
     (n_subspaces x n_codes), the cheap structural check that catches
     a half-written or hand-edited index before a search silently
-    computes distances against missing codes."""
+    computes distances against missing codes.
+
+    Format compatibility: indexes persisted before the generation-token
+    format (meta without a ``build_id`` column, no ``commit/``) load
+    through the structural codebook-count check alone — the legacy
+    format cannot distinguish a crashed build from a complete one, so
+    the stronger guarantee starts at the first rebuild, without forcing
+    one."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1 or set(_META_COLS) - set(meta_rows[0].asDict()):
         raise ValueError(f"load_pq_index: malformed meta at {path}/meta")
     params = meta_rows[0].asDict()
-    commit = _try_read_parquet(spark, f"{path}/commit")
-    commit_rows = commit.collect() if commit is not None else []
-    if len(commit_rows) != 1 or commit_rows[0]["build_id"] != params.get(
-        "build_id"
-    ):
-        raise ValueError(
-            f"load_pq_index: index at {path} has no matching commit marker "
-            "— the build (or an overwrite rebuild) crashed before "
-            "completing, and the artifacts may mix generations. Rebuild "
-            "with overwrite=True"
-        )
+    if "build_id" in params:
+        commit = _try_read_parquet(spark, f"{path}/commit")
+        commit_rows = commit.collect() if commit is not None else []
+        if len(commit_rows) != 1 or commit_rows[0]["build_id"] != params.get(
+            "build_id"
+        ):
+            raise ValueError(
+                f"load_pq_index: index at {path} has no matching commit "
+                "marker — the build (or an overwrite rebuild) crashed "
+                "before completing, and the artifacts may mix generations. "
+                "Rebuild with overwrite=True"
+            )
     codebook = spark.read.parquet(f"{path}/codebook")
     expected = params["n_subspaces"] * params["n_codes"]
     actual = codebook.count()  # dimension-sized table: a cheap job
@@ -257,16 +283,38 @@ def append_to_pq_index(
     (pytest-gated — the quantizers are fixed, so assignment is a pure
     per-vector function).
 
-    Guards, each failing loudly instead of corrupting searches:
-    delta vectors must cover the index geometry (short/NULL vectors
-    would append NULL-code rows whose undercounted ADC sums wrongly
-    PROMOTE the vector); delta ids must be internally unique and
-    disjoint from the index (duplicates double-count in every ADC
-    sum) — skippable with ``assume_new_ids=True`` when the ingest
-    guarantees fresh ids; and a post-append invariant detects a
-    partially-committed append, prior or current (vectors with an
-    incomplete per-subspace code set, or an IVFADC codes/lists id
-    disagreement)."""
+    Guards, each failing loudly instead of corrupting searches, and
+    each scoped to the DELTA's ids so that per-append cost is flat in
+    index size (a streaming ingest calls this every micro-batch; an
+    O(full index) sweep per small append is the wrong place for
+    whole-index hygiene — that lives in ``fsck_index``, run on a
+    schedule):
+
+    - delta vectors must cover the index geometry (short/NULL vectors
+      would append NULL-code rows whose undercounted ADC sums wrongly
+      PROMOTE the vector);
+    - delta ids must be internally unique and disjoint from the
+      index's code table (duplicates double-count in every ADC sum) —
+      skippable with ``assume_new_ids=True`` when the ingest
+      guarantees fresh ids. The probe into the existing tables is
+      range-pruned on the delta's [min, max] id before the semi-join,
+      so log-structured ingests with monotonically increasing ids skip
+      nearly every parquet row group via min/max statistics — the scan
+      cost tracks the OVERLAP, not the index;
+    - on an IVFADC layout the delta is ALSO probed against lists/:
+      ids already listed but absent from codes are a prior append that
+      crashed between its lists and codes writes, and the natural
+      recovery is retrying the same delta — those ids are anti-joined
+      OUT of the lists append (retry is idempotent and REPAIRS the
+      half-append; the old codes-first order made retry fail loudly,
+      and before that guard existed a retry silently duplicated list
+      rows, doubling adc_dist_fp for exactly those ids at search
+      time);
+    - a post-append invariant over the delta's ids verifies exactly
+      n_subspaces code rows per id and (IVFADC) exactly one list row
+      per id with no duplicates — so a replayed
+      ``assume_new_ids=True`` append that double-writes still fails
+      loudly here instead of poisoning searches."""
     spark = delta.sparkSession
     codes, codebook, params = load_pq_index(spark, path)
     id_col, vec_col = params["id_col"], params["vec_col"]
@@ -295,25 +343,45 @@ def append_to_pq_index(
             )
         ),
     )
+    # One delta-sized aggregate always runs: internal-duplicate check
+    # plus the delta's [min, max] id range, which prunes every probe
+    # into the existing tables below (parquet row-group min/max stats
+    # skip non-overlapping files — for sorted ingest ids that is nearly
+    # the whole index; a bloom filter on id would prune unsorted
+    # ingests too, at the cost of maintaining it per append).
+    dstats = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+    ).collect()[0]
+    n_delta, lo, hi = dstats["n"], dstats["lo"], dstats["hi"]
+    if dstats["n"] != dstats["nd"]:
+        raise ValueError(
+            f"append_to_pq_index: delta contains {dstats['n'] - dstats['nd']} "
+            "internally duplicated id(s) — each would emit duplicate code "
+            "rows and double-count in every ADC sum. Deduplicate the delta"
+        )
+
+    def _delta_scope(table: DataFrame) -> DataFrame:
+        """Range-prune, then keep only rows whose id is in the delta."""
+        return table.filter(F.col(id_col).between(F.lit(lo), F.lit(hi))).join(
+            delta.select(F.col(id_col)), id_col, "left_semi"
+        )
+
     if not assume_new_ids:
-        # two passes, one per corruption mode: (1) an aggregate over
-        # the delta catches INTERNAL duplicates, (2) a semi-join from
-        # the delta into the code table catches collisions with the
-        # EXISTING index. Neither alone covers both.
-        stats = delta.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("nd"),
-        ).collect()[0]
-        if stats["n"] != stats["nd"]:
-            raise ValueError(
-                f"append_to_pq_index: delta contains {stats['n'] - stats['nd']} "
-                "internally duplicated id(s) — each would emit duplicate code "
-                "rows and double-count in every ADC sum. Deduplicate the delta"
+        # semi-join from the delta into the (range-pruned) code table:
+        # catches collisions with the EXISTING index; the aggregate
+        # above caught internal duplicates. Neither alone covers both.
+        n_dup = (
+            delta.select(F.col(id_col))
+            .join(
+                codes.filter(F.col(id_col).between(F.lit(lo), F.lit(hi))),
+                id_col,
+                "left_semi",
             )
-        # left_semi from the delta: no distinct over the whole code
-        # table (delta ids are proven unique above, and semi-join
-        # existence semantics absorb the n_subspaces rows per id)
-        n_dup = delta.select(F.col(id_col)).join(codes, id_col, "left_semi").count()
+            .count()
+        )
         if n_dup:
             raise ValueError(
                 f"append_to_pq_index: {n_dup} delta id(s) already exist in "
@@ -334,13 +402,31 @@ def append_to_pq_index(
         # directories, and this order makes the crash window benign —
         # a list row whose id has no codes yet is invisible to BOTH
         # search paths (PQ scans codes; IVFADC inner-joins codes to
-        # lists), whereas codes-first would leave the delta visible to
-        # PQ search but missing from IVFADC until repaired. The
-        # invariant below still detects the half-append loudly.
+        # lists). The natural recovery from a crash in that window is
+        # RETRYING the same delta, so retry must be idempotent: delta
+        # ids already present in lists/ (they passed the codes
+        # disjointness check above, so they can only be a prior
+        # half-append of this delta) are anti-joined out of the lists
+        # append — the retry then completes the codes side and repairs
+        # the index instead of duplicating list rows, which would
+        # silently double adc_dist_fp for exactly those ids at search
+        # time. Under assume_new_ids=True the anti-join still runs
+        # (it is what makes crash-retry safe); only the codes
+        # disjointness semi-join is skipped.
         n_centroids = ivf_meta.collect()[0]["n_centroids"]
         centroids = spark.read.parquet(f"{path}/centroids")
+        lists_now = _try_read_parquet(spark, f"{path}/lists")
+        to_list = delta
+        if lists_now is not None:
+            to_list = delta.join(
+                lists_now.filter(
+                    F.col(id_col).between(F.lit(lo), F.lit(hi))
+                ),
+                id_col,
+                "left_anti",
+            )
         ivf_list_assign(
-            delta, id_col, vec_col, n_centroids, centroids=centroids
+            to_list, id_col, vec_col, n_centroids, centroids=centroids
         ).select(id_col, "cent_id").write.mode("append").parquet(f"{path}/lists")
     new_codes = pq_assign_codes(
         delta,
@@ -352,18 +438,15 @@ def append_to_pq_index(
         codebook=codebook,
     ).select(id_col, "subspace", "code")
     new_codes.write.mode("append").parquet(f"{path}/codes")
-    # Post-append invariant, scoped loudness over silent corruption: a
+    # Post-append invariant over the DELTA's ids only (range-pruned
+    # semi-join — per-append cost tracks the delta, not the index): a
     # partially-committed append (crash during job commit) leaves some
-    # vectors with fewer than n_subspaces code rows, which searches
-    # would read as undercounted ADC sums. One scan of the
-    # 4-small-ints code table per append is the cheap insurance; a
-    # violation names the recovery (rebuild, or prune the partial ids)
-    # instead of poisoning every later search. The same scan also
-    # yields the distinct-id count, so the IVFADC codes/lists
-    # agreement check below costs only one extra scan of the
-    # 2-column lists table.
-    stats = (
-        spark.read.parquet(f"{path}/codes")
+    # of THESE vectors with fewer than n_subspaces code rows, which
+    # searches would read as undercounted ADC sums. A violation names
+    # the recovery instead of poisoning every later search.
+    # Whole-index hygiene (ids outside this delta) is fsck_index's job.
+    cstats = (
+        _delta_scope(spark.read.parquet(f"{path}/codes"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
@@ -374,32 +457,99 @@ def append_to_pq_index(
         )
         .collect()[0]
     )
-    if stats["bad"]:
+    if cstats["bad"] or cstats["n_ids"] != n_delta:
         raise RuntimeError(
-            f"append_to_pq_index: {stats['bad']} vector(s) in {path}/codes "
-            f"have a partial code set (!= {params['n_subspaces']} rows) "
-            "after the append — a previous append likely crashed "
-            "mid-commit. Rebuild the index with build_pq_index(..., "
-            "overwrite=True) or remove the partial ids before searching"
+            f"append_to_pq_index: delta ids in {path}/codes are incomplete "
+            f"after the append ({cstats['bad']} with a partial code set, "
+            f"{cstats['n_ids']}/{n_delta} present) — the append crashed "
+            "mid-commit. Retry the append, or rebuild with "
+            "build_pq_index(..., overwrite=True) before searching"
         )
     if ivf_meta is not None:
-        # codes/lists must agree on the id universe: a crash between
-        # the two appends (this one or a prior one) leaves them
-        # disagreeing, and IVFADC search would silently drop the
-        # difference at its inner join.
-        n_list_ids = (
-            spark.read.parquet(f"{path}/lists")
-            .agg(F.count_distinct(F.col(id_col)).alias("n"))
-            .collect()[0]["n"]
-        )
-        if n_list_ids != stats["n_ids"]:
-            raise RuntimeError(
-                f"append_to_pq_index: codes at {path} cover "
-                f"{stats['n_ids']} distinct id(s) but the inverted lists "
-                f"cover {n_list_ids} — a previous append crashed between "
-                "the lists and codes writes. Rebuild the index with "
-                "build_ivfpq_index(..., overwrite=True) before searching"
+        # the delta's lists rows must be exactly one per id with no
+        # duplicates: count(*) == count_distinct(id) == n_delta. This
+        # is what catches a replayed assume_new_ids=True append that
+        # double-wrote list rows — count(*) doubles while the distinct
+        # count does not — as well as a crash between this append's
+        # lists and codes writes on the NEXT retry.
+        lstats = (
+            _delta_scope(spark.read.parquet(f"{path}/lists"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(id_col)).alias("n_ids"),
             )
+            .collect()[0]
+        )
+        if lstats["n_rows"] != lstats["n_ids"] or lstats["n_ids"] != n_delta:
+            raise RuntimeError(
+                f"append_to_pq_index: inverted lists at {path} carry "
+                f"{lstats['n_rows']} rows over {lstats['n_ids']} distinct "
+                f"delta id(s) (expected {n_delta} of each) — a replayed or "
+                "crashed append left duplicates or gaps. Rebuild the index "
+                "with build_ivfpq_index(..., overwrite=True) before "
+                "searching"
+            )
+
+
+def fsck_index(spark: SparkSession, path: str, strict: bool = True) -> dict:
+    """Whole-index consistency sweep — the scheduled-maintenance
+    counterpart of ``append_to_pq_index``'s delta-scoped guards.
+
+    The per-append guards deliberately verify only the ids just
+    written (flat cost per micro-batch); this sweep is the O(index)
+    pass that catches anything outside a delta's scope — partial code
+    sets from a crash no one retried, duplicated list rows from a
+    replayed ``assume_new_ids=True`` append, and codes/lists id-set
+    disagreement on an IVFADC layout. Run it on a schedule (or before
+    promoting an index to serving), not per append.
+
+    Returns a report dict:
+        ``n_ids`` distinct ids in codes/, ``partial_code_ids`` ids with
+        != n_subspaces code rows, and for IVFADC layouts
+        ``n_list_ids``, ``dup_list_rows`` (rows beyond one per id) and
+        ``codes_lists_id_mismatch`` (distinct-id count disagreement).
+    ``strict=True`` (default) raises RuntimeError on any violation,
+    naming the recovery."""
+    codes, _, params = load_pq_index(spark, path)
+    id_col = params["id_col"]
+    cstats = (
+        codes.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.count(
+                F.when(F.col("n") != params["n_subspaces"], F.lit(1))
+            ).alias("bad"),
+        )
+        .collect()[0]
+    )
+    report = {
+        "n_ids": cstats["n_ids"],
+        "partial_code_ids": cstats["bad"],
+    }
+    if _try_read_parquet(spark, f"{path}/ivf_meta") is not None:
+        lstats = (
+            spark.read.parquet(f"{path}/lists")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(id_col)).alias("n_ids"),
+            )
+            .collect()[0]
+        )
+        report["n_list_ids"] = lstats["n_ids"]
+        report["dup_list_rows"] = lstats["n_rows"] - lstats["n_ids"]
+        report["codes_lists_id_mismatch"] = lstats["n_ids"] != cstats["n_ids"]
+    violations = report["partial_code_ids"] or report.get(
+        "dup_list_rows"
+    ) or report.get("codes_lists_id_mismatch")
+    if strict and violations:
+        raise RuntimeError(
+            f"fsck_index: index at {path} is inconsistent — {report}. "
+            "A prior append crashed between the lists and codes writes "
+            "(or a replayed append double-wrote). Rebuild the index with "
+            "overwrite=True, or prune the offending ids, before searching"
+        )
+    return report
 
 
 def build_ivfpq_index(

@@ -493,6 +493,33 @@ def stream_incremental_agg_job(
         q.stop()
 
 
+def _index_stream_schema(
+    spark: SparkSession, index_path: str, codes: DataFrame, params: dict
+) -> str:
+    """DDL schema for a vector stream feeding a persisted ANN index.
+
+    Derived from the index, never assumed: an index built over int ids
+    or double vectors would otherwise have its streamed delta appended
+    to codes/ with a different parquet physical type than the existing
+    files (schema-merge failures or silent widening on later reads).
+    New-format indexes record the corpus column types in meta
+    (``id_type``/``vec_elem_type``); legacy indexes fall back to the id
+    type the code table actually carries plus the codebook's slice
+    element type (the codebook IS corpus slices under the fixed
+    quantizer, so its element type matches the corpus)."""
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    id_type = params.get("id_type") or codes.schema[
+        id_col
+    ].dataType.simpleString()
+    elem_type = (
+        params.get("vec_elem_type")
+        or spark.read.parquet(f"{index_path}/codebook")
+        .schema["__code_sub"]
+        .dataType.elementType.simpleString()
+    )
+    return f"{id_col} {id_type}, {vec_col} array<{elem_type}>"
+
+
 def stream_index_ingest_job(
     spark: SparkSession,
     vectors_path: str,
@@ -505,22 +532,48 @@ def stream_index_ingest_job(
     snapshot lands, this job as vectors keep arriving, every search
     still reading only the 3-column code scan.
 
-    Replay safety under foreachBatch's at-least-once contract: a
-    replayed batch is made idempotent by anti-joining the batch's ids
-    against the code table first (already-indexed ids are dropped, the
-    rest appended). The two crash windows both stay safe: a crash
-    AFTER the codes append but before the checkpoint commit replays
-    into an empty anti-join survivor set (no-op); a crash DURING the
-    codes append leaves ids with partial per-subspace code sets, which
-    the anti-join deliberately KEEPS OUT of re-appending (the id
-    exists) so ``append_to_pq_index``'s partial-code-set invariant
-    still fails the next append loudly instead of double-appending.
+    Replay safety under foreachBatch's at-least-once contract, both
+    layouts (plain PQ and IVFADC):
 
-    Plain-PQ layouts only: an IVFADC append spans two directories
-    (codes + lists), and at-least-once replay around a mid-append
-    crash could re-append one but not the other — exactly-once there
-    needs a transactional table format for the lists; this job
-    refuses the layout up front rather than corrupting it.
+    - **Epoch commit markers** (the build path's generation-token
+      idea, per micro-batch): after a batch's appends complete, a
+      one-row marker ``(query_id, epoch_id, build_id)`` is appended
+      to ``{index_path}/ingest_epochs`` — written LAST, so a marker
+      proves the whole batch committed. A replayed epoch whose marker
+      exists is a metadata no-op: no scan of the (arbitrarily large)
+      code table, the replay cost tracks the marker table, not the
+      index. Markers are keyed by the STREAMING QUERY id (read from
+      the checkpoint's metadata file) because epoch ids restart at 0
+      when a checkpoint is wiped — bare epoch ids would collide a
+      fresh run's first batch with the old run's marker and silently
+      skip genuinely new vectors; the query id is stable across
+      restarts of one checkpoint and fresh on a wipe, which is
+      exactly the scope in which Spark guarantees (checkpoint, epoch)
+      identifies the same data. Markers also carry the index's
+      ``build_id`` so a rebuild (new generation) invalidates stale
+      markers automatically.
+    - **Marker-less replay** (crash after some appends, before the
+      marker): the batch's ids are anti-joined against the code table
+      (already-coded ids drop out, the rest append), and
+      ``append_to_pq_index`` itself anti-joins the delta against the
+      inverted lists on IVFADC layouts — a crash between the lists
+      and codes writes is REPAIRED by the replay (the missing codes
+      land, the lists don't duplicate), which is exactly the retry
+      contract the batch append guarantees. A crash DURING the codes
+      append leaves ids with partial per-subspace code sets, which
+      the anti-join deliberately KEEPS OUT of re-appending (the id
+      exists) so the delta-scoped post-append invariant fails the
+      next touch loudly instead of double-appending.
+
+    Mid-append search consistency needs no epoch filtering: the lists
+    write precedes the codes write, and a list row whose id has no
+    codes yet is invisible to BOTH search paths (PQ scans codes;
+    IVFADC inner-joins codes to lists) — additions become searchable
+    atomically when their code rows commit.
+
+    The marker table grows one tiny file per micro-batch; a production
+    deployment compacts it on the same schedule as ``fsck_index``
+    (it is metadata, thousands of rows, never joined to data).
     Cites reference scripts/pricenow_etl.py:329-358 (the incremental
     "update existing records as needed" contract, re-expressed for an
     index artifact instead of a row store)."""
@@ -531,39 +584,63 @@ def stream_index_ingest_job(
     )
 
     codes, _, params = load_pq_index(spark, index_path)
-    if _try_read_parquet(spark, f"{index_path}/ivf_meta") is not None:
-        raise ValueError(
-            "stream_index_ingest_job: streaming ingest supports plain-PQ "
-            "layouts only — an IVFADC append spans codes/ AND lists/, and "
-            "at-least-once batch replay cannot keep the two directories "
-            "consistent across a mid-append crash without a transactional "
-            "store. Use batch append_to_pq_index under a single writer, or "
-            "rebuild with build_ivfpq_index on a schedule"
-        )
+    build_id = params.get("build_id") or ""
     id_col, vec_col = params["id_col"], params["vec_col"]
-    schema = f"{id_col} long, {vec_col} array<float>"
+    schema = _index_stream_schema(spark, index_path, codes, params)
+    markers_path = f"{index_path}/ingest_epochs"
+    ckpt_path = index_path + "_ingest_ckpt"
+    qid_cache: dict[str, str] = {}
+
+    def query_id(ss: SparkSession) -> str:
+        # StreamExecution writes the checkpoint's metadata file
+        # ({"id": ...}) at query start, BEFORE batch 0 runs, so it is
+        # always readable here — stable across restarts of one
+        # checkpoint, fresh on a wipe, which is exactly the scope in
+        # which (checkpoint, epoch_id) identifies the same data.
+        if "id" not in qid_cache:
+            qid_cache["id"] = ss.read.json(f"{ckpt_path}/metadata").first()[
+                "id"
+            ]
+        return qid_cache["id"]
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        ss = batch_df.sparkSession
+        qid = query_id(ss)
+        markers = _try_read_parquet(ss, markers_path)
+        if markers is not None:
+            committed = (
+                markers.filter(
+                    (F.col("query_id") == F.lit(qid))
+                    & (F.col("epoch_id") == F.lit(int(epoch_id)))
+                    & (F.col("build_id") == F.lit(build_id))
+                ).limit(1)
+            ).count()
+            if committed:  # full replay of a committed batch: no-op
+                return
         fresh = batch_df.join(
-            batch_df.sparkSession.read.parquet(f"{index_path}/codes"),
+            ss.read.parquet(f"{index_path}/codes"),
             id_col,
             "left_anti",
         )
-        if fresh.isEmpty():  # full replay of a committed batch
-            return
-        # assume_new_ids=False: the anti-join proved disjointness vs the
-        # index, but the internal-duplicate check still guards a batch
-        # that carries the same new id twice
-        append_to_pq_index(fresh, index_path)
+        if not fresh.isEmpty():
+            # assume_new_ids=False: the anti-join proved disjointness
+            # vs the index, but the internal-duplicate check still
+            # guards a batch that carries the same new id twice
+            append_to_pq_index(fresh, index_path)
+        # marker LAST: its presence proves both directories committed
+        ss.createDataFrame(
+            [(qid, int(epoch_id), build_id)],
+            "query_id string, epoch_id long, build_id string",
+        ).coalesce(1).write.mode("append").parquet(markers_path)
 
     q = (
         spark.readStream.schema(schema)
         .parquet(vectors_path)
         .writeStream.foreachBatch(handle_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", index_path + "_ingest_ckpt")
+        .option("checkpointLocation", ckpt_path)
         .start()
     )
     try:

@@ -318,14 +318,19 @@ def test_crashed_overwrite_rebuild_detected(spark, corpus, tmp_path):
         load_pq_index(spark, path)
 
 
-def test_append_detects_codes_lists_disagreement(spark, corpus, tmp_path):
+def test_fsck_detects_codes_lists_disagreement(spark, corpus, tmp_path):
     """A crash between an IVFADC append's lists and codes writes
-    leaves the two tables covering different id sets; the NEXT append
-    must detect the disagreement instead of letting IVFADC search
-    silently drop the difference at its inner join."""
+    leaves the two tables covering different id sets. The per-append
+    guards are deliberately DELTA-scoped (flat cost per micro-batch),
+    so whole-index disagreement — ids outside any later delta — is
+    fsck_index's job: the scheduled sweep must fail loudly instead of
+    letting IVFADC search silently drop the difference at its inner
+    join. A later append of UNRELATED ids must still succeed (its own
+    delta is consistent)."""
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         append_to_pq_index,
         build_ivfpq_index,
+        fsck_index,
     )
 
     path = str(tmp_path / "halfappend")
@@ -338,9 +343,103 @@ def test_append_detects_codes_lists_disagreement(spark, corpus, tmp_path):
         [(900_000, s, 0) for s in range(PARAMS["n_subspaces"])],
         "vec_id long, subspace int, code int",
     ).write.mode("append").parquet(f"{path}/codes")
-    fresh = corpus.filter(F.col("vec_id") >= 400)
-    with pytest.raises(RuntimeError, match="crashed between"):
-        append_to_pq_index(fresh, path)
+    # delta-scoped guards: an unrelated delta appends fine
+    append_to_pq_index(corpus.filter(F.col("vec_id") >= 400), path)
+    # ...but the whole-index sweep names the orphan
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        fsck_index(spark, path)
+    report = fsck_index(spark, path, strict=False)
+    assert report["codes_lists_id_mismatch"]
+    assert report["n_ids"] == report["n_list_ids"] + 1
+
+
+def test_append_retry_after_lists_crash_repairs(spark, corpus, queries, tmp_path):
+    """The natural recovery from a crash between an IVFADC append's
+    lists and codes writes is RETRYING the same delta. The retry must
+    be idempotent — delta ids already in lists/ are anti-joined out of
+    the lists append, the codes side completes, and the repaired index
+    is bit-identical to a full rebuild (duplicated list rows would
+    silently double adc_dist_fp for exactly those ids at search
+    time)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        fsck_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "retry")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    # simulate the crashed first attempt: lists written, codes not
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ivf_list_assign(
+        delta, "vec_id", "embedding", 16, centroids=centroids
+    ).select("vec_id", "cent_id").write.mode("append").parquet(f"{path}/lists")
+    # retry the SAME delta: must succeed and repair
+    append_to_pq_index(delta, path)
+    fsck_index(spark, path)  # whole-index sweep is clean
+    full_path = str(tmp_path / "retry_full")
+    build_ivfpq_index(corpus, full_path, n_centroids=16, **PARAMS)
+    for sub in ("codes", "lists"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full_path}/{sub}").collect()
+        )
+        assert got == want, sub
+
+
+def test_replayed_assume_new_ids_append_fails_loudly(spark, corpus, tmp_path):
+    """assume_new_ids=True skips the codes disjointness probe, so a
+    full replay of an already-committed append double-writes code rows
+    — the delta-scoped post-append invariant must catch that loudly
+    (undetected, every ADC sum for those ids doubles). The lists side
+    must NOT duplicate (the retry anti-join runs regardless of
+    assume_new_ids)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        fsck_index,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "replay")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    append_to_pq_index(delta, path, assume_new_ids=True)
+    with pytest.raises(RuntimeError, match="incomplete|partial"):
+        append_to_pq_index(delta, path, assume_new_ids=True)
+    report = fsck_index(spark, path, strict=False)
+    assert report["partial_code_ids"] > 0  # the duplicated code sets
+    assert report["dup_list_rows"] == 0  # lists stayed exactly-once
+
+
+def test_legacy_meta_without_build_id_loads(spark, corpus, tmp_path):
+    """Indexes persisted before the generation-token format (meta has
+    no build_id column, no commit/ directory) must still load through
+    the structural codebook-count check — the format bump must not
+    strand every existing index behind a rebuild."""
+    path = str(tmp_path / "legacy")
+    build_pq_index(corpus, path, **PARAMS)
+    # strip the index down to the legacy format
+    import shutil
+
+    shutil.rmtree(f"{path}/commit")
+    meta = spark.read.parquet(f"{path}/meta").drop(
+        "build_id", "trained", "id_type", "vec_elem_type"
+    )
+    rows, schema = meta.collect(), meta.schema
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    codes, codebook, params = load_pq_index(spark, path)
+    assert "build_id" not in params
+    assert codes.count() == corpus.count() * PARAMS["n_subspaces"]
 
 
 def _exact_l2_top5(emb, n_queries=10):
@@ -475,15 +574,125 @@ def test_stream_index_ingest_matches_rebuild_and_is_idempotent(
     assert got == want
 
 
-def test_stream_index_ingest_refuses_ivfadc_layout(spark, corpus, tmp_path):
+def test_stream_index_ingest_ivfadc_replay_crash(
+    spark, corpus, queries, tmp_path
+):
+    """IVFADC streaming ingest under the at-least-once contract: a
+    first delivery that crashed between its lists and codes writes
+    (lists landed, codes did not, no epoch marker) must be REPAIRED by
+    the replay — the finished index bit-identical to a full rebuild on
+    both directories, search seeing exactly-once results — and a
+    replay of an input already ingested under a FRESH checkpoint must
+    be a no-op."""
+    import shutil
+
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         build_ivfpq_index,
+        fsck_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
     )
     from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
         stream_index_ingest_job,
     )
 
-    path = str(tmp_path / "ivf_refuse")
-    build_ivfpq_index(corpus, path, n_centroids=16, **PARAMS)
-    with pytest.raises(ValueError, match="plain-PQ layouts only"):
-        stream_index_ingest_job(spark, str(tmp_path / "nope"), path)
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_stream")
+    vecs = str(tmp_path / "ivf_vec_stream")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    # simulate the crashed first delivery: lists written, codes not,
+    # no epoch marker
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ivf_list_assign(
+        delta, "vec_id", "embedding", 16, centroids=centroids
+    ).select("vec_id", "cent_id").write.mode("append").parquet(f"{path}/lists")
+    delta.coalesce(1).write.parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)  # the replay repairs
+    fsck_index(spark, path)
+
+    full_path = str(tmp_path / "ivf_stream_full")
+    build_ivfpq_index(corpus, full_path, n_centroids=16, **PARAMS)
+    for sub in ("codes", "lists"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full_path}/{sub}").collect()
+        )
+        assert got == want, sub
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, full_path, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 15
+
+    # replay the whole input under a FRESH checkpoint: new query id ->
+    # the epoch markers don't apply (by design — epoch ids restart at
+    # 0 on a wipe), the anti-join guard makes it a no-op
+    shutil.rmtree(path + "_ingest_ckpt")
+    stream_index_ingest_job(spark, vecs, path)
+    fsck_index(spark, path)
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    want_codes = sorted(
+        tuple(r) for r in spark.read.parquet(f"{full_path}/codes").collect()
+    )
+    assert again == want_codes
+    markers = spark.read.parquet(f"{path}/ingest_epochs").collect()
+    assert len({m.query_id for m in markers}) == 2  # one per checkpoint
+
+
+def test_stream_index_ingest_epoch_marker_short_circuits(
+    spark, corpus, tmp_path
+):
+    """Replaying a COMMITTED epoch inside one checkpoint (crash after
+    the marker write, before the checkpoint commit) must take the
+    marker fast path: a metadata no-op that never scans the code
+    table. Proof is in the marker table itself — the marker-hit path
+    returns before appending, so the row count stays flat; the
+    anti-join fallback path would append a second marker row for the
+    replayed epoch."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    path = str(tmp_path / "marker_idx")
+    vecs = str(tmp_path / "marker_vec_stream")
+    build_pq_index(old, path, **PARAMS)
+    delta.coalesce(1).write.parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+    markers_before = spark.read.parquet(f"{path}/ingest_epochs").collect()
+
+    # crash-after-marker simulation: wipe the checkpoint's commits so
+    # Spark re-delivers the same epochs under the SAME query id
+    shutil.rmtree(path + "_ingest_ckpt/commits")
+    stream_index_ingest_job(spark, vecs, path)
+    markers_after = spark.read.parquet(f"{path}/ingest_epochs").collect()
+    assert sorted(map(tuple, markers_after)) == sorted(
+        map(tuple, markers_before)
+    )
+    # and the index did not double-count
+    n_ids = (
+        spark.read.parquet(f"{path}/codes")
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_ids == corpus.count()
