@@ -6,6 +6,17 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan + execute + count) after a small
 session warm-up so JVM startup isn't attributed to the first query.
+
+Measurement integrity (the BENCH_r06 lesson — a contended machine wrote
+a 6x q3 artifact into the official record, indistinguishable from a
+plan regression): the harness now (a) times a fixed calibration probe
+at session start and end and emits both in the JSON, so a degraded or
+drifting session is visible in the record itself, and (b) compares each
+query's value against the previous round's BENCH_r*.json and re-runs
+the full sample batch once when the value exceeds
+SPARK_GRAFT_BENCH_RERUN_FACTOR (default 2.5) x prior — a real plan
+regression reproduces on the re-run; a scheduling/GC artifact does not.
+Re-run queries are listed in the output ("reruns") with both readings.
 """
 
 from __future__ import annotations
@@ -22,10 +33,52 @@ from etl_pricenow_to_leukerbadb_spark.plans.analytics import REGISTRY  # noqa: E
 from etl_pricenow_to_leukerbadb_spark.session import get_spark  # noqa: E402
 
 
+def _load_prior_queries() -> tuple[dict[str, float], str | None]:
+    """Previous round's per-query seconds from the newest BENCH_r*.json.
+
+    The driver wraps bench stdout, so the values live under
+    "parsed.queries" (top-level "queries" accepted for hand-written
+    files). Missing/corrupt files degrade to no-prior (no re-runs)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return {}, None
+    try:
+        with open(best[1]) as fh:
+            doc = json.load(fh)
+        queries = doc.get("parsed", {}).get("queries") or doc.get("queries") or {}
+        return {k: float(v) for k, v in queries.items()}, os.path.basename(best[1])
+    except Exception:
+        return {}, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
+
+    def calibrate() -> float:
+        """Fixed machine-state probe: min-of-3 of a constant CPU-bound
+        job. The absolute value varies by host; what matters is the
+        start/end pair within one session (drift = the session degraded
+        mid-run) and the round-over-round series (a 2x calibration
+        jump explains a uniform 2x query offset — BENCH_r06's +35%
+        'regression' was exactly this, refuted by a solo re-run)."""
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr(
+                "sum(id * id % 2147483647)"
+            ).collect()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
 
     # warm up the session (JVM, codegen, parquet footer cache) — incl.
     # one scan per testdata table, so the first timed query doesn't
@@ -58,11 +111,17 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(True)
 
+    calibration_start = calibrate()
+    prior, prior_file = _load_prior_queries()
+    rerun_factor = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_FACTOR", "2.5"))
+
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    reruns: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    for name, spec in headline.items():
+
+    def run_query(name: str, spec) -> tuple[float, float, int]:
         # Every query gets one UNTIMED warm-up run: the first execution
         # of a plan pays JVM JIT + whole-stage-codegen compilation that
         # belongs to the session, not the operator (observed 3-4x
@@ -97,12 +156,31 @@ def main() -> None:
             n = spec.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         if spec.multi_action:
-            mid = sorted(samples)[len(samples) // 2]
-            timings[name] = round(mid, 3)
+            value = round(sorted(samples)[len(samples) // 2], 3)
         else:
-            timings[name] = round(min(samples), 3)
+            value = round(min(samples), 3)
         trimmed = sorted(samples)[:-1] if len(samples) > 1 else samples
-        spreads[name] = round(max(trimmed) - min(trimmed), 3)
+        return value, round(max(trimmed) - min(trimmed), 3), n
+
+    for name, spec in headline.items():
+        value, spread, n = run_query(name, spec)
+        # outlier sentinel: a value far above last round's record on
+        # (almost always) an unchanged plan is more likely a machine
+        # artifact than a regression — re-measure once before letting
+        # it into the round-over-round record. A real regression
+        # reproduces; a GC/scheduling stall does not.
+        if name in prior and prior[name] > 0 and value > rerun_factor * prior[name]:
+            print(
+                f"# {name}: {value:.3f}s exceeds {rerun_factor}x prior "
+                f"({prior[name]:.3f}s in {prior_file}) — re-running",
+                file=sys.stderr,
+            )
+            value2, spread2, n = run_query(name, spec)
+            reruns[name] = [value, value2]
+            if value2 < value:
+                value, spread = value2, spread2
+        timings[name] = value
+        spreads[name] = spread
         print(
             f"# {name}: {timings[name]:.3f}s"
             f"{' (median)' if spec.multi_action else ''}"
@@ -110,6 +188,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calibration_end = calibrate()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +199,9 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": runs,
                 "spread": spreads,
+                "calibration_sec": [calibration_start, calibration_end],
+                "reruns": reruns,
+                "prior_bench": prior_file,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
