@@ -203,6 +203,52 @@ def sample_frames(
     )
 
 
+def media_pipeline_persist_once(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dim: int = 64,
+    every_k: int = 2,
+    reliable: bool = False,
+) -> DataFrame:
+    """The production form of the multimodal pipeline: decode ONCE,
+    checkpoint the decoded metadata, feed all three downstream
+    branches (metadata join, resize, frame sampling) from the
+    materialized result.
+
+    The registry's ``mm_media_pipeline`` keeps a single declarative
+    plan so its arithmetic stays oracle-checkable end to end — the
+    price is that Catalyst inlines the decode subtree into each of the
+    three branches, so the (expensive: Arrow hop + Python worker)
+    decode runs three times per job. Here the decode is materialized
+    once — ``iter_checkpoint`` truncates the lineage so every branch
+    reads settled blocks (``reliable=True`` writes to the session
+    checkpoint dir and survives executor loss, the right trade for a
+    100 TB corpus where the decode is hours of GPU/CPU work you never
+    want to repeat). Output is row-identical to ``mm_media_pipeline``
+    (pytest-asserted); the decode-once-vs-thrice cost ratio is
+    measured in SCALE.md (probe: tools/probe_r7.py)."""
+    from .dedup import iter_checkpoint
+
+    docs = attach_binary(documents, id_col, text_col)
+    meta = binary_meta(docs, id_col).select(
+        id_col, F.col("n_bytes").alias("meta_bytes"), "sha256"
+    )
+    dec = iter_checkpoint(fake_decode_media(docs, id_col), reliable)
+    res = resize_media_fake(dec, id_col, max_dim=max_dim).select(
+        id_col,
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        "n_bytes_est",
+    )
+    frames = sample_frames(dec, id_col, every_k=every_k)
+    return (
+        meta.join(dec.select(id_col, "width", "height", "n_frames"), id_col)
+        .join(res, id_col)
+        .join(frames, id_col)
+    )
+
+
 def fake_decode_media(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -620,7 +620,7 @@ def ivf_pq_topk(
     only + exact re-rank — the composition of ``ivf_list_assign`` (the
     coarse quantizer, oracle-verified by ``ann_ivf_lists``) and
     ``pq_assign_codes`` (the compressor, oracle-verified by
-    ``emb_pq_codes``) into the search structure a billion-vector
+    ``emb_pq_codes_battery``) into the search structure a billion-vector
     deployment actually runs (Jégou et al., IVFADC).
 
     Dataflow, sized for 100 TB of vectors:
@@ -1194,23 +1194,38 @@ def sign_lsh_buckets_long(
             plane_rows, "tbl int, __planes array<array<double>>"
         )
     )
-    bucket = F.concat_ws(
-        "",
-        F.transform(
-            F.col("__planes"),
-            lambda pv: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), pv, lambda x, y: x.cast("double") * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
+    # Malformed vectors (NULL, wrong length, or any NULL component)
+    # must yield a NULL bucket, not a valid-looking one: a NULL
+    # component poisons every plane's dot-product sum into NULL, the
+    # sign test's otherwise-branch then emits "0" for every bit, and
+    # the vector would silently alias the all-zeros bucket (colliding
+    # with genuinely all-negative-projection vectors in every
+    # downstream bucket equi-join). A NULL bucket instead drops out of
+    # the equi-joins — malformed input can never manufacture a
+    # candidate pair.
+    well_formed = (F.size(F.col(vec_col)) == F.lit(dim)) & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
     )
+    bucket = F.when(
+        well_formed,
+        F.concat_ws(
+            "",
+            F.transform(
+                F.col("__planes"),
+                lambda pv: F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col), pv, lambda x, y: x.cast("double") * y
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
     return (
         df.withColumn(
             "tbl", F.explode(F.array(*[F.lit(t).cast("int") for t in range(n_tables)]))

@@ -898,6 +898,69 @@ def test_multimodal_null_payload_and_zero_frames(spark):
     assert set(resized) == {1} and resized[1].width is not None
 
 
+def test_lsh_buckets_null_or_malformed_vectors_get_null_buckets(spark):
+    """A vector with a NULL component (or wrong length, or NULL
+    entirely) must bucket to NULL — concat_ws silently SKIPS null
+    elements, so without the well-formedness gate a NULL component
+    would shorten the bit string (or, via the sign test's otherwise
+    branch, emit all-zeros) and alias an unrelated valid bucket,
+    manufacturing candidate pairs from corrupt input. NULL buckets
+    instead drop out of every bucket equi-join."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+
+    dim = 8
+    good = [float(i) for i in range(dim)]
+    rows = [
+        (1, good),
+        (2, good[:4] + [None] + good[5:]),  # NULL component
+        (3, good[:5]),  # wrong length
+        (4, None),  # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sign_lsh_buckets_long(
+        df, "vec_id", n_planes=4, n_tables=2, dim=dim
+    ).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, []).append(r.bucket)
+    assert all(b is not None and len(b) == 4 for b in by_id[1])
+    for bad_id in (2, 3, 4):
+        assert all(b is None for b in by_id[bad_id]), bad_id
+
+
+def test_media_pipeline_persist_once_equals_declarative(spark, sf_small):
+    """The production (decode-once) multimodal pipeline must be
+    row-identical to the declarative oracle-paired twin, and its final
+    plan must contain exactly ONE Arrow/Python stage (the resize) —
+    the decode ran once at checkpoint time, while the declarative plan
+    inlines the decode subtree into every branch (3 decodes + resize =
+    4 MapInPandas nodes)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.multimodal import (
+        media_pipeline_persist_once,
+    )
+    from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    declarative = REGISTRY["mm_media_pipeline"].fn(spark, sf_small)
+    once = media_pipeline_persist_once(load_table(spark, sf_small, "documents"))
+    assert sorted(once.columns) == sorted(declarative.columns)
+    cols = sorted(once.columns)
+    got = sorted(tuple(r) for r in once.select(*cols).collect())
+    want = sorted(tuple(r) for r in declarative.select(*cols).collect())
+    assert got == want and got
+
+    def n_arrow_stages(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return plan.count("MapInPandas")
+
+    assert n_arrow_stages(once) == 1
+    assert n_arrow_stages(declarative) == 4
+
+
 def test_lsh_candidate_pairs_validates_bands(spark):
     from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
         lsh_candidate_pairs,
