@@ -114,6 +114,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "k6_cdc_merge",
     "j5_asof_two_table",
     "k7_scd2_history",
+    # never-rowed: the two r7 consolidations, pinned first-contact
+    "tx_doc_profile",
+    "emb_pq_codes_battery",
     # last green r5 — backfill in registration order (the first 26 of
     # the 47 r5-green entries; the remaining 21 head the r8 window)
     "t6_forward_fill_daily",
@@ -142,8 +145,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "st_ewma_fold",
     "llm_prep_pipeline",
     "tx_ngram_lm_score",
-    "a2_topk_per_group",
-    "a4_pivot_event_matrix",
 )
 
 

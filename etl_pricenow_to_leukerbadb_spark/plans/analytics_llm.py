@@ -58,54 +58,10 @@ EN = "('the','a','and','of','to','in','is')"
 # --------------------------------------------------------------------------
 
 
-@register(
-    "tx_token_count",
-    tags=("TX",),
-    oracle=f"""
-SELECT doc_id,
-       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
-       n_chars
-FROM documents
-""",
-)
-def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-pre-tokenizer token counting."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
-        "n_chars",
-    )
-
-
-@register(
-    "tx_quality_score",
-    tags=("TX",),
-    oracle=f"""
-SELECT doc_id,
-       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
-       CAST(length(text) AS DOUBLE) / len(string_split({NORM}, ' ')) AS avg_token_len,
-       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
-       CAST(len(list_filter(string_split({NORM}, ' '), x -> x IN {EN})) AS DOUBLE)
-         / len(string_split({NORM}, ' ')) AS stop_ratio
-FROM documents
-""",
-)
-def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: length/punctuation/stopword ratios (exact
-    integer-count divisions -> engine-portable doubles)."""
-    feats = quality_features("text")
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        feats["n_tokens"].cast("int").alias("n_tokens"),
-        feats["avg_token_len"].alias("avg_token_len"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["stop_ratio"].alias("stop_ratio"),
-    )
-
-
-def _lang_case_sql() -> str:
+def _doc_profile_sql() -> str:
+    """Oracle for the consolidated per-document profile: the union of
+    the former tx_token_count / tx_quality_score / tx_lang_id /
+    tx_fingerprint column sets in ONE select over documents."""
     langs = list(LANG_STOPWORDS)
     score = {
         lang: f"len(list_filter(string_split({NORM}, ' '), x -> x IN "
@@ -119,42 +75,61 @@ def _lang_case_sql() -> str:
             f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
         )
     case = "CASE " + " ".join(whens) + " END"
-    cols = ", ".join(f"CAST({score[l]} AS INT) AS s_{l}" for l in langs)
-    return f"SELECT doc_id, lang, {case} AS lang_pred, {cols} FROM documents"
-
-
-@register("tx_lang_id", tags=("TX",), oracle=_lang_case_sql())
-def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language identification with deterministic
-    priority tie-breaking; per-language scores exposed for audit."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    scores = lang_scores(toks)
-    return docs.select(
-        "doc_id",
-        "lang",
-        lang_predict(toks).alias("lang_pred"),
-        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in LANG_STOPWORDS],
-    )
-
-
-@register(
-    "tx_fingerprint",
-    tags=("TX",),
-    oracle=f"""
+    lang_cols = ", ".join(f"CAST({score[l]} AS INT) AS s_{l}" for l in langs)
+    return f"""
 SELECT doc_id,
+       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
+       n_chars,
+       CAST(length(text) AS DOUBLE) / len(string_split({NORM}, ' ')) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split({NORM}, ' '), x -> x IN {EN})) AS DOUBLE)
+         / len(string_split({NORM}, ' ')) AS stop_ratio,
+       lang,
+       {case} AS lang_pred,
+       {lang_cols},
        md5({NORM}) AS fingerprint,
        list_min(list_transform(
          generate_series(1, greatest(length({NORM}) - 7, 1)),
          i -> md5(substr({NORM}, i, 8)))) AS winnow_min
 FROM documents
-""",
-)
-def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: whole-content md5 + winnowing-style
-    minimum over 8-char shingle hashes."""
-    return _t(spark, sf_dir, "documents").select(
+"""
+
+
+@register("tx_doc_profile", tags=("TX",), oracle=_doc_profile_sql())
+def tx_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan per-document profile — the r7 consolidation of four
+    formerly separate scorers, each of which re-scanned documents for
+    one column family:
+
+    - token counting (whitespace + BPE-pre-tokenizer regex),
+    - quality features (length/punctuation/stopword ratios, exact
+      integer-count divisions -> engine-portable doubles),
+    - stopword-vote language identification with deterministic
+      priority tie-breaking (per-language scores exposed for audit),
+    - fingerprinting (whole-content md5 + winnowing-style minimum
+      over 8-char shingle hashes).
+
+    All expressions are per-row and JVM-side, so ONE pass over the
+    corpus computes everything — at 100 TB that is strictly better
+    than four scans, and it is how a production profiler would run
+    (the reference's per-row derivations are likewise single-pass,
+    scripts/pricenow_etl.py:238-259)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    toks = tokens("text")
+    scores = lang_scores(toks)
+    return docs.select(
         "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
+        "n_chars",
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        "lang",
+        lang_predict(toks).alias("lang_pred"),
+        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in LANG_STOPWORDS],
         content_fingerprint("text").alias("fingerprint"),
         char_shingles_min_md5("text", 8).alias("winnow_min"),
     )
@@ -701,10 +676,13 @@ def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_idx/byte_offset). One row per (doc, sampled frame), every
     stage contributing its own columns so the oracle pins each
     operator's arithmetic. The doc_id joins are co-keyed (one shuffle
-    key end-to-end); a production pipeline would persist the decode
-    output once instead of recomputing it per branch — here the
-    re-derivation is the price of keeping the consolidated query a
-    single declarative, oracle-checkable plan."""
+    key end-to-end). Catalyst inlines the decode subtree into every
+    branch here (3 decodes + resize) — the price of keeping the
+    consolidated query a single declarative, oracle-checkable plan;
+    the production twin is ``media_pipeline_persist_once``
+    (operators/multimodal.py), which checkpoints the decode once and
+    is pytest-asserted row-identical, with the decode-once-vs-thrice
+    ratio measured in SCALE.md."""
     docs = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
     meta = binary_meta(docs, "doc_id").select(
         "doc_id", F.col("n_bytes").alias("meta_bytes"), "sha256"
@@ -1701,58 +1679,11 @@ def ann_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "emb_pq_codes",
-    tags=("ANN", "A1"),
-    oracle="""
-WITH sub AS (SELECT CAST(UNNEST(range(4)) AS INTEGER) AS subspace),
-cb AS (
-  SELECT v.vec_id AS code, s.subspace, v.embedding
-  FROM embeddings v, sub s WHERE v.vec_id < 8
-), d AS (
-  SELECT e.vec_id, c.subspace, c.code,
-         CAST(ROUND((
-           SELECT SUM((CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
-                       - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE))
-                      * (CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
-                         - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE)))
-           FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
-  FROM embeddings e, cb c
-), r AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
-  FROM d
-)
-SELECT vec_id, subspace, code, dist_fp FROM r WHERE rn = 1
-""",
-)
-def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes: each 64-dim embedding split into
-    4x16-dim subvectors, each mapped to its nearest codebook entry
-    (codebook = matching slices of the first 8 corpus vectors) by
-    squared L2, rounded to 1e-6 fixed point before the argmin. This is
-    the compression stage of IVF-PQ — with ``emb_kmeans_assign`` (the
-    trained coarse quantizer) and ``ann_ivf_lists`` (the inverted
-    lists) it completes the exact, oracle-checkable skeleton of a
-    billion-scale ANN index; only the top-k scorers stay approximate.
-    One codebook broadcast, one map-side ``min_by`` — no data shuffle."""
-    from ..operators.similarity import pq_assign_codes
-
-    return pq_assign_codes(
-        _t(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        n_subspaces=4,
-        sub_dim=16,
-        n_codes=8,
-    )
-
-
-@register(
-    "emb_pq_codes_trained",
+    "emb_pq_codes_battery",
     tags=("ANN", "A1"),
     oracle=f"""
 WITH sub AS (SELECT CAST(UNNEST(range(4)) AS INTEGER) AS subspace),
-cb0 AS (
+cb AS (
   SELECT v.vec_id AS code, s.subspace, v.embedding
   FROM embeddings v, sub s WHERE v.vec_id < 8
 ), d0 AS (
@@ -1763,9 +1694,9 @@ cb0 AS (
                       * (CAST(e.embedding[c.subspace * 16 + i] AS DOUBLE)
                          - CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE)))
            FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
-  FROM embeddings e, cb0 c
+  FROM embeddings e, cb c
 ), a0 AS (
-  SELECT vec_id, subspace, code FROM (
+  SELECT vec_id, subspace, code, dist_fp FROM (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
     FROM d0) t WHERE rn = 1
@@ -1784,7 +1715,7 @@ cb0 AS (
          COALESCE(cm.csub,
            (SELECT list(CAST(c.embedding[c.subspace * 16 + i] AS DOUBLE) ORDER BY i)
             FROM generate_series(1, 16) g(i))) AS csub
-  FROM cb0 c LEFT JOIN cm ON cm.subspace = c.subspace AND cm.code = c.code
+  FROM cb c LEFT JOIN cm ON cm.subspace = c.subspace AND cm.code = c.code
 ), d1 AS (
   SELECT e.vec_id, c.subspace, c.code,
          CAST(ROUND((
@@ -1793,41 +1724,66 @@ cb0 AS (
            FROM generate_series(1, 16) g(i)) * 1000000) AS BIGINT) AS dist_fp
   FROM embeddings e, cb1 c
 )
-SELECT vec_id, subspace, code, dist_fp FROM (
+SELECT 'fixed' AS codebook, vec_id, subspace, code, dist_fp FROM a0
+UNION ALL
+SELECT 'trained' AS codebook, vec_id, subspace, code, dist_fp FROM (
   SELECT *, row_number() OVER (
     PARTITION BY vec_id, subspace ORDER BY dist_fp ASC, code ASC) AS rn
   FROM d1) t
 WHERE rn = 1
 """,
 )
-def emb_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ code assignment under the TRAINED codebook
-    (``trained_pq_codebook``: the id-seeded entries refined by one
-    deterministic Lloyd iteration per subspace — assign, fixed-point
-    per-dimension means, seed fallback for empty codes, reassign).
-    This is the quantizer ``build_pq_index(train=True)`` persists, so
-    the oracle pairing here is what keeps the trained index path
+def emb_pq_codes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment under BOTH quantizers in one tagged table —
+    the r7 consolidation of the former emb_pq_codes (fixed codebook)
+    and emb_pq_codes_trained entries.
+
+    ``codebook='fixed'``: each 64-dim embedding split into 4x16-dim
+    subvectors, each mapped to its nearest codebook entry (codebook =
+    matching slices of the first 8 corpus vectors) by squared L2,
+    rounded to 1e-6 fixed point before the argmin. This is the
+    compression stage of IVF-PQ — with ``emb_kmeans_assign`` (the
+    trained coarse quantizer) and ``ann_ivf_lists`` (the inverted
+    lists) it completes the exact, oracle-checkable skeleton of a
+    billion-scale ANN index; only the top-k scorers stay approximate.
+    One codebook broadcast, one map-side ``min_by`` — no data shuffle.
+
+    ``codebook='trained'``: the same assignment under the TRAINED
+    codebook (``trained_pq_codebook``: the id-seeded entries refined
+    by one deterministic Lloyd iteration per subspace — assign,
+    fixed-point per-dimension means, seed fallback for empty codes,
+    reassign). This is the quantizer ``build_pq_index(train=True)``
+    persists, so the oracle pairing here keeps the trained index path
     hash-checkable end to end: the structure is exact even though the
-    top-k search built on it is approximate — the same split as
-    ``emb_pq_codes`` (fixed codebook) and ``emb_kmeans_assign`` (the
-    trained coarse quantizer). Means accumulate floor(val * 2^40)
-    longs (exact, order-independent), so both engines derive
-    bit-identical codebooks before the final argmin."""
+    top-k search built on it is approximate. Means accumulate
+    floor(val * 2^40) longs (exact, order-independent), so both
+    engines derive bit-identical codebooks before the final argmin.
+
+    The union costs nothing extra at scale: both arms share the one
+    corpus scan per assignment and broadcast dimension-sized
+    codebooks; a caller wanting one arm filters on the tag and Spark
+    prunes the other arm's plan via the pushed filter."""
     from ..operators.similarity import pq_assign_codes, trained_pq_codebook
 
     emb = _t(spark, sf_dir, "embeddings")
+    fixed = pq_assign_codes(
+        emb, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_codes=8
+    )
     cb = trained_pq_codebook(
         emb, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_codes=8
     )
-    return pq_assign_codes(
+    trained = pq_assign_codes(
         emb, "vec_id", "embedding", 4, 16, 8, codebook=cb
     )
+    return fixed.select(
+        F.lit("fixed").alias("codebook"), "*"
+    ).unionByName(trained.select(F.lit("trained").alias("codebook"), "*"))
 
 
 @register("ann_pq_adc_topk", headline=True, tags=("ANN",))
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for query vectors (vec_id < 10) via
-    PQ asymmetric distance computation over the ``emb_pq_codes``
+    PQ asymmetric distance computation over the ``emb_pq_codes_battery``
     codes — the memory-resident search mode of an IVF-PQ index (the
     query scans 4 small ints per corpus vector, never a raw float
     array). ``rerank_factor=20`` is the production setting: the ADC
@@ -1837,7 +1793,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate (codes quantize the corpus), so no SQL oracle: recall
     vs ``ann_topk_bruteforce`` is gated in pytest, and the code
     assignment it runs on is oracle-verified exactly by
-    ``emb_pq_codes``."""
+    ``emb_pq_codes_battery``."""
     from ..operators.similarity import pq_adc_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1850,7 +1806,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ search (coarse probe + ADC over probed lists only +
     exact re-rank) — the composition of the two oracle-verified index
-    structures (``ann_ivf_lists`` coarse lists, ``emb_pq_codes``
+    structures (``ann_ivf_lists`` coarse lists, ``emb_pq_codes_battery``
     compression) into the search a billion-vector deployment runs: the
     ADC scan touches only the ``n_probe/n_centroids`` fraction of the
     code table selected by the coarse probe, and raw vectors are read
@@ -1869,6 +1825,49 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
         rerank_factor=20,
+    )
+
+
+@register(
+    "ann_ivfpq_trained_e2e", headline=True, multi_action=True, tags=("ANN",)
+)
+def ann_ivfpq_trained_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN lifecycle in one benched flow:
+    ``build_ivfpq_index(train=True)`` (train both quantizers, persist
+    centroids + inverted lists + PQ codes + generation-tokened commit
+    marker) then ``search_ivfpq_index`` off the persisted artifacts —
+    what a deployment actually runs, as opposed to the from-scratch
+    scorers that rebuild structures per query. Benched as a headline
+    so the round-over-round record tracks the full composition
+    (SCALE.md probes it at 32x corpus); multi_action because the build
+    is several Spark jobs (train, persist, commit) before the search.
+    Approximate by construction (probe + codes can miss a neighbor),
+    so no SQL oracle — the constituent structures are oracle-paired
+    (``emb_pq_codes_battery``, ``emb_kmeans_assign``,
+    ``ann_ivf_lists``) and the persisted-search path is pytest-gated
+    bit-identical to the from-scratch scorer, recall-gated trained >=
+    fixed (tests/test_ann_index.py)."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+    from ..session import session_scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = session_scratch_dir(spark, "ivfpq_trained_e2e") + "/idx"
+    build_ivfpq_index(
+        emb,
+        path,
+        n_centroids=16,
+        n_subspaces=4,
+        sub_dim=16,
+        n_codes=8,
+        train=True,
+    )
+    return search_ivfpq_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        n_probe=4,
+        k=5,
     )
 
 

@@ -122,7 +122,7 @@ def test_pq_and_ivf_assignments_hash_aggregate(spark, sf_small):
     # the packed-BIGINT argmin/argmax must keep these HashAggregate;
     # a struct-buffer min_by/max_by regresses to SortAggregate, which
     # sorts the full corpus x codebook expansion on both shuffle sides
-    for name in ("emb_pq_codes", "ann_ivf_lists"):
+    for name in ("emb_pq_codes_battery", "ann_ivf_lists"):
         plan = plan_of(spark, sf_small, name)
         assert "SortAggregate" not in plan, name
 
@@ -145,6 +145,7 @@ _INTENTIONAL_UNKEYED_JOINS = {
     "ann_ivf_lists",        # corpus x 16-centroid broadcast assignment
     "ann_ivf_topk",         # same + query x centroid probe
     "ann_ivfpq_topk",       # same coarse-probe shape
+    "ann_ivfpq_trained_e2e",  # persisted-index twin of the same shape
     "emb_kmeans_assign",    # corpus x centroid Lloyd assignment
     "q11_important_stock",  # single-row scalar-agg broadcast (HAVING)
     "q22_global_sales",     # single-row scalar avg subquery
