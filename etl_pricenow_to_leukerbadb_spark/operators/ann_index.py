@@ -47,6 +47,7 @@ import uuid
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..session import tiny_local_df
 from .similarity import (
     _pq_codebook,
     ivf_list_assign,
@@ -133,7 +134,8 @@ def build_pq_index(
     # the appended parquet files carry a different physical type than
     # the existing ones (schema-merge failures or silent widening on
     # later reads). Names alone cannot reconstruct that.
-    meta = spark.createDataFrame(
+    meta = tiny_local_df(
+        spark,
         [
             (
                 n_subspaces,
@@ -182,7 +184,7 @@ def _write_commit(spark: SparkSession, path: str, build_id: str) -> None:
     # a superseded generation and was already deleted on the overwrite
     # path; on a fresh build the meta write above has already enforced
     # errorifexists for the index as a whole
-    spark.createDataFrame([(build_id,)], "build_id string").coalesce(
+    tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/commit")
 
@@ -614,7 +616,7 @@ def build_ivfpq_index(
     )
     mode = "overwrite" if overwrite else "errorifexists"
     spark = corpus.sparkSession
-    n_cent = spark.createDataFrame([(n_centroids,)], "n_centroids int")
+    n_cent = tiny_local_df(spark, [(n_centroids,)], "n_centroids int")
     n_cent.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_meta")
     if train:
         cents = kmeans_centroids_2iter(

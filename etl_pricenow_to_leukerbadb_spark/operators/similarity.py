@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, cosine_prenormed, norm_sq
+from ..session import tiny_local_df
 from ..sources.tables import fan_out
 
 
@@ -967,7 +968,12 @@ def kmeans_train(
     )
 
     def literal_cents(rows: dict[int, list[float]]) -> DataFrame:
-        df = spark.createDataFrame(
+        # Arrow path (tiny_local_df): the pickle-RDD form of
+        # createDataFrame costs a python-worker round per evaluation,
+        # and this table is re-emitted (and re-evaluated by the next
+        # assignment pass) EVERY iteration — doubles preserved exactly
+        df = tiny_local_df(
+            spark,
             [(cid, vec) for cid, vec in sorted(rows.items())],
             "cent_id long, __cent array<double>",
         )
@@ -1190,9 +1196,7 @@ def sign_lsh_buckets_long(
         for t in range(n_tables)
     ]
     planes = F.broadcast(
-        spark.createDataFrame(
-            plane_rows, "tbl int, __planes array<array<double>>"
-        )
+        tiny_local_df(spark, plane_rows, "tbl int, __planes array<array<double>>")
     )
     # Malformed vectors (NULL, wrong length, or any NULL component)
     # must yield a NULL bucket, not a valid-looking one: a NULL

@@ -29,6 +29,7 @@ from ..config import SeasonConfig
 from ..functions.scalar import active_flag, days_left_expr, parse_duration_days
 from ..operators.calendar import date_grid
 from ..operators.forward_fill import forward_fill_daily
+from ..session import tiny_local_df
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -758,7 +759,8 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import session_scratch_dir
     from .pricenow import run_pipeline
 
-    changes = spark.createDataFrame(
+    changes = tiny_local_df(
+        spark,
         [
             (1, "2026-01-05", 100, 1),
             (1, "2026-01-15", 110, 2),
@@ -850,7 +852,8 @@ def e4_season_reference_2025(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pricenow import build_prices
 
-    changes = spark.createDataFrame(
+    changes = tiny_local_df(
+        spark,
         [
             (1, "2025-12-01", 500, 1),
             (1, "2026-01-15", 550, 2),
@@ -863,7 +866,8 @@ def e4_season_reference_2025(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "productDefinitionId long, validAt string, price long, seq long",
     )
-    products = spark.createDataFrame(
+    products = tiny_local_df(
+        spark,
         [(1, 1), (2, 13), (3, 2), (4, 100)],
         "product_id long, duration_days int",
     )

@@ -94,3 +94,38 @@ def session_scratch_dir(spark: SparkSession, tag: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def tiny_local_df(spark: SparkSession, rows: list, schema: str):
+    """Small driver-side row lists -> DataFrame via the Arrow/pandas
+    path, NOT ``createDataFrame(list)``.
+
+    The tuple-list form of ``createDataFrame`` builds a PICKLED RDD
+    with ``defaultParallelism`` partitions (Arrow only applies to
+    pandas input), so every downstream action launches Python workers
+    to deserialize it — and a ``coalesce(1)`` (the natural shape for
+    metadata writes) evaluates all N pickle partitions SERIALLY in one
+    task. Measured on local[32]: a ONE-ROW ``coalesce(1)`` parquet
+    write costs ~5 s through the pickle path and ~0.2 s through
+    Arrow — a tax this engine was paying on every index meta/commit
+    write, every streaming epoch marker, and every k-means iteration's
+    centroid re-emit. On a real cluster the same tax appears as
+    python-worker spin-up on whichever executor evaluates the local
+    relation.
+
+    Values cross via pandas->Arrow with the explicit schema applied
+    positionally: IEEE doubles are preserved exactly (the LSH plane
+    tables and fixed-point centroid re-emits rely on bit-identical
+    round-trips; oracle-hash-verified), nested arrays/dates/None all
+    map correctly. Falls back to the plain path for empty input (the
+    pandas route cannot infer column count) or any conversion the
+    Arrow path rejects.
+    """
+    if rows:
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+        except Exception:
+            pass  # fall through to the pickle path (correct, just slower)
+    return spark.createDataFrame(rows, schema)

@@ -15,13 +15,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import PRODUCT_ENVELOPE, PRODUCT_PAYLOAD
+from ..session import tiny_local_df
 
 
 def products_from_payloads(spark: SparkSession, payloads: list[str]) -> DataFrame:
     """Parse raw JSON payload strings (one HTTP response body each)
     into one row per product, tolerating every envelope variant."""
-    raw = spark.createDataFrame(
-        [(p,) for p in payloads], T.StructType([T.StructField("body", T.StringType())])
+    raw = tiny_local_df(
+        spark,
+        [(p,) for p in payloads],
+        T.StructType([T.StructField("body", T.StringType())]),
     )
     bare = F.from_json(F.col("body"), T.ArrayType(PRODUCT_PAYLOAD))
     wrapped = F.from_json(F.col("body"), PRODUCT_ENVELOPE)

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import tiny_local_df
 from ..sinks.upsert import merge_upsert_parquet, replace_dir
 
 DEC = "decimal(15,3)"
@@ -630,7 +631,8 @@ def stream_index_ingest_job(
             # guards a batch that carries the same new id twice
             append_to_pq_index(fresh, index_path)
         # marker LAST: its presence proves both directories committed
-        ss.createDataFrame(
+        tiny_local_df(
+            ss,
             [(qid, int(epoch_id), build_id)],
             "query_id string, epoch_id long, build_id string",
         ).coalesce(1).write.mode("append").parquet(markers_path)
