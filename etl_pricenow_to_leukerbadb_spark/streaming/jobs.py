@@ -39,7 +39,9 @@ def _drain_memory_sink(df: DataFrame, name: str) -> DataFrame:
     rows = df.collect()
     schema = df.schema
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    # Arrow path (tiny_local_df): the pickle-RDD re-emit made every
+    # consumer of a streaming result pay a python-worker evaluation
+    return tiny_local_df(spark, rows, schema)
 
 
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
