@@ -556,17 +556,23 @@ def stream_index_ingest_job(
       ``build_id`` so a rebuild (new generation) invalidates stale
       markers automatically.
     - **Marker-less replay** (crash after some appends, before the
-      marker): the batch's ids are anti-joined against the code table
-      (already-coded ids drop out, the rest append), and
-      ``append_to_pq_index`` itself anti-joins the delta against the
-      inverted lists on IVFADC layouts — a crash between the lists
-      and codes writes is REPAIRED by the replay (the missing codes
-      land, the lists don't duplicate), which is exactly the retry
-      contract the batch append guarantees. A crash DURING the codes
-      append leaves ids with partial per-subspace code sets, which
-      the anti-join deliberately KEEPS OUT of re-appending (the id
-      exists) so the delta-scoped post-append invariant fails the
-      next touch loudly instead of double-appending.
+      marker): the batch's ids are classified against the code table
+      (range-pruned on the batch's id span) by per-id code-row count.
+      COMPLETE ids (n_subspaces rows) are a prior successful append —
+      dropped. ABSENT ids append; on IVFADC layouts
+      ``append_to_pq_index``'s lists anti-join means a crash between
+      the lists and codes writes is REPAIRED by the replay (the
+      missing codes land, the lists don't duplicate) — the retry
+      contract the batch append guarantees. PARTIAL ids (a crash
+      DURING the codes append's file-commit renames — narrow but real,
+      since one id's code rows span files) RAISE loudly: parquet
+      cannot retract the partial rows in place, re-appending would
+      double-count them in every ADC sum, and silently skipping them
+      would leave vectors that under-count forever — the error names
+      ``fsck_index`` and rebuild as the recovery. (Under the old
+      whole-index post-append invariant this case was caught by the
+      NEXT append's full scan; the delta-scoped guards made detection
+      the ingest's job.)
 
     Mid-append search consistency needs no epoch filtering: the lists
     write precedes the codes write, and a list row whose id has no
@@ -622,11 +628,29 @@ def stream_index_ingest_job(
             ).count()
             if committed:  # full replay of a committed batch: no-op
                 return
-        fresh = batch_df.join(
-            ss.read.parquet(f"{index_path}/codes"),
-            id_col,
-            "left_anti",
+        span = batch_df.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).collect()[0]
+        existing = (
+            ss.read.parquet(f"{index_path}/codes")
+            .filter(F.col(id_col).between(F.lit(span["lo"]), F.lit(span["hi"])))
+            .join(batch_df.select(F.col(id_col)), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n"))
         )
+        n_partial = existing.filter(
+            F.col("n") != F.lit(int(params["n_subspaces"]))
+        ).count()
+        if n_partial:
+            raise RuntimeError(
+                f"stream_index_ingest_job: {n_partial} id(s) in this batch "
+                f"have a PARTIAL code set in {index_path}/codes — a prior "
+                "append crashed mid-commit. Re-appending would double-count "
+                "them in every ADC sum and skipping would leave them "
+                "under-counting forever; run fsck_index and rebuild (or "
+                "prune the partial ids) before resuming ingest"
+            )
+        fresh = batch_df.join(existing, id_col, "left_anti")
         if not fresh.isEmpty():
             # assume_new_ids=False: the anti-join proved disjointness
             # vs the index, but the internal-duplicate check still

@@ -655,6 +655,33 @@ def test_stream_index_ingest_ivfadc_replay_crash(
     assert len({m.query_id for m in markers}) == 2  # one per checkpoint
 
 
+def test_stream_index_ingest_partial_codes_fail_loudly(
+    spark, corpus, tmp_path
+):
+    """A batch containing an id whose code set is PARTIAL (a prior
+    append crashed during the codes file-commit) must fail the ingest
+    loudly, naming the recovery: parquet cannot retract the partial
+    rows, re-appending would double-count them in every ADC sum, and
+    silently skipping them would leave under-counting vectors in the
+    index forever."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    path = str(tmp_path / "partial_idx")
+    vecs = str(tmp_path / "partial_vec_stream")
+    build_pq_index(old, path, **PARAMS)
+    # plant the partial set: 2 of 4 subspaces for one delta id
+    spark.createDataFrame(
+        [(450, s, 0) for s in range(2)], "vec_id long, subspace int, code int"
+    ).write.mode("append").parquet(f"{path}/codes")
+    delta.coalesce(1).write.parquet(vecs)
+    with pytest.raises(Exception, match="PARTIAL code set"):
+        stream_index_ingest_job(spark, vecs, path)
+
+
 def test_stream_index_ingest_epoch_marker_short_circuits(
     spark, corpus, tmp_path
 ):
