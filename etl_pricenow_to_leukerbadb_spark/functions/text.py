@@ -120,6 +120,41 @@ def quality_features(c: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_features(c: Column | str) -> dict[str, Column]:
+    """Word-level repetition features (Gopher/MassiveText-style
+    filters use these alongside the n-gram dup ratio the
+    ``tx_repetition`` query computes):
+
+    - ``dup_word_ratio``: 1 - distinct/total over whitespace tokens,
+    - ``dup_2gram_ratio``: same over word 2-grams (NULL when the doc
+      has fewer than 2 tokens — try_divide, matching DuckDB's
+      division-by-zero NULL),
+    - ``top_word_frac``: frequency of the most common token / total.
+
+    All pure array-lambda expressions. ``top_word_frac`` counts each
+    distinct token's occurrences with a nested filter — O(distinct x
+    n_tokens) per row, fine through book-length documents; for
+    pathological inputs (millions of tokens of near-unique words) an
+    ``array_sort`` + run-length ``aggregate`` form is the O(n log n)
+    alternative, at the cost of a DuckDB-inexpressible oracle."""
+    toks = tokens(c)
+    n = F.size(toks)
+    grams2 = word_shingles(toks, 2)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    return {
+        "dup_word_ratio": F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n),
+        "dup_2gram_ratio": F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct(grams2)).cast("double"), F.size(grams2)),
+        "top_word_frac": F.try_divide(top_count.cast("double"), n),
+    }
+
+
 #: PII patterns, applied in this order (emails first — they contain
 #: dots and digits that the later patterns could otherwise nibble at).
 #: Kept to syntax both Java regex (Spark) and RE2 (DuckDB) agree on:

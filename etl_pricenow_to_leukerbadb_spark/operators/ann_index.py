@@ -85,6 +85,20 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` via the Hadoop FileSystem API (same
+    portability argument as ``_fs_delete``). Raises when the rename is
+    refused — Hadoop signals that with a False return, not an
+    exception, and a silently skipped rename here would leave the
+    index without its codes table."""
+    jvm = spark._jvm
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = s.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(s, d):
+        raise RuntimeError(f"rename {src} -> {dst} refused by the filesystem")
+
+
 def build_pq_index(
     corpus: DataFrame,
     path: str,
@@ -493,7 +507,9 @@ def append_to_pq_index(
             )
 
 
-def fsck_index(spark: SparkSession, path: str, strict: bool = True) -> dict:
+def fsck_index(
+    spark: SparkSession, path: str, strict: bool = True, repair: bool = False
+) -> dict:
     """Whole-index consistency sweep — the scheduled-maintenance
     counterpart of ``append_to_pq_index``'s delta-scoped guards.
 
@@ -511,7 +527,14 @@ def fsck_index(spark: SparkSession, path: str, strict: bool = True) -> dict:
         ``n_list_ids``, ``dup_list_rows`` (rows beyond one per id) and
         ``codes_lists_id_mismatch`` (distinct-id count disagreement).
     ``strict=True`` (default) raises RuntimeError on any violation,
-    naming the recovery."""
+    naming the recovery.
+
+    ``repair=True`` prunes the violations in place instead of raising
+    (see :func:`repair_index`) and adds its ``repair`` sub-report; the
+    post-repair state is re-verified strictly. Repair is the CHEAP
+    recovery: a rewrite of the narrow codes/lists tables, never a
+    re-quantization of the corpus — at billion-vector scale that is
+    the difference between minutes and a full rebuild."""
     codes, _, params = load_pq_index(spark, path)
     id_col = params["id_col"]
     cstats = (
@@ -544,14 +567,106 @@ def fsck_index(spark: SparkSession, path: str, strict: bool = True) -> dict:
     violations = report["partial_code_ids"] or report.get(
         "dup_list_rows"
     ) or report.get("codes_lists_id_mismatch")
+    if violations and repair:
+        report["repair"] = repair_index(spark, path)
+        post = fsck_index(spark, path, strict=True, repair=False)
+        report["post_repair"] = post
+        return report
     if strict and violations:
         raise RuntimeError(
             f"fsck_index: index at {path} is inconsistent — {report}. "
             "A prior append crashed between the lists and codes writes "
-            "(or a replayed append double-wrote). Rebuild the index with "
-            "overwrite=True, or prune the offending ids, before searching"
+            "(or a replayed append double-wrote). Run "
+            "fsck_index(repair=True) to prune the offending ids (cheap: "
+            "rewrites only the narrow code/list tables), or rebuild with "
+            "overwrite=True, before searching"
         )
     return report
+
+
+def repair_index(spark: SparkSession, path: str) -> dict:
+    """Prune inconsistencies out of a persisted index WITHOUT
+    re-quantizing: rewrite the narrow ``codes/`` (and ``lists/``)
+    tables keeping only coherent ids, then swap them in.
+
+    What gets repaired, and why pruning is sound:
+
+    - **Identical duplicate rows** (a replayed ``assume_new_ids=True``
+      append): code assignment is deterministic given the frozen
+      codebook, so a double-append writes byte-identical rows —
+      ``distinct()`` reconstructs the single-append state exactly.
+    - **Partial code sets** (a crash during a codes file-commit): the
+      id's surviving rows are a subset of one coherent assignment, but
+      parquet cannot retract them in place — the id is DROPPED from
+      the index entirely (codes and lists), which restores the
+      "never appended" state; re-ingesting the same delta afterwards
+      appends it cleanly (absent ids pass every guard).
+    - **codes/lists id-set disagreement** (IVFADC crash between the
+      lists and codes writes that nobody retried): only ids present
+      in BOTH tables are kept — ``ivf_pq_search`` inner-joins the two,
+      so a one-sided id is unsearchable dead weight either way.
+
+    Crash safety mirrors the build path: the rewritten tables land in
+    a hidden ``.repair/`` staging dir first, the commit marker is
+    removed BEFORE the swap and re-written (same ``build_id`` — repair
+    is not a new generation) only after it, so a crash mid-swap reads
+    as "incomplete index" at the next load, never as a silently
+    half-repaired one. Single-writer per index is the caller's
+    contract, as with overwrite builds. (Repair itself loads through
+    the strict marker check — repairing an UNcommitted index could
+    "repair" mixed-generation artifacts into a coherent-looking lie —
+    so a crash inside repair's own swap window, after the marker
+    delete, needs a rebuild; that window is a handful of metadata ops,
+    and the failure is loud.)
+
+    Returns ``{"pruned_ids": n, "n_ids_before": n, "n_ids_after": n}``.
+    Pruned ids are gone from the index — recover them by re-ingesting
+    their vectors (the streaming path treats them as absent)."""
+    codes, _, params = load_pq_index(spark, path)
+    id_col = params["id_col"]
+    n_sub = int(params["n_subspaces"])
+    staging = f"{path}/.repair"
+    _fs_delete(spark, staging)  # stale from a prior crashed repair
+
+    codes = codes.select(id_col, "subspace", "code").distinct()
+    complete = (
+        codes.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == F.lit(n_sub))
+        .select(id_col)
+    )
+    ivfadc = _try_read_parquet(spark, f"{path}/ivf_meta") is not None
+    if ivfadc:
+        lists = (
+            spark.read.parquet(f"{path}/lists")
+            .select(id_col, "cent_id")
+            .distinct()
+        )
+        keep = complete.join(lists.select(id_col), id_col, "left_semi")
+    else:
+        keep = complete
+    n_before = codes.select(id_col).distinct().count()
+    codes.join(keep, id_col, "left_semi").write.parquet(f"{staging}/codes")
+    if ivfadc:
+        lists.join(keep, id_col, "left_semi").write.parquet(f"{staging}/lists")
+    n_after = spark.read.parquet(f"{staging}/codes").select(id_col).distinct().count()
+
+    # the dark window: no commit marker -> any load fails loudly
+    if "build_id" in params:
+        _fs_delete(spark, f"{path}/commit")
+    _fs_delete(spark, f"{path}/codes")
+    _fs_rename(spark, f"{staging}/codes", f"{path}/codes")
+    if ivfadc:
+        _fs_delete(spark, f"{path}/lists")
+        _fs_rename(spark, f"{staging}/lists", f"{path}/lists")
+    _fs_delete(spark, staging)
+    if "build_id" in params:
+        _write_commit(spark, path, params["build_id"])
+    return {
+        "pruned_ids": n_before - n_after,
+        "n_ids_before": n_before,
+        "n_ids_after": n_after,
+    }
 
 
 def build_ivfpq_index(

@@ -16,6 +16,7 @@ from ..functions.text import (
     lang_predict,
     lang_scores,
     quality_features,
+    repetition_features,
     token_count,
     tokens,
 )
@@ -88,6 +89,17 @@ SELECT doc_id,
        lang,
        {case} AS lang_pred,
        {lang_cols},
+       1.0 - CAST(len(list_distinct(string_split({NORM}, ' '))) AS DOUBLE)
+         / len(string_split({NORM}, ' ')) AS dup_word_ratio,
+       1.0 - CAST(len(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({NORM}, ' ')) - 1, 0)),
+           i -> array_to_string((string_split({NORM}, ' '))[i:i+1], ' ')))) AS DOUBLE)
+         / len(list_transform(
+           generate_series(1, greatest(len(string_split({NORM}, ' ')) - 1, 0)),
+           i -> array_to_string((string_split({NORM}, ' '))[i:i+1], ' '))) AS dup_2gram_ratio,
+       CAST(list_max(list_transform(list_distinct(string_split({NORM}, ' ')),
+           w -> len(list_filter(string_split({NORM}, ' '), x -> x = w)))) AS DOUBLE)
+         / len(string_split({NORM}, ' ')) AS top_word_frac,
        md5({NORM}) AS fingerprint,
        list_min(list_transform(
          generate_series(1, greatest(length({NORM}) - 7, 1)),
@@ -107,6 +119,9 @@ def tx_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       integer-count divisions -> engine-portable doubles),
     - stopword-vote language identification with deterministic
       priority tie-breaking (per-language scores exposed for audit),
+    - word-level repetition (duplicate-word / duplicate-2-gram
+      ratios, top-word fraction — the Gopher-style filter inputs;
+      the word-3-gram dup ratio lives in ``tx_repetition``),
     - fingerprinting (whole-content md5 + winnowing-style minimum
       over 8-char shingle hashes).
 
@@ -119,6 +134,7 @@ def tx_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = quality_features("text")
     toks = tokens("text")
     scores = lang_scores(toks)
+    rep = repetition_features("text")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -130,6 +146,7 @@ def tx_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         lang_predict(toks).alias("lang_pred"),
         *[scores[lang].cast("int").alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+        *[rep[k].alias(k) for k in ("dup_word_ratio", "dup_2gram_ratio", "top_word_frac")],
         content_fingerprint("text").alias("fingerprint"),
         char_shingles_min_md5("text", 8).alias("winnow_min"),
     )

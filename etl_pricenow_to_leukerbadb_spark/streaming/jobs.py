@@ -569,7 +569,8 @@ def stream_index_ingest_job(
       cannot retract the partial rows in place, re-appending would
       double-count them in every ADC sum, and silently skipping them
       would leave vectors that under-count forever — the error names
-      ``fsck_index`` and rebuild as the recovery. (Under the old
+      ``fsck_index(repair=True)`` as the recovery (prune the partial
+      ids; this same delta then re-ingests them cleanly). (Under the old
       whole-index post-append invariant this case was caught by the
       NEXT append's full scan; the delta-scoped guards made detection
       the ingest's job.)
@@ -647,8 +648,9 @@ def stream_index_ingest_job(
                 f"have a PARTIAL code set in {index_path}/codes — a prior "
                 "append crashed mid-commit. Re-appending would double-count "
                 "them in every ADC sum and skipping would leave them "
-                "under-counting forever; run fsck_index and rebuild (or "
-                "prune the partial ids) before resuming ingest"
+                "under-counting forever; run fsck_index(repair=True) to "
+                "prune them (this delta then re-ingests cleanly) before "
+                "resuming ingest"
             )
         fresh = batch_df.join(existing, id_col, "left_anti")
         if not fresh.isEmpty():

@@ -341,7 +341,7 @@ def test_fsck_detects_codes_lists_disagreement(spark, corpus, tmp_path):
     # set for an id that never made it into the inverted lists
     spark.createDataFrame(
         [(900_000, s, 0) for s in range(PARAMS["n_subspaces"])],
-        "vec_id long, subspace int, code int",
+        "vec_id long, subspace int, code long",
     ).write.mode("append").parquet(f"{path}/codes")
     # delta-scoped guards: an unrelated delta appends fine
     append_to_pq_index(corpus.filter(F.col("vec_id") >= 400), path)
@@ -351,6 +351,82 @@ def test_fsck_detects_codes_lists_disagreement(spark, corpus, tmp_path):
     report = fsck_index(spark, path, strict=False)
     assert report["codes_lists_id_mismatch"]
     assert report["n_ids"] == report["n_list_ids"] + 1
+
+
+def test_fsck_repair_prunes_incoherent_ids(spark, corpus, tmp_path):
+    """fsck_index(repair=True) is the cheap recovery: prune-and-rewrite
+    of the narrow codes/lists tables, no re-quantization. Plants all
+    three violation shapes on one IVFADC index — an orphan complete
+    code set (id absent from lists), a partial code set (crash during
+    a codes file-commit), and duplicated list rows — and requires the
+    repaired index to be row-identical to a clean build, with the
+    pruned REAL id re-ingestable afterwards (repair restores its
+    "never appended" state)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        fsck_index,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    path = str(tmp_path / "repairme")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    # orphan: complete code set for an id the lists never saw
+    spark.createDataFrame(
+        [(900_000, s, 0) for s in range(PARAMS["n_subspaces"])],
+        "vec_id long, subspace int, code long",
+    ).write.mode("append").parquet(f"{path}/codes")
+    # partial: 2 of n_subspaces code rows for a real (future-delta) id
+    spark.createDataFrame(
+        [(450, s, 0) for s in range(2)], "vec_id long, subspace int, code long"
+    ).write.mode("append").parquet(f"{path}/codes")
+    # duplicate list rows: replay one existing id's list assignment
+    spark.read.parquet(f"{path}/lists").filter(
+        F.col("vec_id") == 7
+    ).write.mode("append").parquet(f"{path}/lists")
+
+    with pytest.raises(RuntimeError, match="repair=True"):
+        fsck_index(spark, path)
+    report = fsck_index(spark, path, repair=True)
+    assert report["repair"]["pruned_ids"] == 2  # 900000 + 450
+    assert report["repair"]["n_ids_after"] == 400
+    assert report["post_repair"]["partial_code_ids"] == 0
+    assert report["post_repair"].get("dup_list_rows") == 0
+
+    clean = str(tmp_path / "repairme_clean")
+    build_ivfpq_index(old, clean, n_centroids=16, **PARAMS)
+    for sub in ("codes", "lists"):
+        got = sorted(tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect())
+        want = sorted(tuple(r) for r in spark.read.parquet(f"{clean}/{sub}").collect())
+        assert got == want, sub
+    # the pruned real id is "never appended" again: re-ingest works
+    append_to_pq_index(corpus.filter(F.col("vec_id") == 450), path)
+    fsck_index(spark, path)
+
+
+def test_fsck_repair_retains_double_appended_ids(spark, corpus, tmp_path):
+    """A replayed assume_new_ids=True append writes byte-identical
+    duplicate code rows (assignment is deterministic under the frozen
+    codebook) — repair must reconstruct those ids via distinct(), not
+    prune them: zero ids lost, codes equal the computed assignment."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import fsck_index
+
+    path = str(tmp_path / "dupcodes")
+    build_pq_index(corpus, path, **PARAMS)
+    spark.read.parquet(f"{path}/codes").filter(
+        F.col("vec_id") == 7
+    ).write.mode("append").parquet(f"{path}/codes")
+    report = fsck_index(spark, path, repair=True)
+    assert report["repair"]["pruned_ids"] == 0
+    on_disk = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    computed = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in pq_assign_codes(corpus, **PARAMS).collect()
+    )
+    assert on_disk == computed
 
 
 def test_append_retry_after_lists_crash_repairs(spark, corpus, queries, tmp_path):
@@ -675,7 +751,7 @@ def test_stream_index_ingest_partial_codes_fail_loudly(
     build_pq_index(old, path, **PARAMS)
     # plant the partial set: 2 of 4 subspaces for one delta id
     spark.createDataFrame(
-        [(450, s, 0) for s in range(2)], "vec_id long, subspace int, code int"
+        [(450, s, 0) for s in range(2)], "vec_id long, subspace int, code long"
     ).write.mode("append").parquet(f"{path}/codes")
     delta.coalesce(1).write.parquet(vecs)
     with pytest.raises(Exception, match="PARTIAL code set"):

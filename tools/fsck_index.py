@@ -29,6 +29,13 @@ def main() -> int:
         action="store_true",
         help="print the report instead of failing on violations",
     )
+    ap.add_argument(
+        "--repair",
+        action="store_true",
+        help="prune violations in place (rewrite of the narrow "
+        "codes/lists tables, no re-quantization; pruned ids must be "
+        "re-ingested) and re-verify",
+    )
     args = ap.parse_args()
 
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import fsck_index
@@ -36,10 +43,12 @@ def main() -> int:
 
     spark = get_spark(app_name="fsck-index")
     try:
-        report = fsck_index(spark, args.index_path, strict=False)
+        report = fsck_index(spark, args.index_path, strict=False, repair=args.repair)
     finally:
         spark.stop()
     print(json.dumps({"index": args.index_path, **report}))
+    if "post_repair" in report:  # repaired and re-verified clean
+        return 0
     bad = report["partial_code_ids"] or report.get("dup_list_rows") or report.get(
         "codes_lists_id_mismatch"
     )

@@ -144,12 +144,60 @@ def probe_decode_once(spark) -> dict:
     return results
 
 
+def probe_repair_vs_rebuild(spark, factor: int = 4) -> dict:
+    """fsck_index(repair=True) vs overwrite rebuild on a corrupted
+    ``factor``x-corpus IVFADC index. Repair rewrites only the narrow
+    codes/lists tables (3 small columns, no raw-vector read, no
+    quantization jobs); the rebuild re-reads and re-quantizes the full
+    corpus. The gap WIDENS with vector dimensionality and corpus size
+    — at the module's billion-vector target the rebuild re-does the
+    O(N x dim x n_codes) assignment, repair never touches a float."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        fsck_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus, hi = _inflate_vectors(spark, base, factor)
+        corpus = corpus.localCheckpoint(eager=True)
+        path = f"{tmp}/idx"
+        build_ivfpq_index(corpus, path, n_centroids=16)
+        # corrupt: one partial code set + one duplicated list row
+        tiny_local_df(
+            spark,
+            [(int(hi + 5), s, 0) for s in range(2)],
+            "vec_id long, subspace int, code long",
+        ).write.mode("append").parquet(f"{path}/codes")
+        spark.read.parquet(f"{path}/lists").limit(1).write.mode(
+            "append"
+        ).parquet(f"{path}/lists")
+        _, repair_sec = timed(lambda: fsck_index(spark, path, repair=True))
+        _, rebuild_sec = timed(
+            lambda: build_ivfpq_index(
+                corpus, path, n_centroids=16, overwrite=True
+            )
+        )
+        results = {
+            "corpus_rows": corpus.count(),
+            "repair_sec": round(repair_sec, 3),
+            "rebuild_sec": round(rebuild_sec, 3),
+            "rebuild_over_repair": round(rebuild_sec / repair_sec, 2),
+        }
+    return results
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-r7")
     try:
         out = {
             "append_flat": probe_append_flat(spark),
             "decode_once_16x": probe_decode_once(spark),
+            "repair_vs_rebuild_4x": probe_repair_vs_rebuild(spark),
         }
     finally:
         spark.stop()
