@@ -621,7 +621,20 @@ def repair_index(spark: SparkSession, path: str) -> dict:
 
     Returns ``{"pruned_ids": n, "n_ids_before": n, "n_ids_after": n}``.
     Pruned ids are gone from the index — recover them by re-ingesting
-    their vectors (the streaming path treats them as absent)."""
+    their vectors (the streaming path treats them as absent).
+
+    When to repair vs rebuild, measured honestly (SCALE.md): at bench
+    scale REBUILD is ~2x faster (64 k vectors: 3.2 s vs 6.3 s) —
+    repair's ~20 small jobs (detect, prune, swap, re-verify) dominate
+    while re-quantizing 64 k vectors is trivial. Repair wins where it
+    matters: (a) its data volume is the narrow code/list ints
+    (~40 B/vector) vs the rebuild's raw-float read (4·dim B/vector)
+    PLUS the O(N x n_subspaces x n_codes) assignment compute, so the
+    ratio inverts as N grows past the fixed-overhead regime; (b)
+    repair needs NO raw corpus at all — a rebuild must re-assemble the
+    exact vector snapshot, which at the billion-vector target means
+    re-reading 25x the bytes repair touches, from tables that may be
+    cold or already compacted away."""
     codes, _, params = load_pq_index(spark, path)
     id_col = params["id_col"]
     n_sub = int(params["n_subspaces"])

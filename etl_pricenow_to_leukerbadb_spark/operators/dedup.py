@@ -165,26 +165,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows_per_band = n_hashes // bands) and emit
-    distinct candidate pairs sharing any band bucket. The self-join is
-    blocked on (band, bucket_key) — no quadratic blow-up unless the
-    data genuinely collides.
+    """(id, band, bucket) rows: the LSH blocking structure — each
+    signature split into ``bands`` buckets of ``n_hashes // bands``
+    concatenated hashes. Shared by the in-memory candidate-pair
+    self-join and the persisted dedup index (which materializes
+    exactly this table).
 
     ``bands`` must divide ``n_hashes``: bands > n_hashes would make
     every bucket key the empty string (the blocking degenerates to the
-    all-pairs cross join this operator exists to prevent), and a
-    non-divisor would silently ignore the trailing hash columns,
-    lowering recall below what the caller configured."""
+    all-pairs cross join LSH exists to prevent), and a non-divisor
+    would silently ignore the trailing hash columns, lowering recall
+    below what the caller configured."""
     if bands <= 0 or n_hashes % bands != 0:
         raise ValueError(
-            f"lsh_candidate_pairs: bands={bands} must evenly divide "
+            f"band_table: bands={bands} must evenly divide "
             f"n_hashes={n_hashes}"
         )
     rows_per_band = n_hashes // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -201,6 +202,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes // bands) and emit
+    distinct candidate pairs sharing any band bucket. The self-join is
+    blocked on (band, bucket_key) — no quadratic blow-up unless the
+    data genuinely collides. Parameter validation lives in
+    :func:`band_table`."""
+    banded = band_table(signatures, id_col, n_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -677,3 +677,118 @@ def stream_index_ingest_job(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def stream_dedup_ingest_job(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+) -> None:
+    """Streaming near-dup-index ingest: micro-batches of new documents
+    from a parquet directory stream are minhashed under the persisted
+    index's FROZEN geometry and their buckets appended — the dedup
+    analog of ``stream_index_ingest_job``, closing the same production
+    loop: ``build_dedup_index`` once when the corpus snapshot lands,
+    this job as documents keep arriving, every
+    ``query_dedup_candidates`` probe seeing yesterday's corpus plus
+    every committed batch.
+
+    Replay safety under foreachBatch's at-least-once contract — the
+    SAME two-tier scheme as the ANN ingest, simpler because the band
+    table is the only data directory (one parquet job, atomic):
+
+    - **Epoch commit markers** ``(query_id, epoch_id, build_id)``
+      appended to ``{index_path}/ingest_epochs`` LAST; a replayed
+      committed epoch is a metadata no-op.
+    - **Marker-less replay**: batch ids are classified against
+      ``bands/`` (range-pruned on the batch's id span) by per-id row
+      count. COMPLETE ids (``bands`` rows — a prior successful
+      append) drop; ABSENT ids append; PARTIAL ids (a crash during
+      the bands file-commit) RAISE naming
+      ``fsck_dedup_index(repair=True)`` — re-appending would
+      duplicate the surviving rows and silently skipping would leave
+      under-blocking documents (missed duplicates, the worst dedup
+      failure) forever.
+
+    The stream schema is derived from the index meta (id_type
+    persisted at build), never assumed."""
+    from ..operators.ann_index import _try_read_parquet
+    from ..operators.dedup_index import (
+        append_to_dedup_index,
+        load_dedup_index,
+    )
+
+    bands_df, params = load_dedup_index(spark, index_path)
+    build_id = params["build_id"]
+    id_col, text_col = params["id_col"], params["text_col"]
+    n_bands = int(params["bands"])
+    schema = f"{id_col} {params['id_type']}, {text_col} string"
+    markers_path = f"{index_path}/ingest_epochs"
+    ckpt_path = index_path + "_ingest_ckpt"
+    qid_cache: dict[str, str] = {}
+
+    def query_id(ss: SparkSession) -> str:
+        if "id" not in qid_cache:
+            qid_cache["id"] = ss.read.json(f"{ckpt_path}/metadata").first()[
+                "id"
+            ]
+        return qid_cache["id"]
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        qid = query_id(ss)
+        markers = _try_read_parquet(ss, markers_path)
+        if markers is not None:
+            committed = (
+                markers.filter(
+                    (F.col("query_id") == F.lit(qid))
+                    & (F.col("epoch_id") == F.lit(int(epoch_id)))
+                    & (F.col("build_id") == F.lit(build_id))
+                ).limit(1)
+            ).count()
+            if committed:
+                return
+        span = batch_df.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).collect()[0]
+        existing = (
+            ss.read.parquet(f"{index_path}/bands")
+            .filter(
+                F.col(id_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
+            )
+            .join(batch_df.select(F.col(id_col)), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n_partial = existing.filter(F.col("n") != F.lit(n_bands)).count()
+        if n_partial:
+            raise RuntimeError(
+                f"stream_dedup_ingest_job: {n_partial} id(s) in this batch "
+                f"have a PARTIAL bucket set in {index_path}/bands — a "
+                "prior append crashed mid-commit. Run "
+                "fsck_dedup_index(repair=True) to prune them (this delta "
+                "then re-ingests cleanly) before resuming ingest"
+            )
+        fresh = batch_df.join(existing, id_col, "left_anti")
+        if not fresh.isEmpty():
+            append_to_dedup_index(fresh, index_path, text_col=text_col)
+        tiny_local_df(
+            ss,
+            [(qid, int(epoch_id), build_id)],
+            "query_id string, epoch_id long, build_id string",
+        ).coalesce(1).write.mode("append").parquet(markers_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

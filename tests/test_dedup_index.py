@@ -1,0 +1,248 @@
+"""Persisted near-dup (MinHash+LSH) index: build-once / probe-many.
+
+The contract under test mirrors the ANN index's: persisting the
+blocking structure changes WHERE it lives, never what a probe
+computes — a delta-vs-corpus probe must find exactly the pairs the
+in-memory operator finds over the union, a crashed build must fail
+loudly, and appends must be O(delta) with a loud double-append guard.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+    append_to_dedup_index,
+    build_dedup_index,
+    load_dedup_index,
+    query_dedup_candidates,
+)
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+GEOM = dict(k_shingle=3, n_hashes=8, bands=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents")
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+    return old, delta
+
+
+def _memory_pairs(docs_union):
+    sigs = minhash_signatures(docs_union, "doc_id", "text", 3, 8)
+    return {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()
+    }
+
+
+def test_probe_matches_in_memory_operator(spark, docs, split, tmp_path):
+    """Probing the delta against the persisted corpus index must find
+    exactly the cross (old x delta) pairs the in-memory operator finds
+    over the union — the persisted band table is the same blocking
+    structure, so the probe can neither miss nor invent a pair."""
+    old, delta = split
+    path = str(tmp_path / "ddx")
+    build_dedup_index(old, path, **GEOM)
+    got = {
+        (r.corpus_id, r.probe_id)
+        for r in query_dedup_candidates(spark, path, delta).collect()
+    }
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (a, b) if a in old_ids else (b, a)
+        for (a, b) in _memory_pairs(docs)
+        if (a in old_ids) != (b in old_ids)  # cross pairs only
+    }
+    assert got == want
+    assert got, "test corpus produced no cross candidates — not probative"
+
+
+def test_append_then_probe_sees_appended_docs(spark, docs, split, tmp_path):
+    """After appending the delta, a fresh probe of the SAME delta must
+    self-match (identical signatures -> identical buckets), and the
+    index must now block future near-dups of delta docs: the full
+    self-pair set from persisted bands equals the in-memory operator
+    over the union."""
+    old, delta = split
+    path = str(tmp_path / "ddx_append")
+    build_dedup_index(old, path, **GEOM)
+    append_to_dedup_index(delta, path)
+    bands, params = load_dedup_index(spark, path)
+    n_docs = docs.count()
+    assert bands.select("doc_id").distinct().count() == n_docs
+    # union self-join over persisted bands == in-memory over union
+    a, b = bands.alias("a"), bands.alias("b")
+    got = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == _memory_pairs(docs)
+
+
+def test_append_refuses_duplicate_ids(spark, docs, split, tmp_path):
+    old, delta = split
+    path = str(tmp_path / "ddx_dup")
+    build_dedup_index(old, path, **GEOM)
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_dedup_index(old, path)
+
+
+def test_crashed_build_fails_loudly(spark, docs, tmp_path):
+    """No commit marker (crash before the last write) -> load and
+    probe must refuse: probing a half-written bucket table silently
+    MISSES duplicates, the worst dedup failure mode."""
+    import shutil
+
+    path = str(tmp_path / "ddx_crash")
+    build_dedup_index(docs, path, **GEOM)
+    shutil.rmtree(f"{path}/commit")
+    with pytest.raises(ValueError, match="commit"):
+        query_dedup_candidates(spark, path, docs.limit(5))
+
+
+def test_append_refuses_internal_duplicates(spark, docs, split, tmp_path):
+    old, delta = split
+    path = str(tmp_path / "ddx_internal")
+    build_dedup_index(old, path, **GEOM)
+    with pytest.raises(ValueError, match="internally duplicated"):
+        append_to_dedup_index(delta.unionByName(delta), path)
+
+
+def test_fsck_dedup_repair(spark, docs, split, tmp_path):
+    """fsck must flag planted partial bucket sets and duplicated rows;
+    repair=True must prune the partial id, distinct-away the
+    byte-identical duplicates, leave the band table row-identical to a
+    clean build, and return the index to a state where the pruned id
+    re-appends cleanly."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        fsck_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    old, delta = split
+    path = str(tmp_path / "ddx_fsck")
+    build_dedup_index(old, path, **GEOM)
+    probe_id = delta.agg(F.min("doc_id")).collect()[0][0]
+    # partial: 1 of 4 bucket rows for a not-yet-appended delta id
+    tiny_local_df(
+        spark, [(int(probe_id), 0, "deadbeef")], "doc_id long, band int, bucket string"
+    ).write.mode("append").parquet(f"{path}/bands")
+    # duplicate: replay one existing id's bucket rows
+    dup_id = old.agg(F.min("doc_id")).collect()[0][0]
+    spark.read.parquet(f"{path}/bands").filter(
+        F.col("doc_id") == dup_id
+    ).write.mode("append").parquet(f"{path}/bands")
+
+    with pytest.raises(RuntimeError, match="repair=True"):
+        fsck_dedup_index(spark, path)
+    report = fsck_dedup_index(spark, path, repair=True)
+    assert report["partial_ids"] == 1 and report["dup_rows"] == GEOM["bands"]
+    assert report["repair"]["pruned_ids"] == 1
+    assert report["post_repair"]["dup_rows"] == 0
+
+    clean = str(tmp_path / "ddx_fsck_clean")
+    build_dedup_index(old, clean, **GEOM)
+    got = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(f"{clean}/bands").collect())
+    assert got == want
+    append_to_dedup_index(docs.filter(F.col("doc_id") == probe_id), path)
+    fsck_dedup_index(spark, path)
+
+
+def test_stream_dedup_ingest_e2e_and_replay(spark, docs, split, tmp_path):
+    """Streaming micro-batch appends must leave the band table
+    row-identical to a full rebuild over the union, and replaying the
+    same input against a fresh checkpoint (new query_id, so the epoch
+    markers do not apply) must be a no-op via the classification
+    guard."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_dedup_ingest_job,
+    )
+
+    old, delta = split
+    path = str(tmp_path / "ddx_stream")
+    docs_dir = str(tmp_path / "doc_stream")
+    build_dedup_index(old, path, **GEOM)
+    delta.select("doc_id", "text").repartition(2).write.parquet(docs_dir)
+    stream_dedup_ingest_job(spark, docs_dir, path)
+
+    full = str(tmp_path / "ddx_stream_full")
+    build_dedup_index(docs, full, **GEOM)
+    inc = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(f"{full}/bands").collect())
+    assert inc == want
+    # committed-epoch short-circuit: same checkpoint replays are no-ops
+    stream_dedup_ingest_job(spark, docs_dir, path)
+    # fresh checkpoint: classification drops every already-complete id
+    shutil.rmtree(path + "_ingest_ckpt")
+    stream_dedup_ingest_job(spark, docs_dir, path)
+    again = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    assert again == inc
+    markers = spark.read.parquet(f"{path}/ingest_epochs").collect()
+    assert len({m.query_id for m in markers}) == 2  # one per checkpoint
+
+
+def test_stream_dedup_ingest_partial_fails_loudly(spark, docs, split, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_dedup_ingest_job,
+    )
+
+    old, delta = split
+    path = str(tmp_path / "ddx_stream_partial")
+    docs_dir = str(tmp_path / "doc_stream_partial")
+    build_dedup_index(old, path, **GEOM)
+    probe_id = delta.agg(F.min("doc_id")).collect()[0][0]
+    tiny_local_df(
+        spark, [(int(probe_id), 0, "deadbeef")], "doc_id long, band int, bucket string"
+    ).write.mode("append").parquet(f"{path}/bands")
+    delta.select("doc_id", "text").coalesce(1).write.parquet(docs_dir)
+    with pytest.raises(Exception, match="PARTIAL bucket set"):
+        stream_dedup_ingest_job(spark, docs_dir, path)
+
+
+def test_probe_uses_persisted_geometry(spark, docs, split, tmp_path):
+    """The probe hashes with the geometry persisted in meta, not
+    defaults: an index built with a non-default band count must still
+    agree with the in-memory operator at THAT geometry."""
+    old, delta = split
+    path = str(tmp_path / "ddx_geom")
+    build_dedup_index(old, path, k_shingle=2, n_hashes=8, bands=2)
+    got = {
+        (r.corpus_id, r.probe_id)
+        for r in query_dedup_candidates(spark, path, delta).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text", 2, 8)
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (a, b) if a in old_ids else (b, a)
+        for (a, b) in (
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, "doc_id", 8, 2).collect()
+        )
+        if (a in old_ids) != (b in old_ids)
+    }
+    assert got == want
