@@ -158,8 +158,15 @@ def query_dedup_candidates(
     persisted meta — a probe can never hash with different parameters
     than the corpus did.
 
-    Cost is O(delta) + one bucket equi-join; the corpus is read as the
-    narrow band table only (no text, no re-hashing). The caller
+    Cost, stated precisely: O(delta) shingling/hashing, then ONE
+    linear scan of the narrow band table (id + band + hex bucket — no
+    text, no re-hashing) joined to the delta's buckets; with a small
+    delta Catalyst broadcasts the probe side, so the corpus-sized
+    table is never shuffled. The scan is linear in the CORPUS — that
+    is inherent to bucket blocking (the index cannot know which
+    buckets a future probe will carry) and it reads ~1% of the corpus
+    bytes; what the index saves vs the in-memory operator is the
+    corpus-sized SHINGLE+MINHASH pass, the dominant cost. The caller
     decides what a candidate means (drop, exact-verify via
     ``ngram_jaccard_pairs`` on the candidate ids, or route to review)
     — same contract as the in-memory ``lsh_candidate_pairs``.

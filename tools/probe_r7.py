@@ -191,6 +191,80 @@ def probe_repair_vs_rebuild(spark, factor: int = 4) -> dict:
     return results
 
 
+def probe_dedup_probe_cost(spark, factor: int = 16) -> dict:
+    """query_dedup_candidates cost vs index size: probe the SAME
+    delta against a 1x-corpus and a ``factor``x-corpus dedup index.
+    The probe's O(delta) half (shingle+minhash) is constant; its
+    corpus half is one linear scan of the narrow band table with the
+    broadcast probe-side join — so cost should grow far slower than
+    ``factor``, and the gap vs re-running the in-memory operator over
+    the inflated union (which re-minhashes EVERYTHING) is the point
+    of persisting the index. Inflated copies get a per-copy salt
+    token appended so they do not bucket-collide with the originals
+    (identical text would make every probe hit all copies and conflate
+    output growth with scan growth)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+        query_dedup_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    delta = docs.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + F.lit(int(span * (factor + 1)))).alias("doc_id"),
+        "text",
+    )
+    delta = delta.localCheckpoint(eager=True)
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for f in (1, factor):
+            corpus = docs
+            for k in range(1, f):
+                corpus = corpus.unionByName(
+                    docs.select(
+                        (F.col("doc_id") + F.lit(int(k * span))).alias(
+                            "doc_id"
+                        ),
+                        F.concat(
+                            F.col("text"), F.lit(f" salt{k}")
+                        ).alias("text"),
+                    )
+                )
+            corpus = corpus.localCheckpoint(eager=True)
+            path = f"{tmp}/ddx_{f}x"
+            build_dedup_index(corpus, path)
+            # warm + timed probe (count() materializes the join)
+            query_dedup_candidates(spark, path, delta).count()
+            _, sec = timed(
+                lambda: query_dedup_candidates(spark, path, delta).count()
+            )
+            # the in-memory alternative re-minhashes corpus+delta
+            union = corpus.unionByName(delta)
+            _, mem_sec = timed(
+                lambda: lsh_candidate_pairs(
+                    minhash_signatures(union, "doc_id", "text", 3, 8),
+                    "doc_id",
+                    8,
+                    4,
+                ).count()
+            )
+            results[f"{f}x"] = {
+                "corpus_rows": corpus.count(),
+                "probe_sec": round(sec, 3),
+                "in_memory_sec": round(mem_sec, 3),
+            }
+    results["probe_ratio"] = round(
+        results[f"{factor}x"]["probe_sec"] / results["1x"]["probe_sec"], 2
+    )
+    return results
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-r7")
     try:
@@ -198,6 +272,7 @@ def main() -> None:
             "append_flat": probe_append_flat(spark),
             "decode_once_16x": probe_decode_once(spark),
             "repair_vs_rebuild_4x": probe_repair_vs_rebuild(spark),
+            "dedup_probe_cost_16x": probe_dedup_probe_cost(spark),
         }
     finally:
         spark.stop()
