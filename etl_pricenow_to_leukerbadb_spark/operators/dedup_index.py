@@ -1,49 +1,57 @@
-"""Persisted near-dup (MinHash+LSH) index: build once, check deltas
-against it forever.
+"""Persisted near-dup indexes: build once, check deltas against them
+forever.
 
-The in-memory dedup operators (``dd_minhash_lsh`` and friends)
-re-minhash the whole corpus on every call — the right shape for an
-oracle-checkable query, not for the production contract at 100 TB:
-there the corpus grows by a daily delta, and "is anything in today's
-delta a near-dup of the existing corpus?" must cost O(delta), never
-O(corpus). This module is the dedup-family analog of
-``operators/ann_index.py``: the LSH blocking structure (the banded
-bucket table) is materialized to parquet next to the data, deltas are
-minhashed alone and probed against it by bucket equi-join, and
-accepted deltas append their buckets so tomorrow's delta sees them.
+The in-memory dedup operators (``dd_minhash_lsh``,
+``dd_embedding_near_dup_hi`` and friends) re-hash the whole corpus on
+every call — the right shape for an oracle-checkable query, not for
+the production contract at 100 TB: there the corpus grows by a daily
+delta, and "is anything in today's delta a near-dup of the existing
+corpus?" must hash O(delta), never O(corpus). This module is the
+dedup-family analog of ``operators/ann_index.py``, with TWO frontends
+over one persisted shape:
 
-Layout under ``path/``:
+- **Text** (MinHash+LSH): ``build_dedup_index`` /
+  ``query_dedup_candidates`` / ``append_to_dedup_index`` /
+  ``fsck_dedup_index`` — shingle-level near-dups, the blocking
+  structure of ``dd_minhash_lsh``.
+- **Vector** (sign-LSH over embeddings): ``build_vec_dedup_index`` /
+  ``query_vec_dedup_candidates`` / ``append_to_vec_dedup_index`` /
+  ``fsck_vec_dedup_index`` — embedding-cosine near-dups, the blocking
+  structure of ``dd_embedding_near_dup_hi``. The hyperplanes are
+  deterministic functions of (plane id, dim) — the geometry in meta
+  fully determines every bucket, so nothing random needs persisting.
 
-    meta/    1-row parquet: (k_shingle, n_hashes, bands, id_col,
-             text_col, id_type, build_id) — the signature geometry
-             plus column names/types. Probing with different
-             parameters than the corpus was hashed with would
-             silently produce incomparable buckets, so the geometry
-             is persisted and never guessed; the id type lets a
-             streaming ingest derive its schema from the index.
+Both persist the same layout under ``path/``:
+
+    meta/    1-row parquet: the hashing geometry + id/text-or-vec
+             column names and the id type + ``build_id``. Probing
+             with different parameters than the corpus was hashed
+             with would silently produce incomparable buckets, so the
+             geometry is persisted and never guessed; the id type
+             lets a streaming ingest derive its schema from the
+             index.
     commit/  1-row parquet: (build_id), written LAST — same
              generation-token contract as the ANN index (a crashed
              build or overwrite reads as "incomplete", loudly).
     bands/   (<id_col>, band, bucket) — the blocking structure,
-             ``bands`` rows per document. THE scan side of every
-             probe; narrow (id + small int + hex string), no text.
+             exactly K rows per indexed id (K = ``bands`` for text,
+             ``n_tables`` for vectors). THE scan side of every probe;
+             narrow (id + small int + string key), no text/vectors.
 
-Why persist the BAND TABLE and not the signatures: a probe needs only
-the bucket equi-join, and banding is a per-row expression — but
-re-banding on every probe would re-read n_hashes hash columns to
-reconstruct what is already known. The band table is the join-ready
-form; signatures are derivable from text at append time for the delta
-alone. (An operator needing raw signatures — e.g. signature-level
-Jaccard estimation — recomputes them from text, which the corpus
-tables keep anyway.)
+Why persist the BUCKET TABLE and not signatures/projections: a probe
+needs only the bucket equi-join; the bucket table is the join-ready
+form, and the delta's buckets are recomputed from its raw data at
+probe/append time — O(delta).
 
-Scale shape of a probe: minhash the delta (O(delta) shingling, one
-per-id shuffle), then one shuffle join of ``bands x |delta|`` rows
-against the bucket table on (band, bucket) — Catalyst dispatches a
-broadcast join automatically when the delta is small. Hot buckets
-(boilerplate documents) fan out exactly as the in-memory operator
-does; the same ``bands``/``n_hashes`` sizing law applies (see
-SCALE.md's LSH bits-per-table probe).
+Scale shape of a probe: hash the delta (O(delta)), then ONE linear
+scan of the narrow band table joined to the delta's buckets —
+Catalyst broadcasts the probe side when the delta is small, so the
+corpus-sized table is never shuffled. The scan is linear in the
+CORPUS (inherent to bucket blocking — the index cannot know which
+buckets a future probe will carry) but reads ~1% of the corpus bytes;
+what the index saves vs the in-memory operators is the corpus-sized
+hashing pass, the dominant cost (measured 6.6x at 16x corpus,
+SCALE.md).
 
 Reference analog: the twice-daily incremental upsert contract of
 ``scripts/pricenow_etl.py:329-358`` — new data integrated against
@@ -57,10 +65,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tiny_local_df
-from .ann_index import _fs_delete, _try_read_parquet
+from ..sources.tables import fan_out
+from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
 from .dedup import band_table, minhash_signatures
 
-_META_COLS = (
+_TEXT_META_COLS = (
     "k_shingle",
     "n_hashes",
     "bands",
@@ -69,124 +78,81 @@ _META_COLS = (
     "id_type",
     "build_id",
 )
+_VEC_META_COLS = (
+    "n_planes",
+    "n_tables",
+    "dim",
+    "id_col",
+    "vec_col",
+    "id_type",
+    "build_id",
+)
 
 
-def build_dedup_index(
-    docs: DataFrame,
+# ---------------------------------------------------------------------------
+# Shared core: one persisted shape, two hashing frontends
+# ---------------------------------------------------------------------------
+
+
+def _write_bucket_index(
+    spark: SparkSession,
     path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k_shingle: int = 3,
-    n_hashes: int = 8,
-    bands: int = 4,
-    overwrite: bool = False,
-) -> str:
-    """Minhash + band the corpus and persist the bucket table under
-    ``path``. Returns the generation ``build_id``.
-
-    Same crash contract as ``build_pq_index``: meta (with the
-    ``build_id``) first, data, then the 1-row ``commit`` marker LAST —
-    a load of a crashed build fails loudly instead of probing a
-    half-written bucket table (which would silently MISS duplicates,
-    the worst failure mode a dedup gate can have)."""
-    spark = docs.sparkSession
-    build_id = uuid.uuid4().hex
+    meta_row: tuple,
+    meta_schema: str,
+    bucket_df: DataFrame,
+    overwrite: bool,
+    build_id: str,
+) -> None:
+    """meta first, data, commit marker LAST — a load of a crashed
+    build fails loudly instead of probing a half-written bucket table
+    (which would silently MISS duplicates, the worst failure mode a
+    dedup gate can have)."""
     if overwrite:
         for sub in ("commit", "bands", "meta"):
             _fs_delete(spark, f"{path}/{sub}")
     mode = "overwrite" if overwrite else "errorifexists"
-    # id_type persisted so a streaming ingest can derive its readStream
-    # schema from the index instead of assuming one (an index over int
-    # ids would otherwise get long-typed appends: schema-merge failures
-    # or silent widening on later reads)
-    id_type = docs.schema[id_col].dataType.simpleString()
-    tiny_local_df(
-        spark,
-        [
-            (
-                int(k_shingle),
-                int(n_hashes),
-                int(bands),
-                id_col,
-                text_col,
-                id_type,
-                build_id,
-            )
-        ],
-        "k_shingle int, n_hashes int, bands int, id_col string, "
-        "text_col string, id_type string, build_id string",
-    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
-    sigs = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
-    band_table(sigs, id_col, n_hashes, bands).write.mode(mode).parquet(
-        f"{path}/bands"
-    )
-    tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/commit")
-    return build_id
+    tiny_local_df(spark, [meta_row], meta_schema).coalesce(1).write.mode(
+        mode
+    ).parquet(f"{path}/meta")
+    bucket_df.write.mode(mode).parquet(f"{path}/bands")
+    tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
-def load_dedup_index(
-    spark: SparkSession, path: str
+def _load_bucket_index(
+    spark: SparkSession, path: str, meta_cols: tuple, name: str
 ) -> tuple[DataFrame, dict]:
-    """Load (bands, params); verifies the commit marker's build_id
-    matches meta's — the generation-token check."""
+    """(bands, params) with the generation-token check: the commit
+    marker's build_id must match meta's."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
-    if len(meta_rows) != 1 or set(_META_COLS) - set(meta_rows[0].asDict()):
-        raise ValueError(f"load_dedup_index: malformed meta at {path}/meta")
+    if len(meta_rows) != 1 or set(meta_cols) - set(meta_rows[0].asDict()):
+        raise ValueError(f"{name}: malformed meta at {path}/meta")
     params = meta_rows[0].asDict()
     commit = _try_read_parquet(spark, f"{path}/commit")
     commit_rows = commit.collect() if commit is not None else []
     if len(commit_rows) != 1 or commit_rows[0]["build_id"] != params["build_id"]:
         raise ValueError(
-            f"load_dedup_index: index at {path} has no matching commit "
-            "marker — the build (or an overwrite rebuild) crashed before "
+            f"{name}: index at {path} has no matching commit marker — "
+            "the build (or an overwrite rebuild) crashed before "
             "completing. Rebuild with overwrite=True"
         )
     return spark.read.parquet(f"{path}/bands"), params
 
 
-def query_dedup_candidates(
-    spark: SparkSession,
-    path: str,
-    probe_docs: DataFrame,
-    text_col: str = "text",
+def _probe_bucket_index(
+    bands_df: DataFrame, id_col: str, probe_buckets: DataFrame
 ) -> DataFrame:
-    """Candidate near-dup pairs between ``probe_docs`` (the delta) and
-    the INDEXED corpus: ``(probe_id, corpus_id)`` rows sharing any
-    band bucket, distinct. The signature geometry comes from the
-    persisted meta — a probe can never hash with different parameters
-    than the corpus did.
+    """(probe_id, corpus_id) distinct pairs sharing any (band, bucket).
 
-    Cost, stated precisely: O(delta) shingling/hashing, then ONE
-    linear scan of the narrow band table (id + band + hex bucket — no
-    text, no re-hashing) joined to the delta's buckets; with a small
-    delta Catalyst broadcasts the probe side, so the corpus-sized
-    table is never shuffled. The scan is linear in the CORPUS — that
-    is inherent to bucket blocking (the index cannot know which
-    buckets a future probe will carry) and it reads ~1% of the corpus
-    bytes; what the index saves vs the in-memory operator is the
-    corpus-sized SHINGLE+MINHASH pass, the dominant cost. The caller
-    decides what a candidate means (drop, exact-verify via
-    ``ngram_jaccard_pairs`` on the candidate ids, or route to review)
-    — same contract as the in-memory ``lsh_candidate_pairs``.
-
-    Probe ids that are ALSO already in the index match themselves
-    (identical signature → identical buckets); callers probing with
-    not-yet-appended ids need no self-pair filtering beyond the
-    ``probe_id != corpus_id`` guard applied here."""
-    bands_df, params = load_dedup_index(spark, path)
-    id_col = params["id_col"]
-    sigs = minhash_signatures(
-        probe_docs, id_col, text_col, params["k_shingle"], params["n_hashes"]
-    )
-    probe_bands = band_table(
-        sigs, id_col, params["n_hashes"], params["bands"]
-    ).select(
-        F.col(id_col).alias("probe_id"), "band", "bucket"
-    )
+    Probe ids already in the index match themselves (identical
+    buckets); callers probing not-yet-appended ids need no self-pair
+    filtering beyond the ``probe_id != corpus_id`` guard here."""
     return (
-        probe_bands.join(
+        probe_buckets.select(
+            F.col(id_col).alias("probe_id"), "band", "bucket"
+        )
+        .join(
             bands_df.select(
                 F.col(id_col).alias("corpus_id"), "band", "bucket"
             ),
@@ -198,43 +164,48 @@ def query_dedup_candidates(
     )
 
 
-def fsck_dedup_index(
-    spark: SparkSession, path: str, strict: bool = True, repair: bool = False
+def _fsck_bucket_index(
+    spark: SparkSession,
+    path: str,
+    load,
+    k_key: str,
+    name: str,
+    strict: bool,
+    repair: bool,
 ) -> dict:
-    """Whole-index consistency sweep for the dedup index — scheduled
-    maintenance, not a per-append tax (the append guard is
-    delta-scoped).
+    """Whole-index consistency sweep — scheduled maintenance, not a
+    per-append tax (the append guard is delta-scoped).
 
-    Every indexed id must carry exactly ``bands`` distinct
-    (band, bucket) rows: fewer/more distinct rows = a partial append
-    (crash during the bands file-commit), raw > distinct = a
-    double-append's byte-identical duplicates (banding is
-    deterministic under the frozen geometry). Report:
-    ``n_ids``, ``dup_rows`` (raw minus distinct), ``partial_ids``
-    (ids whose distinct row count != bands).
-
-    ``repair=True`` prunes in place — ``distinct()`` reconstructs
-    double-appends exactly, partial ids are dropped back to their
-    never-appended state (re-ingest recovers them) — via the same
-    staged-swap + commit-marker dance as the ANN index's
-    ``repair_index``, then re-verifies strictly. One narrow table, no
-    re-minhashing."""
-    from .ann_index import _fs_rename
-
-    bands_df, params = load_dedup_index(spark, path)
+    Every indexed id must carry exactly K distinct (band, bucket)
+    rows (K = meta's ``k_key``): fewer/more distinct rows = a partial
+    append (crash during the bands file-commit), raw > distinct = a
+    double-append's byte-identical duplicates (bucketing is
+    deterministic under the frozen geometry). ``repair=True`` prunes
+    in place — ``distinct()`` reconstructs double-appends exactly,
+    partial ids drop back to their never-appended state (re-ingest
+    recovers them) — via the staged-swap + commit-marker dance of the
+    ANN index's ``repair_index``, then re-verifies strictly. One
+    narrow-table rewrite, no re-hashing."""
+    bands_df, params = load(spark, path)
     id_col = params["id_col"]
-    n_bands = int(params["bands"])
-    per_id = bands_df.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.count_distinct(F.col("band"), F.col("bucket")).alias("n_distinct"),
+    k = int(params[k_key])
+    stats = (
+        bands_df.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct(F.col("band"), F.col("bucket")).alias(
+                "n_distinct"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum(F.col("n_raw") - F.col("n_distinct")).alias("dup_rows"),
+            F.count(
+                F.when(F.col("n_distinct") != F.lit(k), F.lit(1))
+            ).alias("partial_ids"),
+        )
+        .collect()[0]
     )
-    stats = per_id.agg(
-        F.count(F.lit(1)).alias("n_ids"),
-        F.sum(F.col("n_raw") - F.col("n_distinct")).alias("dup_rows"),
-        F.count(
-            F.when(F.col("n_distinct") != F.lit(n_bands), F.lit(1))
-        ).alias("partial_ids"),
-    ).collect()[0]
     report = {
         "n_ids": stats["n_ids"],
         "dup_rows": int(stats["dup_rows"] or 0),
@@ -246,7 +217,7 @@ def fsck_dedup_index(
         keep = (
             distinct.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") == F.lit(n_bands))
+            .filter(F.col("n") == F.lit(k))
             .select(id_col)
         )
         staging = f"{path}/.repair"
@@ -264,82 +235,385 @@ def fsck_dedup_index(
         _fs_delete(spark, f"{path}/bands")
         _fs_rename(spark, f"{staging}/bands", f"{path}/bands")
         _fs_delete(spark, staging)
-        tiny_local_df(spark, [(params["build_id"],)], "build_id string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/commit")
+        tiny_local_df(
+            spark, [(params["build_id"],)], "build_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/commit")
         report["repair"] = {
             "pruned_ids": report["n_ids"] - n_after,
             "n_ids_after": n_after,
         }
-        report["post_repair"] = fsck_dedup_index(
-            spark, path, strict=True, repair=False
+        report["post_repair"] = _fsck_bucket_index(
+            spark, path, load, k_key, name, strict=True, repair=False
         )
         return report
     if strict and violations:
         raise RuntimeError(
-            f"fsck_dedup_index: index at {path} is inconsistent — "
-            f"{report}. A prior append crashed mid-commit or was "
-            "double-applied. Run fsck_dedup_index(repair=True) to prune "
-            "(cheap: one narrow-table rewrite, no re-minhashing), then "
-            "re-ingest any pruned ids"
+            f"{name}: index at {path} is inconsistent — {report}. A "
+            "prior append crashed mid-commit or was double-applied. Run "
+            f"{name}(repair=True) to prune (cheap: one narrow-table "
+            "rewrite, no re-hashing), then re-ingest any pruned ids"
         )
     return report
 
 
-def append_to_dedup_index(
-    docs_delta: DataFrame, path: str, text_col: str = "text"
-) -> None:
-    """Minhash ONLY the delta under the frozen geometry and append its
-    buckets, so later probes see today's corpus.
-
-    Disjointness guard (delta-scoped, same range-pruning shape as
-    ``append_to_pq_index``): delta ids already present in ``bands/``
-    are rejected loudly — a double-append would duplicate bucket rows,
-    and although the probe's ``distinct()`` hides duplicates from
-    RESULTS, they'd inflate the join fan-out forever. Appending is
-    atomic per parquet job; a crashed append leaves partial bucket
-    rows for some delta ids, which a RETRY of the same delta then
-    reports — recovery is ``fsck_dedup_index(repair=True)`` (one
-    narrow-table rewrite, no re-minhashing), then re-append.
-    Exactly-once streaming ingest is ``stream_dedup_ingest_job``
-    (epoch markers + this guard, mirroring the ANN index's)."""
-    spark = docs_delta.sparkSession
-    bands_df, params = load_dedup_index(spark, path)
-    id_col = params["id_col"]
-    dstats = docs_delta.agg(
+def _guard_append_delta(
+    bands_df: DataFrame, delta: DataFrame, id_col: str, path: str, name: str
+) -> bool:
+    """Delta-scoped append guards (same range-pruning shape as
+    ``append_to_pq_index``): reject internally duplicated delta ids
+    and delta ids already present in ``bands/`` — a double-append
+    would duplicate bucket rows, and although the probe's
+    ``distinct()`` hides duplicates from RESULTS, they'd inflate the
+    join fan-out forever. Returns False when the delta is empty."""
+    dstats = delta.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.min(F.col(id_col)).alias("lo"),
         F.max(F.col(id_col)).alias("hi"),
     ).collect()[0]
     if dstats["n"] == 0:
-        return
+        return False
     if dstats["n"] != dstats["nd"]:
         raise ValueError(
-            "append_to_dedup_index: delta carries internally duplicated "
-            f"ids ({dstats['n']} rows, {dstats['nd']} distinct) — each "
-            "would double its bucket rows"
+            f"{name}: delta carries internally duplicated ids "
+            f"({dstats['n']} rows, {dstats['nd']} distinct) — each would "
+            "double its bucket rows"
         )
-    span = dstats
     n_existing = (
         bands_df.filter(
-            F.col(id_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
+            F.col(id_col).between(F.lit(dstats["lo"]), F.lit(dstats["hi"]))
         )
-        .join(docs_delta.select(id_col), id_col, "left_semi")
+        .join(delta.select(id_col), id_col, "left_semi")
         .select(id_col)
         .distinct()
         .count()
     )
     if n_existing:
         raise ValueError(
-            f"append_to_dedup_index: {n_existing} delta id(s) already "
-            f"exist in {path}/bands — re-appending would duplicate their "
-            "bucket rows and inflate every later probe's join fan-out. "
-            "Probe first, append once"
+            f"{name}: {n_existing} delta id(s) already exist in "
+            f"{path}/bands — re-appending would duplicate their bucket "
+            "rows and inflate every later probe's join fan-out. Probe "
+            "first, append once"
         )
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Text frontend: MinHash+LSH over shingles (dd_minhash_lsh's blocking)
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    overwrite: bool = False,
+) -> str:
+    """Minhash + band the corpus and persist the bucket table under
+    ``path``. Returns the generation ``build_id``. Crash contract:
+    see ``_write_bucket_index``."""
+    spark = docs.sparkSession
+    build_id = uuid.uuid4().hex
+    sigs = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
+    _write_bucket_index(
+        spark,
+        path,
+        (
+            int(k_shingle),
+            int(n_hashes),
+            int(bands),
+            id_col,
+            text_col,
+            docs.schema[id_col].dataType.simpleString(),
+            build_id,
+        ),
+        "k_shingle int, n_hashes int, bands int, id_col string, "
+        "text_col string, id_type string, build_id string",
+        band_table(sigs, id_col, n_hashes, bands),
+        overwrite,
+        build_id,
+    )
+    return build_id
+
+
+def load_dedup_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    return _load_bucket_index(spark, path, _TEXT_META_COLS, "load_dedup_index")
+
+
+def query_dedup_candidates(
+    spark: SparkSession,
+    path: str,
+    probe_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs between ``probe_docs`` (the delta) and
+    the INDEXED corpus: ``(probe_id, corpus_id)`` rows sharing any
+    band bucket, distinct. The signature geometry comes from the
+    persisted meta — a probe can never hash with different parameters
+    than the corpus did. Cost: O(delta) shingling + one narrow
+    band-table scan (module docstring). The caller decides what a
+    candidate means (drop, exact-verify via ``ngram_jaccard_pairs`` on
+    the candidate ids, or route to review) — same contract as the
+    in-memory ``lsh_candidate_pairs``."""
+    bands_df, params = load_dedup_index(spark, path)
+    id_col = params["id_col"]
+    sigs = minhash_signatures(
+        probe_docs, id_col, text_col, params["k_shingle"], params["n_hashes"]
+    )
+    return _probe_bucket_index(
+        bands_df,
+        id_col,
+        band_table(sigs, id_col, params["n_hashes"], params["bands"]),
+    )
+
+
+def fsck_dedup_index(
+    spark: SparkSession, path: str, strict: bool = True, repair: bool = False
+) -> dict:
+    """Consistency sweep + optional repair for a text near-dup index —
+    semantics in ``_fsck_bucket_index``."""
+    return _fsck_bucket_index(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _TEXT_META_COLS, "fsck_dedup_index"
+        ),
+        "bands",
+        "fsck_dedup_index",
+        strict,
+        repair,
+    )
+
+
+def append_to_dedup_index(
+    docs_delta: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Minhash ONLY the delta under the frozen geometry and append its
+    buckets, so later probes see today's corpus. Guards:
+    ``_guard_append_delta``. Appending is atomic per parquet job; a
+    crashed append leaves partial bucket rows for some delta ids,
+    which a RETRY of the same delta then reports — recovery is
+    ``fsck_dedup_index(repair=True)``, then re-append. Exactly-once
+    streaming ingest is ``stream_dedup_ingest_job`` (epoch markers +
+    this guard, mirroring the ANN index's)."""
+    spark = docs_delta.sparkSession
+    bands_df, params = load_dedup_index(spark, path)
+    id_col = params["id_col"]
+    if not _guard_append_delta(
+        bands_df, docs_delta, id_col, path, "append_to_dedup_index"
+    ):
+        return
     sigs = minhash_signatures(
         docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
     )
     band_table(sigs, id_col, params["n_hashes"], params["bands"]).write.mode(
         "append"
     ).parquet(f"{path}/bands")
+
+
+# ---------------------------------------------------------------------------
+# Vector frontend: sign-LSH over embeddings (dd_embedding_near_dup_hi's
+# blocking). Defaults are the production-threshold tuning whose
+# bits-per-table/corpus-size law SCALE.md measures (12 planes x 8
+# tables).
+# ---------------------------------------------------------------------------
+
+
+def _vec_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    name: str,
+) -> DataFrame:
+    """(id, band, bucket) rows from sign-LSH, RAISING on malformed
+    vectors (wrong length / NULL components). The in-memory operators
+    bucket those to NULL so they drop out of self-joins — acceptable
+    for a one-shot query, but an INDEX that silently never blocks a
+    vector misses its duplicates forever, so the gate is loud here;
+    callers pre-filter (``size(vec) = dim AND NOT exists(vec,
+    x -> isnull(x))``) if malformed input is expected."""
+    from .similarity import sign_lsh_buckets_long
+
+    # the same well-formedness predicate sign_lsh_buckets_long gates
+    # buckets on, checked directly on the vectors so the (hash-heavy)
+    # bucketing runs ONCE — for the write, not also for this count
+    v = F.col(vec_col)
+    n_bad = df.filter(
+        v.isNull()
+        | (F.size(v) != F.lit(dim))
+        | F.exists(v, lambda x: x.isNull())
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{name}: {n_bad} vector(s) are malformed (length != {dim} or "
+            "NULL components) — indexing them would silently exempt them "
+            "from every future near-dup check. Filter or fix them first"
+        )
+    b = sign_lsh_buckets_long(df, id_col, vec_col, n_planes, n_tables, dim)
+    return b.select(id_col, F.col("tbl").alias("band"), "bucket")
+
+
+def build_vec_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    overwrite: bool = False,
+) -> str:
+    """Sign-LSH-bucket the embedding corpus and persist the bucket
+    table under ``path``. Returns the generation ``build_id``.
+
+    The hyperplanes are deterministic in (plane id, dim)
+    (``similarity._hyperplane_values``), so the persisted geometry
+    fully determines every bucket — probes and appends reproduce the
+    corpus's bucketing exactly, nothing random to persist."""
+    spark = corpus.sparkSession
+    build_id = uuid.uuid4().hex
+    buckets = _vec_buckets(
+        fan_out(corpus),
+        id_col,
+        vec_col,
+        n_planes,
+        n_tables,
+        dim,
+        "build_vec_dedup_index",
+    )
+    _write_bucket_index(
+        spark,
+        path,
+        (
+            int(n_planes),
+            int(n_tables),
+            int(dim),
+            id_col,
+            vec_col,
+            corpus.schema[id_col].dataType.simpleString(),
+            build_id,
+        ),
+        "n_planes int, n_tables int, dim int, id_col string, "
+        "vec_col string, id_type string, build_id string",
+        buckets,
+        overwrite,
+        build_id,
+    )
+    return build_id
+
+
+def load_vec_dedup_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    return _load_bucket_index(
+        spark, path, _VEC_META_COLS, "load_vec_dedup_index"
+    )
+
+
+def query_vec_dedup_candidates(
+    spark: SparkSession,
+    path: str,
+    probe_vecs: DataFrame,
+    corpus: DataFrame | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Embedding near-dup check of a delta against the indexed corpus.
+
+    Without ``corpus``/``threshold``: candidate ``(probe_id,
+    corpus_id)`` pairs sharing any sign-LSH bucket — the blocking
+    stage alone, O(delta) hashing + one narrow band-table scan.
+
+    With both: the candidates get the SAME exact rounded-cosine
+    verification as ``dd_embedding_near_dup_hi`` — probe vectors from
+    ``probe_vecs``, corpus vectors joined from ``corpus`` (the index
+    stores no floats; the verify join touches only candidate ids, a
+    semi-join-sized read of the raw table) — returning ``(probe_id,
+    corpus_id, cos_sim)`` with ``cos_sim >= threshold``."""
+    from .similarity import cosine_prenormed, norm_sq
+
+    bands_df, params = load_vec_dedup_index(spark, path)
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    probe_buckets = _vec_buckets(
+        probe_vecs,
+        id_col,
+        vec_col,
+        params["n_planes"],
+        params["n_tables"],
+        params["dim"],
+        "query_vec_dedup_candidates",
+    )
+    cand = _probe_bucket_index(bands_df, id_col, probe_buckets)
+    if corpus is None or threshold is None:
+        return cand
+    pv = probe_vecs.select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).alias("__pv"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__pn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
+    )
+    return (
+        cand.join(pv, cand.probe_id == pv.__pid)
+        .join(cv, F.col("corpus_id") == cv.__cid)
+        .select(
+            "probe_id",
+            "corpus_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("__pv"), F.col("__cv"), F.col("__pn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+
+
+def fsck_vec_dedup_index(
+    spark: SparkSession, path: str, strict: bool = True, repair: bool = False
+) -> dict:
+    """Consistency sweep + optional repair for a vector near-dup index
+    — semantics in ``_fsck_bucket_index`` (K = n_tables)."""
+    return _fsck_bucket_index(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _VEC_META_COLS, "fsck_vec_dedup_index"
+        ),
+        "n_tables",
+        "fsck_vec_dedup_index",
+        strict,
+        repair,
+    )
+
+
+def append_to_vec_dedup_index(vecs_delta: DataFrame, path: str) -> None:
+    """Bucket ONLY the delta under the frozen geometry and append.
+    Guards and crash/retry contract: as ``append_to_dedup_index``
+    (recovery via ``fsck_vec_dedup_index(repair=True)``)."""
+    spark = vecs_delta.sparkSession
+    bands_df, params = load_vec_dedup_index(spark, path)
+    id_col = params["id_col"]
+    if not _guard_append_delta(
+        bands_df, vecs_delta, id_col, path, "append_to_vec_dedup_index"
+    ):
+        return
+    _vec_buckets(
+        vecs_delta,
+        id_col,
+        params["vec_col"],
+        params["n_planes"],
+        params["n_tables"],
+        params["dim"],
+        "append_to_vec_dedup_index",
+    ).write.mode("append").parquet(f"{path}/bands")

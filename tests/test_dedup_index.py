@@ -224,6 +224,163 @@ def test_stream_dedup_ingest_partial_fails_loudly(spark, docs, split, tmp_path):
         stream_dedup_ingest_job(spark, docs_dir, path)
 
 
+VEC_GEOM = dict(n_planes=4, n_tables=4, dim=64)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def vec_split(vecs):
+    old = vecs.filter(F.col("vec_id") < 400)
+    delta = vecs.filter(F.col("vec_id") >= 400)
+    return old, delta
+
+
+def test_vec_probe_matches_in_memory_blocking(spark, vecs, vec_split, tmp_path):
+    """Probing delta embeddings against the persisted corpus index
+    must find exactly the cross (old x delta) pairs the in-memory
+    sign-LSH blocking finds over the union — buckets are deterministic
+    in the persisted geometry, so the probe can neither miss nor
+    invent a candidate."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+
+    old, delta = vec_split
+    path = str(tmp_path / "vddx")
+    build_vec_dedup_index(old, path, **VEC_GEOM)
+    got = {
+        (r.corpus_id, r.probe_id)
+        for r in query_vec_dedup_candidates(spark, path, delta).collect()
+    }
+    b = sign_lsh_buckets_long(vecs, "vec_id", "embedding", **VEC_GEOM)
+    pairs = (
+        b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+        .join(
+            b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    )
+    want = {
+        (a, b_) if a < 400 else (b_, a)
+        for (a, b_) in ((r.id_a, r.id_b) for r in pairs)
+        if (a < 400) != (b_ < 400)
+    }
+    assert got == want
+    assert got, "no cross candidates at this geometry — not probative"
+
+
+def test_vec_verified_probe_applies_exact_cosine(spark, vecs, vec_split, tmp_path):
+    """With corpus + threshold the probe must return exactly the
+    candidates whose EXACT rounded cosine clears the threshold —
+    verified against a numpy recomputation over the candidate pairs."""
+    import numpy as np
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+
+    old, delta = vec_split
+    path = str(tmp_path / "vddx_verify")
+    build_vec_dedup_index(old, path, **VEC_GEOM)
+    cand = {
+        (r.probe_id, r.corpus_id)
+        for r in query_vec_dedup_candidates(spark, path, delta).collect()
+    }
+    got = {
+        (r.probe_id, r.corpus_id): r.cos_sim
+        for r in query_vec_dedup_candidates(
+            spark, path, delta, corpus=old, threshold=0.4
+        ).collect()
+    }
+    V = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in vecs.collect()
+    }
+    want = {}
+    for p, c in cand:
+        cos = round(
+            float(
+                V[p] @ V[c] / (np.sqrt(V[p] @ V[p]) * np.sqrt(V[c] @ V[c]))
+            ),
+            6,
+        )
+        if cos >= 0.4:
+            want[(p, c)] = cos
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_vec_append_fsck_repair_roundtrip(spark, vecs, vec_split, tmp_path):
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        append_to_vec_dedup_index,
+        build_vec_dedup_index,
+        fsck_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    old, delta = vec_split
+    path = str(tmp_path / "vddx_fsck")
+    build_vec_dedup_index(old, path, **VEC_GEOM)
+    append_to_vec_dedup_index(delta, path)
+    report = fsck_vec_dedup_index(spark, path)
+    assert report["n_ids"] == vecs.count() and report["dup_rows"] == 0
+    # appended index == clean rebuild over the union
+    full = str(tmp_path / "vddx_full")
+    build_vec_dedup_index(vecs, full, **VEC_GEOM)
+    got = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(f"{full}/bands").collect())
+    assert got == want
+    # corrupt: partial bucket set for a fake id + duplicate rows
+    tiny_local_df(
+        spark, [(900_000, 0, "0101")], "vec_id long, band int, bucket string"
+    ).write.mode("append").parquet(f"{path}/bands")
+    spark.read.parquet(f"{path}/bands").filter(
+        F.col("vec_id") == 7
+    ).write.mode("append").parquet(f"{path}/bands")
+    with pytest.raises(RuntimeError, match="repair=True"):
+        fsck_vec_dedup_index(spark, path)
+    rep = fsck_vec_dedup_index(spark, path, repair=True)
+    assert rep["repair"]["pruned_ids"] == 1
+    again = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    assert again == want
+
+
+def test_vec_malformed_vectors_raise(spark, vecs, vec_split, tmp_path):
+    """An index ingesting malformed vectors would silently exempt them
+    from every future near-dup check — build and probe must raise."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+
+    old, delta = vec_split
+    bad = delta.select(
+        "vec_id", F.slice("embedding", 1, 10).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        build_vec_dedup_index(bad, str(tmp_path / "vddx_bad"), **VEC_GEOM)
+    path = str(tmp_path / "vddx_goodbase")
+    build_vec_dedup_index(old, path, **VEC_GEOM)
+    with pytest.raises(ValueError, match="malformed"):
+        query_vec_dedup_candidates(spark, path, bad).collect()
+
+
 def test_probe_uses_persisted_geometry(spark, docs, split, tmp_path):
     """The probe hashes with the geometry persisted in meta, not
     defaults: an index built with a non-default band count must still
