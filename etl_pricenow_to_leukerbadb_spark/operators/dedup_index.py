@@ -85,6 +85,7 @@ _VEC_META_COLS = (
     "id_col",
     "vec_col",
     "id_type",
+    "vec_elem_type",
     "build_id",
 )
 
@@ -498,10 +499,12 @@ def build_vec_dedup_index(
             id_col,
             vec_col,
             corpus.schema[id_col].dataType.simpleString(),
+            corpus.schema[vec_col].dataType.elementType.simpleString(),
             build_id,
         ),
         "n_planes int, n_tables int, dim int, id_col string, "
-        "vec_col string, id_type string, build_id string",
+        "vec_col string, id_type string, vec_elem_type string, "
+        "build_id string",
         buckets,
         overwrite,
         build_id,

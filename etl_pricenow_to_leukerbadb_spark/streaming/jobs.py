@@ -679,50 +679,40 @@ def stream_index_ingest_job(
         q.stop()
 
 
-def stream_dedup_ingest_job(
+def _stream_bucket_ingest(
     spark: SparkSession,
-    docs_path: str,
+    src_path: str,
     index_path: str,
+    schema: str,
+    id_col: str,
+    rows_per_id: int,
+    build_id: str,
+    append,
+    name: str,
+    fsck_name: str,
 ) -> None:
-    """Streaming near-dup-index ingest: micro-batches of new documents
-    from a parquet directory stream are minhashed under the persisted
-    index's FROZEN geometry and their buckets appended — the dedup
-    analog of ``stream_index_ingest_job``, closing the same production
-    loop: ``build_dedup_index`` once when the corpus snapshot lands,
-    this job as documents keep arriving, every
-    ``query_dedup_candidates`` probe seeing yesterday's corpus plus
-    every committed batch.
+    """Shared streaming-ingest core for the persisted near-dup
+    indexes (text and vector frontends of ``operators/dedup_index``).
 
     Replay safety under foreachBatch's at-least-once contract — the
-    SAME two-tier scheme as the ANN ingest, simpler because the band
-    table is the only data directory (one parquet job, atomic):
+    SAME two-tier scheme as the ANN ingest
+    (``stream_index_ingest_job``), simpler because the band table is
+    the only data directory (one parquet job, atomic):
 
     - **Epoch commit markers** ``(query_id, epoch_id, build_id)``
       appended to ``{index_path}/ingest_epochs`` LAST; a replayed
       committed epoch is a metadata no-op.
     - **Marker-less replay**: batch ids are classified against
       ``bands/`` (range-pruned on the batch's id span) by per-id row
-      count. COMPLETE ids (``bands`` rows — a prior successful
+      count. COMPLETE ids (``rows_per_id`` rows — a prior successful
       append) drop; ABSENT ids append; PARTIAL ids (a crash during
-      the bands file-commit) RAISE naming
-      ``fsck_dedup_index(repair=True)`` — re-appending would
-      duplicate the surviving rows and silently skipping would leave
-      under-blocking documents (missed duplicates, the worst dedup
-      failure) forever.
-
-    The stream schema is derived from the index meta (id_type
-    persisted at build), never assumed."""
+      the bands file-commit) RAISE naming the frontend's
+      ``fsck(repair=True)`` — re-appending would duplicate the
+      surviving rows and silently skipping would leave under-blocking
+      entries (missed duplicates, the worst dedup failure) forever.
+    """
     from ..operators.ann_index import _try_read_parquet
-    from ..operators.dedup_index import (
-        append_to_dedup_index,
-        load_dedup_index,
-    )
 
-    bands_df, params = load_dedup_index(spark, index_path)
-    build_id = params["build_id"]
-    id_col, text_col = params["id_col"], params["text_col"]
-    n_bands = int(params["bands"])
-    schema = f"{id_col} {params['id_type']}, {text_col} string"
     markers_path = f"{index_path}/ingest_epochs"
     ckpt_path = index_path + "_ingest_ckpt"
     qid_cache: dict[str, str] = {}
@@ -762,18 +752,18 @@ def stream_dedup_ingest_job(
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        n_partial = existing.filter(F.col("n") != F.lit(n_bands)).count()
+        n_partial = existing.filter(F.col("n") != F.lit(rows_per_id)).count()
         if n_partial:
             raise RuntimeError(
-                f"stream_dedup_ingest_job: {n_partial} id(s) in this batch "
-                f"have a PARTIAL bucket set in {index_path}/bands — a "
-                "prior append crashed mid-commit. Run "
-                "fsck_dedup_index(repair=True) to prune them (this delta "
-                "then re-ingests cleanly) before resuming ingest"
+                f"{name}: {n_partial} id(s) in this batch have a PARTIAL "
+                f"bucket set in {index_path}/bands — a prior append "
+                f"crashed mid-commit. Run {fsck_name}(repair=True) to "
+                "prune them (this delta then re-ingests cleanly) before "
+                "resuming ingest"
             )
         fresh = batch_df.join(existing, id_col, "left_anti")
         if not fresh.isEmpty():
-            append_to_dedup_index(fresh, index_path, text_col=text_col)
+            append(fresh)
         tiny_local_df(
             ss,
             [(qid, int(epoch_id), build_id)],
@@ -782,7 +772,7 @@ def stream_dedup_ingest_job(
 
     q = (
         spark.readStream.schema(schema)
-        .parquet(docs_path)
+        .parquet(src_path)
         .writeStream.foreachBatch(handle_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt_path)
@@ -792,3 +782,73 @@ def stream_dedup_ingest_job(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def stream_dedup_ingest_job(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+) -> None:
+    """Streaming text near-dup-index ingest: micro-batches of new
+    documents from a parquet directory stream are minhashed under the
+    persisted index's FROZEN geometry and their buckets appended —
+    closing the production loop: ``build_dedup_index`` once when the
+    corpus snapshot lands, this job as documents keep arriving, every
+    ``query_dedup_candidates`` probe seeing yesterday's corpus plus
+    every committed batch. Replay safety: ``_stream_bucket_ingest``.
+    The stream schema is derived from the index meta (id_type
+    persisted at build), never assumed."""
+    from ..operators.dedup_index import (
+        append_to_dedup_index,
+        load_dedup_index,
+    )
+
+    _, params = load_dedup_index(spark, index_path)
+    _stream_bucket_ingest(
+        spark,
+        docs_path,
+        index_path,
+        f"{params['id_col']} {params['id_type']}, {params['text_col']} string",
+        params["id_col"],
+        int(params["bands"]),
+        params["build_id"],
+        lambda fresh: append_to_dedup_index(
+            fresh, index_path, text_col=params["text_col"]
+        ),
+        "stream_dedup_ingest_job",
+        "fsck_dedup_index",
+    )
+
+
+def stream_vec_dedup_ingest_job(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+) -> None:
+    """Streaming VECTOR near-dup-index ingest: new embeddings are
+    sign-LSH-bucketed under the persisted geometry and appended — the
+    embedding analog of ``stream_dedup_ingest_job`` (same core, same
+    replay contract). Malformed vectors in a batch fail the batch
+    loudly via ``append_to_vec_dedup_index``'s gate — a poison message
+    should stop the queue for triage, not silently become an
+    unblockable corpus entry. The stream schema (id type + vector
+    element type) is derived from the index meta, never assumed."""
+    from ..operators.dedup_index import (
+        append_to_vec_dedup_index,
+        load_vec_dedup_index,
+    )
+
+    _, params = load_vec_dedup_index(spark, index_path)
+    _stream_bucket_ingest(
+        spark,
+        vectors_path,
+        index_path,
+        f"{params['id_col']} {params['id_type']}, "
+        f"{params['vec_col']} array<{params['vec_elem_type']}>",
+        params["id_col"],
+        int(params["n_tables"]),
+        params["build_id"],
+        lambda fresh: append_to_vec_dedup_index(fresh, index_path),
+        "stream_vec_dedup_ingest_job",
+        "fsck_vec_dedup_index",
+    )

@@ -361,6 +361,38 @@ def test_vec_append_fsck_repair_roundtrip(spark, vecs, vec_split, tmp_path):
     assert again == want
 
 
+def test_vec_stream_ingest_e2e_and_replay(spark, vecs, vec_split, tmp_path):
+    """Vector-index streaming ingest must leave the band table
+    row-identical to a clean rebuild over the union; a fresh-checkpoint
+    replay (new query_id — epoch markers do not apply) must be a no-op
+    via the per-id bucket-count classification."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_vec_dedup_ingest_job,
+    )
+
+    old, delta = vec_split
+    path = str(tmp_path / "vddx_stream")
+    vec_dir = str(tmp_path / "vec_stream")
+    build_vec_dedup_index(old, path, **VEC_GEOM)
+    delta.repartition(2).write.parquet(vec_dir)
+    stream_vec_dedup_ingest_job(spark, vec_dir, path)
+
+    full = str(tmp_path / "vddx_stream_full")
+    build_vec_dedup_index(vecs, full, **VEC_GEOM)
+    inc = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(f"{full}/bands").collect())
+    assert inc == want
+    shutil.rmtree(path + "_ingest_ckpt")
+    stream_vec_dedup_ingest_job(spark, vec_dir, path)
+    again = sorted(tuple(r) for r in spark.read.parquet(f"{path}/bands").collect())
+    assert again == inc
+
+
 def test_vec_malformed_vectors_raise(spark, vecs, vec_split, tmp_path):
     """An index ingesting malformed vectors would silently exempt them
     from every future near-dup check — build and probe must raise."""
