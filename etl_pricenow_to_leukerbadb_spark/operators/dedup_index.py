@@ -13,7 +13,9 @@ over one persisted shape:
 - **Text** (MinHash+LSH): ``build_dedup_index`` /
   ``query_dedup_candidates`` / ``append_to_dedup_index`` /
   ``fsck_dedup_index`` — shingle-level near-dups, the blocking
-  structure of ``dd_minhash_lsh``.
+  structure of ``dd_minhash_lsh``. Documents too short to shingle
+  fail the build/append loudly (they would otherwise be silently
+  unblockable forever); ``allow_short=True`` opts out.
 - **Vector** (sign-LSH over embeddings): ``build_vec_dedup_index`` /
   ``query_vec_dedup_candidates`` / ``append_to_vec_dedup_index`` /
   ``fsck_vec_dedup_index`` — embedding-cosine near-dups, the blocking
@@ -64,6 +66,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import tokens, word_shingles
 from ..session import tiny_local_df
 from ..sources.tables import fan_out
 from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
@@ -304,6 +307,35 @@ def _guard_append_delta(
 # ---------------------------------------------------------------------------
 
 
+def _guard_unshinglable(
+    docs: DataFrame, text_col: str, k_shingle: int, name: str
+) -> None:
+    """Raise when any document produces NO shingles (NULL text or
+    fewer than ``k_shingle`` tokens): such a document gets no minhash
+    signature, so it would be silently absent from ``bands/`` —
+    permanently exempt from every future near-dup check with no
+    signal, the same failure class ``_vec_buckets`` gates on for
+    malformed vectors. For a one-shot in-memory query (``dd_minhash_lsh``)
+    dropping the unshinglable tail is inherent MinHash semantics; for
+    a PERSISTED gate it must be a decision the caller makes:
+    pre-filter short documents (and route them through an exact-dup
+    check — ``exact_duplicates`` has no length floor), or pass
+    ``allow_short=True`` to accept that they are unblockable by
+    shingle LSH."""
+    n_bad = docs.filter(
+        F.size(word_shingles(tokens(F.col(text_col)), k_shingle)) == F.lit(0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{name}: {n_bad} document(s) have NULL text or fewer than "
+            f"k_shingle={k_shingle} tokens — they produce no shingles, so "
+            "indexing would silently exempt them from every future "
+            "near-dup check. Pre-filter them (route short docs through an "
+            "exact-dup check instead), or pass allow_short=True to accept "
+            "that shingle LSH cannot block them"
+        )
+
+
 def build_dedup_index(
     docs: DataFrame,
     path: str,
@@ -313,12 +345,16 @@ def build_dedup_index(
     n_hashes: int = 8,
     bands: int = 4,
     overwrite: bool = False,
+    allow_short: bool = False,
 ) -> str:
     """Minhash + band the corpus and persist the bucket table under
     ``path``. Returns the generation ``build_id``. Crash contract:
-    see ``_write_bucket_index``."""
+    see ``_write_bucket_index``; unshinglable documents fail the build
+    loudly unless ``allow_short=True`` (``_guard_unshinglable``)."""
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex
+    if not allow_short:
+        _guard_unshinglable(docs, text_col, k_shingle, "build_dedup_index")
     sigs = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
     _write_bucket_index(
         spark,
@@ -391,11 +427,16 @@ def fsck_dedup_index(
 
 
 def append_to_dedup_index(
-    docs_delta: DataFrame, path: str, text_col: str = "text"
+    docs_delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    allow_short: bool = False,
 ) -> None:
     """Minhash ONLY the delta under the frozen geometry and append its
     buckets, so later probes see today's corpus. Guards:
-    ``_guard_append_delta``. Appending is atomic per parquet job; a
+    ``_guard_append_delta`` plus the unshinglable-document gate
+    (``_guard_unshinglable``, opt out with ``allow_short=True``).
+    Appending is atomic per parquet job; a
     crashed append leaves partial bucket rows for some delta ids,
     which a RETRY of the same delta then reports — recovery is
     ``fsck_dedup_index(repair=True)``, then re-append. Exactly-once
@@ -404,6 +445,10 @@ def append_to_dedup_index(
     spark = docs_delta.sparkSession
     bands_df, params = load_dedup_index(spark, path)
     id_col = params["id_col"]
+    if not allow_short:
+        _guard_unshinglable(
+            docs_delta, text_col, params["k_shingle"], "append_to_dedup_index"
+        )
     if not _guard_append_delta(
         bands_df, docs_delta, id_col, path, "append_to_dedup_index"
     ):

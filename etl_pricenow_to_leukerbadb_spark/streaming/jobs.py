@@ -788,6 +788,7 @@ def stream_dedup_ingest_job(
     spark: SparkSession,
     docs_path: str,
     index_path: str,
+    allow_short: bool = False,
 ) -> None:
     """Streaming text near-dup-index ingest: micro-batches of new
     documents from a parquet directory stream are minhashed under the
@@ -797,7 +798,10 @@ def stream_dedup_ingest_job(
     ``query_dedup_candidates`` probe seeing yesterday's corpus plus
     every committed batch. Replay safety: ``_stream_bucket_ingest``.
     The stream schema is derived from the index meta (id_type
-    persisted at build), never assumed."""
+    persisted at build), never assumed. A batch carrying documents too
+    short to shingle fails loudly for triage (same poison-message
+    stance as the vector job) unless ``allow_short=True`` accepts that
+    shingle LSH cannot block them."""
     from ..operators.dedup_index import (
         append_to_dedup_index,
         load_dedup_index,
@@ -813,7 +817,7 @@ def stream_dedup_ingest_job(
         int(params["bands"]),
         params["build_id"],
         lambda fresh: append_to_dedup_index(
-            fresh, index_path, text_col=params["text_col"]
+            fresh, index_path, text_col=params["text_col"], allow_short=allow_short
         ),
         "stream_dedup_ingest_job",
         "fsck_dedup_index",

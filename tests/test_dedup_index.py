@@ -170,6 +170,46 @@ def test_fsck_dedup_repair(spark, docs, split, tmp_path):
     fsck_dedup_index(spark, path)
 
 
+def test_unshinglable_docs_fail_build_and_append(spark, docs, split, tmp_path):
+    """A document with NULL text or < k_shingle tokens produces no
+    shingles, so indexing it would silently exempt it from every
+    future near-dup check — build and append must refuse loudly (and
+    BEFORE writing anything: a refused build leaves the path clean),
+    while allow_short=True indexes the shinglable remainder and
+    leaves the short document absent from bands/ by construction."""
+    old, delta = split
+    path = str(tmp_path / "ddx_short")
+    short = delta.orderBy(F.col("doc_id").desc()).limit(1).select(
+        "doc_id", F.lit("too short").alias("text")
+    )
+    with_short = old.select("doc_id", "text").unionByName(short)
+    with pytest.raises(ValueError, match="no shingles"):
+        build_dedup_index(with_short, path, **GEOM)
+    # the refused build wrote nothing — a fresh errorifexists build works
+    build_dedup_index(old, path, **GEOM)
+    null_short = delta.select(
+        "doc_id", F.lit(None).cast("string").alias("text")
+    ).limit(1)
+    with pytest.raises(ValueError, match="no shingles"):
+        append_to_dedup_index(
+            delta.select("doc_id", "text")
+            .join(null_short.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(null_short),
+            path,
+        )
+    append_to_dedup_index(
+        delta.select("doc_id", "text")
+        .join(null_short.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(null_short),
+        path,
+        allow_short=True,
+    )
+    bands, _ = load_dedup_index(spark, path)
+    assert bands.select("doc_id").distinct().count() == docs.count() - 1
+    skipped = null_short.collect()[0]["doc_id"]
+    assert bands.filter(F.col("doc_id") == skipped).count() == 0
+
+
 def test_stream_dedup_ingest_e2e_and_replay(spark, docs, split, tmp_path):
     """Streaming micro-batch appends must leave the band table
     row-identical to a full rebuild over the union, and replaying the
