@@ -682,6 +682,120 @@ def repair_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _compact_sorted(
+    spark: SparkSession,
+    src: str,
+    staging: str,
+    sort_cols: list,
+    target_files: int | None,
+) -> tuple[int, int, int]:
+    """Rewrite ``src`` into ``staging`` as ``target_files`` files,
+    range-partitioned + sorted on ``sort_cols``. Returns (rows,
+    files_before, files_after). The row count is asserted unchanged by
+    the caller BEFORE any swap — a compaction that drops rows must
+    never replace live data."""
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    files_before = len(df.inputFiles())
+    if target_files is None:
+        # narrow int/string tables: ~4M rows/file keeps files in the
+        # tens-of-MB range; never EXPAND the file count
+        target_files = max(1, min(files_before, (n_rows + 3_999_999) // 4_000_000))
+    (
+        df.repartitionByRange(target_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.parquet(staging)
+    )
+    staged = spark.read.parquet(staging)
+    if staged.count() != n_rows:
+        _fs_delete(spark, staging)
+        raise RuntimeError(
+            f"compact: staged rewrite of {src} changed the row count — "
+            "refusing to swap. The live table is untouched"
+        )
+    return n_rows, files_before, len(staged.inputFiles())
+
+
+def compact_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Compact a streaming-ingested index's small files — the
+    scheduled-maintenance pass the ingest jobs defer to (each
+    micro-batch appends one small file to ``codes/`` — plus ``lists/``
+    on IVFADC — and one marker file to ``ingest_epochs/``; at a
+    batch-per-minute cadence that is ~43k files/directory/month, and
+    both the file-listing and the footer reads of every later search
+    and append-guard probe scale with that count).
+
+    The rewrite is also a SORT: codes by (id, subspace), lists by id,
+    range-partitioned so each output file covers a disjoint id range.
+    That makes the append guards' range-pruned probes (``[min, max]``
+    of the delta before the semi-join) actually skip files via parquet
+    min/max statistics for ANY ingest order — the "log-structured ids
+    prune everything" property, restored by maintenance even when the
+    ingest ids arrived shuffled.
+
+    Crash safety is ``repair_index``'s dance: staged rewrite under a
+    hidden dir, row-count invariant checked BEFORE the swap, commit
+    marker deleted first and re-written (same ``build_id`` — compaction
+    is not a new generation) only after both directories swapped, so a
+    crash anywhere reads as "incomplete index" loudly. The marker
+    table is compacted LAST and outside the dark window: it has no
+    commit protection, but losing markers is benign (replay falls back
+    to the classification guard) while losing codes would not be.
+    Single-writer per index is the caller's contract; do not run
+    concurrently with an ingest job on the same path.
+
+    Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
+    {...}}`` with rows / files_before / files_after per directory."""
+    _, _, params = load_pq_index(spark, path)  # strict: marker must match
+    id_col = params["id_col"]
+    staging = f"{path}/.compact_stage"
+    _fs_delete(spark, staging)  # stale from a prior crashed compaction
+
+    report: dict = {}
+    rows, fb, fa = _compact_sorted(
+        spark, f"{path}/codes", f"{staging}/codes", [id_col, "subspace"], target_files
+    )
+    report["codes"] = {"rows": rows, "files_before": fb, "files_after": fa}
+    ivfadc = _try_read_parquet(spark, f"{path}/ivf_meta") is not None
+    if ivfadc:
+        rows, fb, fa = _compact_sorted(
+            spark, f"{path}/lists", f"{staging}/lists", [id_col], target_files
+        )
+        report["lists"] = {"rows": rows, "files_before": fb, "files_after": fa}
+
+    # the dark window: no commit marker -> any load fails loudly
+    if "build_id" in params:
+        _fs_delete(spark, f"{path}/commit")
+    _fs_delete(spark, f"{path}/codes")
+    _fs_rename(spark, f"{staging}/codes", f"{path}/codes")
+    if ivfadc:
+        _fs_delete(spark, f"{path}/lists")
+        _fs_rename(spark, f"{staging}/lists", f"{path}/lists")
+    if "build_id" in params:
+        _write_commit(spark, path, params["build_id"])
+
+    markers = _try_read_parquet(spark, f"{path}/ingest_epochs")
+    if markers is not None:
+        rows, fb, fa = _compact_sorted(
+            spark,
+            f"{path}/ingest_epochs",
+            f"{staging}/ingest_epochs",
+            ["query_id", "epoch_id"],
+            1,
+        )
+        _fs_delete(spark, f"{path}/ingest_epochs")
+        _fs_rename(spark, f"{staging}/ingest_epochs", f"{path}/ingest_epochs")
+        report["ingest_epochs"] = {
+            "rows": rows,
+            "files_before": fb,
+            "files_after": fa,
+        }
+    _fs_delete(spark, staging)
+    return report
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,

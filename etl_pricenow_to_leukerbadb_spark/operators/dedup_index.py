@@ -260,6 +260,60 @@ def _fsck_bucket_index(
     return report
 
 
+def _compact_bucket_index(
+    spark: SparkSession, path: str, load, target_files: int | None
+) -> dict:
+    """Compact a streaming-ingested bucket index's small files — the
+    band-table analog of ``ann_index.compact_index`` (each micro-batch
+    appends one small file to ``bands/`` and one marker file; the
+    file-listing and footer reads of every probe scale with that
+    count). The rewrite sorts ``bands/`` by (id, band) range-
+    partitioned on id, so the append guard's ``[min, max]``-pruned
+    probe skips files via parquet min/max statistics for any ingest
+    order. Crash safety: staged rewrite, row-count invariant BEFORE
+    the swap, commit marker deleted first / re-written (same
+    ``build_id``) after — a crash anywhere reads as "incomplete
+    index". Markers are compacted last, outside the dark window
+    (losing markers is benign: replay falls back to classification).
+    Single-writer per index is the caller's contract."""
+    from .ann_index import _compact_sorted
+
+    _, params = load(spark, path)  # strict: marker must match
+    id_col = params["id_col"]
+    staging = f"{path}/.compact_stage"
+    _fs_delete(spark, staging)
+
+    rows, fb, fa = _compact_sorted(
+        spark, f"{path}/bands", f"{staging}/bands", [id_col, "band"], target_files
+    )
+    report = {"bands": {"rows": rows, "files_before": fb, "files_after": fa}}
+    _fs_delete(spark, f"{path}/commit")
+    _fs_delete(spark, f"{path}/bands")
+    _fs_rename(spark, f"{staging}/bands", f"{path}/bands")
+    tiny_local_df(
+        spark, [(params["build_id"],)], "build_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/commit")
+
+    markers = _try_read_parquet(spark, f"{path}/ingest_epochs")
+    if markers is not None:
+        rows, fb, fa = _compact_sorted(
+            spark,
+            f"{path}/ingest_epochs",
+            f"{staging}/ingest_epochs",
+            ["query_id", "epoch_id"],
+            1,
+        )
+        _fs_delete(spark, f"{path}/ingest_epochs")
+        _fs_rename(spark, f"{staging}/ingest_epochs", f"{path}/ingest_epochs")
+        report["ingest_epochs"] = {
+            "rows": rows,
+            "files_before": fb,
+            "files_after": fa,
+        }
+    _fs_delete(spark, staging)
+    return report
+
+
 def _guard_append_delta(
     bands_df: DataFrame, delta: DataFrame, id_col: str, path: str, name: str
 ) -> bool:
@@ -423,6 +477,21 @@ def fsck_dedup_index(
         "fsck_dedup_index",
         strict,
         repair,
+    )
+
+
+def compact_dedup_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Compact a text near-dup index's band table + ingest markers —
+    semantics in ``_compact_bucket_index``."""
+    return _compact_bucket_index(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _TEXT_META_COLS, "compact_dedup_index"
+        ),
+        target_files,
     )
 
 
@@ -642,6 +711,21 @@ def fsck_vec_dedup_index(
         "fsck_vec_dedup_index",
         strict,
         repair,
+    )
+
+
+def compact_vec_dedup_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Compact a vector near-dup index's band table + ingest markers —
+    semantics in ``_compact_bucket_index``."""
+    return _compact_bucket_index(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _VEC_META_COLS, "compact_vec_dedup_index"
+        ),
+        target_files,
     )
 
 

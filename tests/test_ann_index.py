@@ -231,6 +231,78 @@ def test_append_extends_ivfpq_lists(spark, corpus, queries, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_compact_index_preserves_search_and_shrinks_files(
+    spark, corpus, queries, tmp_path
+):
+    """Compacting a streaming-ingested index (many small per-batch
+    files) must leave search results bit-identical, shrink the file
+    counts, keep fsck clean, preserve the ingest markers' rows, and
+    leave the index appendable — compaction is maintenance, never a
+    new generation."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        compact_index,
+        fsck_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    old = corpus.filter(F.col("vec_id") < 350)
+    path = str(tmp_path / "cmp")
+    build_ivfpq_index(old, path, n_centroids=16, **PARAMS)
+    # simulate a streaming ingest: several small appends + marker files
+    for lo, hi in ((350, 400), (400, 430), (430, 470), (470, 10_000)):
+        append_to_pq_index(
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), path
+        )
+    for epoch in range(3):
+        tiny_local_df(
+            spark,
+            [("qid", epoch, "bid")],
+            "query_id string, epoch_id long, build_id string",
+        ).coalesce(1).write.mode("append").parquet(f"{path}/ingest_epochs")
+
+    before = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, path, queries, corpus, n_probe=4, k=5).collect()
+    )
+    report = compact_index(spark, path, target_files=2)
+    assert report["codes"]["files_after"] < report["codes"]["files_before"]
+    assert report["lists"]["files_after"] < report["lists"]["files_before"]
+    assert report["ingest_epochs"]["rows"] == 3
+    after = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, path, queries, corpus, n_probe=4, k=5).collect()
+    )
+    assert after == before and len(after) == 15
+    assert spark.read.parquet(f"{path}/ingest_epochs").count() == 3
+    fsck_index(spark, path)  # strict: clean
+    # still appendable after compaction (same generation, same guards)
+    fresh = corpus.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") < 100_003)
+    append_to_pq_index(fresh, path)
+    fsck_index(spark, path)
+
+
+def test_compact_refuses_uncommitted_index(spark, corpus, tmp_path):
+    """Compacting an index whose commit marker is missing must refuse
+    loudly — rewriting mixed-generation artifacts into freshly sorted
+    files would launder a crashed build into a coherent-looking lie."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "cmp_nocommit")
+    build_pq_index(corpus, path, **PARAMS)
+    shutil.rmtree(f"{path}/commit")
+    with pytest.raises(ValueError, match="commit"):
+        compact_index(spark, path)
+
+
 def test_ivfpq_build_validates_centroid_coverage(spark, corpus, tmp_path):
     """A corpus whose ids don't cover 0..n_centroids-1 must fail the
     BUILD with an actionable message — not build successfully and then

@@ -264,6 +264,47 @@ def test_stream_dedup_ingest_partial_fails_loudly(spark, docs, split, tmp_path):
         stream_dedup_ingest_job(spark, docs_dir, path)
 
 
+def test_compact_dedup_index_preserves_probe(spark, docs, split, tmp_path):
+    """Compacting the band table's streaming small files must leave
+    probe candidates identical, shrink the file count, preserve the
+    ingest markers, keep fsck clean, and keep the double-append guard
+    armed — compaction is maintenance, not a new generation."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        compact_dedup_index,
+        fsck_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    old, delta = split
+    path = str(tmp_path / "ddx_compact")
+    build_dedup_index(old, path, **GEOM)
+    mid = delta.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    append_to_dedup_index(delta.filter(F.col("doc_id") <= mid), path)
+    append_to_dedup_index(delta.filter(F.col("doc_id") > mid), path)
+    for epoch in range(2):
+        tiny_local_df(
+            spark,
+            [("qid", epoch, "bid")],
+            "query_id string, epoch_id long, build_id string",
+        ).coalesce(1).write.mode("append").parquet(f"{path}/ingest_epochs")
+
+    probe = docs.limit(20).select("doc_id", "text")
+    before = sorted(
+        tuple(r) for r in query_dedup_candidates(spark, path, probe).collect()
+    )
+    report = compact_dedup_index(spark, path, target_files=2)
+    assert report["bands"]["files_after"] < report["bands"]["files_before"]
+    assert report["ingest_epochs"]["rows"] == 2
+    after = sorted(
+        tuple(r) for r in query_dedup_candidates(spark, path, probe).collect()
+    )
+    assert after == before and before
+    assert spark.read.parquet(f"{path}/ingest_epochs").count() == 2
+    fsck_dedup_index(spark, path)  # strict: clean
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_dedup_index(delta, path)
+
+
 VEC_GEOM = dict(n_planes=4, n_tables=4, dim=64)
 
 
@@ -475,3 +516,34 @@ def test_probe_uses_persisted_geometry(spark, docs, split, tmp_path):
         if (a in old_ids) != (b in old_ids)
     }
     assert got == want
+
+
+def test_vec_compact_preserves_probe(spark, vecs, vec_split, tmp_path):
+    """Vector-frontend compaction: probe candidates identical across
+    the rewrite, marker-protected swap (build_id unchanged), fsck
+    clean."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+        compact_vec_dedup_index,
+        fsck_vec_dedup_index,
+        load_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+
+    old, delta = vec_split
+    path = str(tmp_path / "vddx_compact")
+    build_id = build_vec_dedup_index(old, path, **VEC_GEOM)
+    before = sorted(
+        tuple(r)
+        for r in query_vec_dedup_candidates(spark, path, delta).collect()
+    )
+    report = compact_vec_dedup_index(spark, path, target_files=1)
+    assert report["bands"]["files_after"] <= report["bands"]["files_before"]
+    after = sorted(
+        tuple(r)
+        for r in query_vec_dedup_candidates(spark, path, delta).collect()
+    )
+    assert after == before and before
+    _, params = load_vec_dedup_index(spark, path)
+    assert params["build_id"] == build_id
+    fsck_vec_dedup_index(spark, path)

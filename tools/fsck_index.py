@@ -1,14 +1,20 @@
-"""CLI for the whole-index consistency sweeps (ANN and dedup).
+"""CLI for scheduled index maintenance: consistency sweep + compaction
+(ANN and near-dup indexes).
 
-``python -m tools.fsck_index /path/to/index [--lenient] [--repair] [--dedup]``
+``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
+[--dedup | --vec-dedup] [--compact [TARGET_FILES]]``
 
-``append_to_pq_index`` verifies only the ids each append writes (flat
-cost per micro-batch — the right scope for a streaming ingest); this
-tool is the scheduled O(index) pass that catches everything else:
-partial code sets nobody retried, duplicated inverted-list rows from a
-replayed ``assume_new_ids=True`` append, and codes/lists id-set
-disagreement on IVFADC layouts. Exit code 0 = consistent (or
---lenient), 1 = violations found.
+``append_to_pq_index`` (and the bucket-index appends) verify only the
+ids each append writes (flat cost per micro-batch — the right scope
+for a streaming ingest); this tool is the scheduled O(index) pass that
+catches everything else: partial code sets nobody retried, duplicated
+inverted-list rows from a replayed ``assume_new_ids=True`` append, and
+codes/lists id-set disagreement on IVFADC layouts. ``--compact``
+additionally rewrites the streaming-ingest small files (one per
+micro-batch in codes/lists/bands plus one marker file each) into a few
+id-sorted files AFTER the sweep comes back clean — compacting an
+inconsistent index would bake the corruption into the rewritten files.
+Exit code 0 = consistent (or --lenient), 1 = violations found.
 """
 
 from __future__ import annotations
@@ -33,38 +39,74 @@ def main() -> int:
         "--repair",
         action="store_true",
         help="prune violations in place (rewrite of the narrow "
-        "codes/lists tables, no re-quantization; pruned ids must be "
+        "codes/lists/bands tables, no re-hashing; pruned ids must be "
         "re-ingested) and re-verify",
     )
     ap.add_argument(
         "--dedup",
         action="store_true",
-        help="the path is a near-dup (MinHash+LSH) index "
+        help="the path is a TEXT near-dup (MinHash+LSH) index "
         "(operators/dedup_index.py) instead of an ANN index",
     )
+    ap.add_argument(
+        "--vec-dedup",
+        action="store_true",
+        help="the path is a VECTOR near-dup (sign-LSH) index "
+        "(operators/dedup_index.py) instead of an ANN index",
+    )
+    ap.add_argument(
+        "--compact",
+        nargs="?",
+        const=-1,
+        default=None,
+        type=int,
+        metavar="TARGET_FILES",
+        help="after a clean (or repaired) sweep, compact the index's "
+        "streaming-ingest small files into TARGET_FILES id-sorted "
+        "files (default: sized from the row count)",
+    )
     args = ap.parse_args()
+    if args.dedup and args.vec_dedup:
+        ap.error("--dedup and --vec-dedup are mutually exclusive")
 
-    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import fsck_index
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        compact_index,
+        fsck_index,
+    )
     from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        compact_dedup_index,
+        compact_vec_dedup_index,
         fsck_dedup_index,
+        fsck_vec_dedup_index,
     )
     from etl_pricenow_to_leukerbadb_spark.session import get_spark
 
-    fsck = fsck_dedup_index if args.dedup else fsck_index
+    if args.dedup:
+        fsck, compact = fsck_dedup_index, compact_dedup_index
+    elif args.vec_dedup:
+        fsck, compact = fsck_vec_dedup_index, compact_vec_dedup_index
+    else:
+        fsck, compact = fsck_index, compact_index
     spark = get_spark(app_name="fsck-index")
     try:
         report = fsck(spark, args.index_path, strict=False, repair=args.repair)
+        if args.dedup or args.vec_dedup:
+            bad = report["dup_rows"] or report["partial_ids"]
+        else:
+            bad = report["partial_code_ids"] or report.get(
+                "dup_list_rows"
+            ) or report.get("codes_lists_id_mismatch")
+        clean = ("post_repair" in report) or not bad
+        if args.compact is not None and clean:
+            target = None if args.compact == -1 else args.compact
+            report["compact"] = compact(spark, args.index_path, target)
+        elif args.compact is not None:
+            report["compact"] = "skipped: sweep found violations"
     finally:
         spark.stop()
     print(json.dumps({"index": args.index_path, **report}))
     if "post_repair" in report:  # repaired and re-verified clean
         return 0
-    if args.dedup:
-        bad = report["dup_rows"] or report["partial_ids"]
-    else:
-        bad = report["partial_code_ids"] or report.get(
-            "dup_list_rows"
-        ) or report.get("codes_lists_id_mismatch")
     return 0 if (args.lenient or not bad) else 1
 
 
