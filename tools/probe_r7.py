@@ -265,6 +265,71 @@ def probe_dedup_probe_cost(spark, factor: int = 16) -> dict:
     return results
 
 
+def probe_compaction(spark, n_appends: int = 32) -> dict:
+    """Small-file cost of a streaming ingest, and what compaction buys
+    back: build over a 4x corpus, apply ``n_appends`` micro-batch
+    appends (one-plus small files each in codes/), then time (a) the
+    search's code scan and (b) one more append (whose guards range-
+    prune into codes/) FRAGMENTED vs COMPACTED. The id-sorted rewrite
+    is also what makes the guards' min/max pruning effective for
+    shuffled ingest ids — the fragmented index interleaves id ranges
+    across every file, so the range filter prunes nothing."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        compact_index,
+        search_pq_index,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus, hi = _inflate_vectors(spark, base, 4)
+    queries = base.filter(F.col("vec_id") < 3)
+    delta_src = base.filter(F.col("vec_id") < 64).localCheckpoint(eager=True)
+
+    def shifted(i: int):
+        return delta_src.select(
+            (F.col("vec_id") + F.lit(int(hi + 1_000_000 + i * 1000))).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/idx"
+        build_pq_index(corpus, path)
+        for i in range(n_appends):
+            append_to_pq_index(shifted(i), path)
+
+        def sweep():
+            return search_pq_index(spark, path, queries, corpus=None, k=10).count()
+
+        files_frag = len(spark.read.parquet(f"{path}/codes").inputFiles())
+        frag_search = min(timed(sweep)[1] for _ in range(3))
+        _, frag_append = timed(
+            lambda: append_to_pq_index(shifted(n_appends), path)
+        )
+        _, compact_sec = timed(lambda: compact_index(spark, path))
+        files_comp = len(spark.read.parquet(f"{path}/codes").inputFiles())
+        comp_search = min(timed(sweep)[1] for _ in range(3))
+        _, comp_append = timed(
+            lambda: append_to_pq_index(shifted(n_appends + 1), path)
+        )
+    return {
+        "n_appends": n_appends,
+        "codes_files_fragmented": files_frag,
+        "codes_files_compacted": files_comp,
+        "search_sec_fragmented": round(frag_search, 3),
+        "search_sec_compacted": round(comp_search, 3),
+        "append_sec_fragmented": round(frag_append, 3),
+        "append_sec_compacted": round(comp_append, 3),
+        "compact_sec": round(compact_sec, 3),
+        "search_ratio": round(frag_search / comp_search, 2),
+        "append_ratio": round(frag_append / comp_append, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-r7")
     try:
@@ -273,6 +338,7 @@ def main() -> None:
             "decode_once_16x": probe_decode_once(spark),
             "repair_vs_rebuild_4x": probe_repair_vs_rebuild(spark),
             "dedup_probe_cost_16x": probe_dedup_probe_cost(spark),
+            "compaction_32_batches": probe_compaction(spark),
         }
     finally:
         spark.stop()
