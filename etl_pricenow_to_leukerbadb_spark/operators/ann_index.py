@@ -744,7 +744,14 @@ def compact_index(
     commit protection, but losing markers is benign (replay falls back
     to the classification guard) while losing codes would not be.
     Single-writer per index is the caller's contract; do not run
-    concurrently with an ingest job on the same path.
+    concurrently with an ingest job on the same path. Readers are not
+    isolated either: a search PLANNED before the swap reads file paths
+    that the swap removes (FileNotFound, loud), and a search planned
+    DURING the dark window fails the marker check — run compaction in
+    the same maintenance slot as ``fsck_index``, not under live query
+    traffic (a deployment that needs zero-downtime compaction points
+    searches at a path indirection and swaps the pointer, which this
+    layout supports by compacting a copy and renaming).
 
     Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
     {...}}`` with rows / files_before / files_after per directory."""
