@@ -688,12 +688,17 @@ def _compact_sorted(
     staging: str,
     sort_cols: list,
     target_files: int | None,
+    partition_col: str | None = None,
 ) -> tuple[int, int, int]:
     """Rewrite ``src`` into ``staging`` as ``target_files`` files,
     range-partitioned + sorted on ``sort_cols``. Returns (rows,
     files_before, files_after). The row count is asserted unchanged by
     the caller BEFORE any swap — a compaction that drops rows must
-    never replace live data."""
+    never replace live data. ``partition_col`` preserves a hive-
+    partitioned layout (the bucket indexes' point-probe ``bp`` key):
+    the range partitioning leads with it so each task holds contiguous
+    partition values and writes ~one file per directory, keeping the
+    total near max(target_files, #partitions)."""
     df = spark.read.parquet(src)
     n_rows = df.count()
     files_before = len(df.inputFiles())
@@ -701,11 +706,12 @@ def _compact_sorted(
         # narrow int/string tables: ~4M rows/file keeps files in the
         # tens-of-MB range; never EXPAND the file count
         target_files = max(1, min(files_before, (n_rows + 3_999_999) // 4_000_000))
-    (
-        df.repartitionByRange(target_files, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .write.parquet(staging)
-    )
+    cols = ([partition_col] if partition_col else []) + sort_cols
+    out = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+    writer = out.write
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
     staged = spark.read.parquet(staging)
     if staged.count() != n_rows:
         _fs_delete(spark, staging)

@@ -39,6 +39,13 @@ Both persist the same layout under ``path/``:
              exactly K rows per indexed id (K = ``bands`` for text,
              ``n_tables`` for vectors). THE scan side of every probe;
              narrow (id + small int + string key), no text/vectors.
+             Optionally hive-partitioned on a bucket-prefix key
+             (``bucket_prefix_len > 0`` at build — the POINT-PROBE
+             layout): a small probe's buckets cover few prefixes, so
+             the probe pushes a literal partition filter and reads
+             only those directories instead of the whole band table.
+             Bulk probes cover every prefix and gain nothing — pick
+             the layout for the probe shape you serve.
 
 Why persist the BUCKET TABLE and not signatures/projections: a probe
 needs only the bucket equi-join; the bucket table is the join-ready
@@ -48,12 +55,14 @@ probe/append time — O(delta).
 Scale shape of a probe: hash the delta (O(delta)), then ONE linear
 scan of the narrow band table joined to the delta's buckets —
 Catalyst broadcasts the probe side when the delta is small, so the
-corpus-sized table is never shuffled. The scan is linear in the
-CORPUS (inherent to bucket blocking — the index cannot know which
-buckets a future probe will carry) but reads ~1% of the corpus bytes;
-what the index saves vs the in-memory operators is the corpus-sized
-hashing pass, the dominant cost (measured 6.6x at 16x corpus,
-SCALE.md).
+corpus-sized table is never shuffled. On the flat layout the scan is
+linear in the CORPUS (inherent to bucket blocking — the index cannot
+know which buckets a future probe will carry) but reads ~1% of the
+corpus bytes; what the index saves vs the in-memory operators is the
+corpus-sized hashing pass, the dominant cost (measured 6.6x at 16x
+corpus, SCALE.md). The point-probe layout above trades directory
+count for sub-linear SMALL probes — the scan prunes to the prefixes
+the probe's buckets hash into.
 
 Reference analog: the twice-daily incremental upsert contract of
 ``scripts/pricenow_etl.py:329-358`` — new data integrated against
@@ -98,6 +107,16 @@ _VEC_META_COLS = (
 # ---------------------------------------------------------------------------
 
 
+def _bp(prefix_len: int):
+    """Partition key for the point-probe layout: the bucket's first
+    ``prefix_len`` characters behind a non-numeric sentinel ('p') —
+    without the sentinel, all-digit prefixes (every VECTOR bucket is a
+    bit string) would be type-INFERRED as ints on read, silently
+    breaking the string equi-filter against the probe's computed
+    prefixes."""
+    return F.concat(F.lit("p"), F.substring(F.col("bucket"), 1, prefix_len))
+
+
 def _write_bucket_index(
     spark: SparkSession,
     path: str,
@@ -106,11 +125,14 @@ def _write_bucket_index(
     bucket_df: DataFrame,
     overwrite: bool,
     build_id: str,
+    bucket_prefix_len: int = 0,
 ) -> None:
     """meta first, data, commit marker LAST — a load of a crashed
     build fails loudly instead of probing a half-written bucket table
     (which would silently MISS duplicates, the worst failure mode a
-    dedup gate can have)."""
+    dedup gate can have). ``bucket_prefix_len > 0`` hive-partitions
+    ``bands/`` on the bucket-prefix key (the point-probe layout — see
+    the module docstring)."""
     if overwrite:
         for sub in ("commit", "bands", "meta"):
             _fs_delete(spark, f"{path}/{sub}")
@@ -118,7 +140,14 @@ def _write_bucket_index(
     tiny_local_df(spark, [meta_row], meta_schema).coalesce(1).write.mode(
         mode
     ).parquet(f"{path}/meta")
-    bucket_df.write.mode(mode).parquet(f"{path}/bands")
+    writer = bucket_df.write.mode(mode)
+    if bucket_prefix_len:
+        writer = (
+            bucket_df.withColumn("bp", _bp(bucket_prefix_len))
+            .write.mode(mode)
+            .partitionBy("bp")
+        )
+    writer.parquet(f"{path}/bands")
     tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/commit")
@@ -145,13 +174,33 @@ def _load_bucket_index(
 
 
 def _probe_bucket_index(
-    bands_df: DataFrame, id_col: str, probe_buckets: DataFrame
+    bands_df: DataFrame,
+    id_col: str,
+    probe_buckets: DataFrame,
+    bucket_prefix_len: int = 0,
 ) -> DataFrame:
     """(probe_id, corpus_id) distinct pairs sharing any (band, bucket).
 
     Probe ids already in the index match themselves (identical
     buckets); callers probing not-yet-appended ids need no self-pair
-    filtering beyond the ``probe_id != corpus_id`` guard here."""
+    filtering beyond the ``probe_id != corpus_id`` guard here.
+
+    On a partitioned layout (``bucket_prefix_len > 0``) the probe's
+    distinct bucket prefixes are collected (bounded by the prefix
+    ALPHABET — ≤ 16^len for text hex, ≤ 2^len for vector bits — a
+    metadata-sized collect independent of data volume) and pushed as a
+    literal ``bp IN (...)`` partition filter, so the corpus scan reads
+    only the directories a bucket of the probe could live in. Spark's
+    dynamic partition pruning does NOT fire here on its own — it
+    requires a selective predicate on the build side, which a bare
+    probe table lacks — so the pruning is explicit and plan-visible
+    (``PartitionFilters: [bp IN (...)]``)."""
+    if bucket_prefix_len:
+        probe_buckets = probe_buckets.withColumn("bp", _bp(bucket_prefix_len))
+        prefixes = [
+            r["bp"] for r in probe_buckets.select("bp").distinct().collect()
+        ]
+        bands_df = bands_df.filter(F.col("bp").isin(prefixes))
     return (
         probe_buckets.select(
             F.col(id_col).alias("probe_id"), "band", "bucket"
@@ -226,9 +275,14 @@ def _fsck_bucket_index(
         )
         staging = f"{path}/.repair"
         _fs_delete(spark, staging)
-        distinct.join(keep, id_col, "left_semi").write.parquet(
-            f"{staging}/bands"
-        )
+        repaired = distinct.join(keep, id_col, "left_semi")
+        plen = params.get("bucket_prefix_len") or 0
+        if plen:  # preserve the point-probe layout across the rewrite
+            repaired.withColumn("bp", _bp(plen)).write.partitionBy(
+                "bp"
+            ).parquet(f"{staging}/bands")
+        else:
+            repaired.write.parquet(f"{staging}/bands")
         n_after = (
             spark.read.parquet(f"{staging}/bands")
             .select(id_col)
@@ -280,11 +334,17 @@ def _compact_bucket_index(
 
     _, params = load(spark, path)  # strict: marker must match
     id_col = params["id_col"]
+    plen = params.get("bucket_prefix_len") or 0
     staging = f"{path}/.compact_stage"
     _fs_delete(spark, staging)
 
     rows, fb, fa = _compact_sorted(
-        spark, f"{path}/bands", f"{staging}/bands", [id_col, "band"], target_files
+        spark,
+        f"{path}/bands",
+        f"{staging}/bands",
+        [id_col, "band"],
+        target_files,
+        partition_col="bp" if plen else None,
     )
     report = {"bands": {"rows": rows, "files_before": fb, "files_after": fa}}
     _fs_delete(spark, f"{path}/commit")
@@ -400,11 +460,23 @@ def build_dedup_index(
     bands: int = 4,
     overwrite: bool = False,
     allow_short: bool = False,
+    bucket_prefix_len: int = 0,
 ) -> str:
     """Minhash + band the corpus and persist the bucket table under
     ``path``. Returns the generation ``build_id``. Crash contract:
     see ``_write_bucket_index``; unshinglable documents fail the build
-    loudly unless ``allow_short=True`` (``_guard_unshinglable``)."""
+    loudly unless ``allow_short=True`` (``_guard_unshinglable``).
+
+    ``bucket_prefix_len > 0`` selects the POINT-PROBE layout:
+    ``bands/`` is hive-partitioned on the bucket's first N hex chars
+    (16^N directories), and probes prune the corpus scan to the
+    partitions their buckets could live in. Right for the serving
+    shape (a handful of documents checked interactively: a 1-doc probe
+    touches ``bands`` buckets ≈ that many partitions of 16^N); useless
+    for bulk probes, whose buckets cover every prefix — there the flat
+    layout's single linear scan is the honest cost. 2 is a sane N
+    (256 dirs); the geometry rides in meta like every other
+    parameter."""
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex
     if not allow_short:
@@ -421,12 +493,15 @@ def build_dedup_index(
             text_col,
             docs.schema[id_col].dataType.simpleString(),
             build_id,
+            int(bucket_prefix_len),
         ),
         "k_shingle int, n_hashes int, bands int, id_col string, "
-        "text_col string, id_type string, build_id string",
+        "text_col string, id_type string, build_id string, "
+        "bucket_prefix_len int",
         band_table(sigs, id_col, n_hashes, bands),
         overwrite,
         build_id,
+        bucket_prefix_len=int(bucket_prefix_len),
     )
     return build_id
 
@@ -459,6 +534,7 @@ def query_dedup_candidates(
         bands_df,
         id_col,
         band_table(sigs, id_col, params["n_hashes"], params["bands"]),
+        bucket_prefix_len=params.get("bucket_prefix_len") or 0,
     )
 
 
@@ -525,9 +601,14 @@ def append_to_dedup_index(
     sigs = minhash_signatures(
         docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
     )
-    band_table(sigs, id_col, params["n_hashes"], params["bands"]).write.mode(
-        "append"
-    ).parquet(f"{path}/bands")
+    buckets = band_table(sigs, id_col, params["n_hashes"], params["bands"])
+    plen = params.get("bucket_prefix_len") or 0
+    if plen:
+        buckets.withColumn("bp", _bp(plen)).write.mode("append").partitionBy(
+            "bp"
+        ).parquet(f"{path}/bands")
+    else:
+        buckets.write.mode("append").parquet(f"{path}/bands")
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +665,7 @@ def build_vec_dedup_index(
     n_tables: int = 8,
     dim: int = 64,
     overwrite: bool = False,
+    bucket_prefix_len: int = 0,
 ) -> str:
     """Sign-LSH-bucket the embedding corpus and persist the bucket
     table under ``path``. Returns the generation ``build_id``.
@@ -591,7 +673,13 @@ def build_vec_dedup_index(
     The hyperplanes are deterministic in (plane id, dim)
     (``similarity._hyperplane_values``), so the persisted geometry
     fully determines every bucket — probes and appends reproduce the
-    corpus's bucketing exactly, nothing random to persist."""
+    corpus's bucketing exactly, nothing random to persist.
+
+    ``bucket_prefix_len > 0`` selects the point-probe layout (see
+    ``build_dedup_index``) — here buckets are BIT strings, so the
+    prefix alphabet is 2^N directories (use e.g. 6 for 64): size it so
+    partitions stay coarse enough to hold real data but fine enough
+    that a few-vector probe prunes most of them."""
     spark = corpus.sparkSession
     build_id = uuid.uuid4().hex
     buckets = _vec_buckets(
@@ -615,13 +703,15 @@ def build_vec_dedup_index(
             corpus.schema[id_col].dataType.simpleString(),
             corpus.schema[vec_col].dataType.elementType.simpleString(),
             build_id,
+            int(bucket_prefix_len),
         ),
         "n_planes int, n_tables int, dim int, id_col string, "
         "vec_col string, id_type string, vec_elem_type string, "
-        "build_id string",
+        "build_id string, bucket_prefix_len int",
         buckets,
         overwrite,
         build_id,
+        bucket_prefix_len=int(bucket_prefix_len),
     )
     return build_id
 
@@ -666,7 +756,12 @@ def query_vec_dedup_candidates(
         params["dim"],
         "query_vec_dedup_candidates",
     )
-    cand = _probe_bucket_index(bands_df, id_col, probe_buckets)
+    cand = _probe_bucket_index(
+        bands_df,
+        id_col,
+        probe_buckets,
+        bucket_prefix_len=params.get("bucket_prefix_len") or 0,
+    )
     if corpus is None or threshold is None:
         return cand
     pv = probe_vecs.select(
@@ -740,7 +835,7 @@ def append_to_vec_dedup_index(vecs_delta: DataFrame, path: str) -> None:
         bands_df, vecs_delta, id_col, path, "append_to_vec_dedup_index"
     ):
         return
-    _vec_buckets(
+    buckets = _vec_buckets(
         vecs_delta,
         id_col,
         params["vec_col"],
@@ -748,4 +843,11 @@ def append_to_vec_dedup_index(vecs_delta: DataFrame, path: str) -> None:
         params["n_tables"],
         params["dim"],
         "append_to_vec_dedup_index",
-    ).write.mode("append").parquet(f"{path}/bands")
+    )
+    plen = params.get("bucket_prefix_len") or 0
+    if plen:
+        buckets.withColumn("bp", _bp(plen)).write.mode("append").partitionBy(
+            "bp"
+        ).parquet(f"{path}/bands")
+    else:
+        buckets.write.mode("append").parquet(f"{path}/bands")

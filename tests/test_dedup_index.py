@@ -547,3 +547,129 @@ def test_vec_compact_preserves_probe(spark, vecs, vec_split, tmp_path):
     _, params = load_vec_dedup_index(spark, path)
     assert params["build_id"] == build_id
     fsck_vec_dedup_index(spark, path)
+
+
+def test_point_probe_layout_matches_flat_and_prunes(
+    spark, docs, split, tmp_path
+):
+    """The partitioned (point-probe) layout must change WHERE bands
+    live, never what a probe computes: candidates identical to the
+    flat layout for the same probe, with the partition filter visible
+    in the scan (PartitionFilters: bp IN ...). Append, fsck repair,
+    and compaction must all preserve the layout."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        compact_dedup_index,
+        fsck_dedup_index,
+    )
+
+    old, delta = split
+    flat = str(tmp_path / "ddx_flat")
+    part = str(tmp_path / "ddx_part")
+    build_dedup_index(old, flat, **GEOM)
+    build_dedup_index(old, part, bucket_prefix_len=2, **GEOM)
+
+    probe = delta.orderBy("doc_id").limit(3).select("doc_id", "text")
+    want = sorted(
+        tuple(r) for r in query_dedup_candidates(spark, flat, probe).collect()
+    )
+    cand = query_dedup_candidates(spark, part, probe)
+    got = sorted(tuple(r) for r in cand.collect())
+    assert got == want
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "bp#" in plan and "IN (p" in plan, plan[:2000]
+
+    # append under the partitioned layout: probe of the delta now
+    # self-blocks against it, layout intact (bp dirs in the file paths)
+    append_to_dedup_index(delta, part)
+    bands, params = load_dedup_index(spark, part)
+    assert params["bucket_prefix_len"] == 2
+    assert bands.select("doc_id").distinct().count() == docs.count()
+    assert all("/bp=p" in f for f in bands.inputFiles())
+
+    # full-probe parity against the flat layout over the same corpus
+    append_to_dedup_index(delta, flat)
+    want_all = sorted(
+        tuple(r)
+        for r in query_dedup_candidates(spark, flat, probe).collect()
+    )
+    got_all = sorted(
+        tuple(r)
+        for r in query_dedup_candidates(spark, part, probe).collect()
+    )
+    assert got_all == want_all
+
+    # repair preserves the layout
+    from etl_pricenow_to_leukerbadb_spark.session import tiny_local_df
+
+    ghost = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    tiny_local_df(
+        spark,
+        [(ghost, 0, "deadbeef")],
+        "doc_id long, band int, bucket string",
+    ).withColumn("bp", F.lit("pde")).write.mode("append").partitionBy(
+        "bp"
+    ).parquet(f"{part}/bands")
+    report = fsck_dedup_index(spark, part, repair=True)
+    assert report["repair"]["pruned_ids"] == 1
+    bands, _ = load_dedup_index(spark, part)
+    assert all("/bp=p" in f for f in bands.inputFiles())
+    got_rep = sorted(
+        tuple(r)
+        for r in query_dedup_candidates(spark, part, probe).collect()
+    )
+    assert got_rep == want_all
+
+    # compaction preserves the layout and the probe results
+    creport = compact_dedup_index(spark, part, target_files=4)
+    bands, _ = load_dedup_index(spark, part)
+    assert all("/bp=p" in f for f in bands.inputFiles())
+    got_cmp = sorted(
+        tuple(r)
+        for r in query_dedup_candidates(spark, part, probe).collect()
+    )
+    assert got_cmp == want_all and creport["bands"]["rows"] > 0
+
+
+def test_vec_point_probe_layout_and_stream_inherit(
+    spark, vecs, vec_split, tmp_path
+):
+    """Vector frontend on the partitioned layout: bit-string buckets
+    partition on a 2^N prefix alphabet (sentinel keeps them strings),
+    probe candidates identical to the flat layout, and the streaming
+    ingest inherits the layout from meta without being told."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+        load_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_vec_dedup_ingest_job,
+    )
+
+    old, delta = vec_split
+    flat = str(tmp_path / "vddx_flat")
+    part = str(tmp_path / "vddx_part")
+    build_vec_dedup_index(old, flat, **VEC_GEOM)
+    build_vec_dedup_index(old, part, bucket_prefix_len=2, **VEC_GEOM)
+    want = sorted(
+        tuple(r)
+        for r in query_vec_dedup_candidates(spark, flat, delta).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in query_vec_dedup_candidates(spark, part, delta).collect()
+    )
+    assert got == want and want
+
+    # streaming ingest appends under the persisted layout
+    vec_dir = str(tmp_path / "vec_stream_part")
+    delta.write.parquet(vec_dir)
+    stream_vec_dedup_ingest_job(spark, vec_dir, part)
+    bands, params = load_vec_dedup_index(spark, part)
+    assert params["bucket_prefix_len"] == 2
+    assert all("/bp=p" in f for f in bands.inputFiles())
+    n_all = old.count() + delta.count()
+    assert bands.select("vec_id").distinct().count() == n_all
+    # bit-prefix alphabet: exactly the 2^2 sentinel'd values
+    bps = {r.bp for r in bands.select("bp").distinct().collect()}
+    assert bps <= {"p00", "p01", "p10", "p11"}

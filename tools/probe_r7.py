@@ -265,6 +265,60 @@ def probe_dedup_probe_cost(spark, factor: int = 16) -> dict:
     return results
 
 
+def probe_point_probe_layout(spark, factor: int = 16) -> dict:
+    """Flat vs partitioned (point-probe) layout for the SERVING shape:
+    check ONE document against a ``factor``x corpus index. The flat
+    layout scans the whole band table per probe; the partitioned
+    layout (bucket_prefix_len=2 -> 256 dirs) pushes the probe's bucket
+    prefixes as a literal partition filter, so a 1-doc probe (4
+    buckets -> <=4 prefixes) reads ~4/256 of the corpus bytes. Bulk
+    probes cover every prefix and gain nothing — this probe measures
+    the layout's actual target, not a strawman."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+        query_dedup_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    corpus = docs
+    for k in range(1, factor):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(int(k * span))).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" salt{k}")).alias("text"),
+            )
+        )
+    corpus = corpus.localCheckpoint(eager=True)
+    one_doc = docs.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + F.lit(int(span * (factor + 1)))).alias("doc_id"),
+        "text",
+    )
+    one_doc = one_doc.localCheckpoint(eager=True)
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, plen in (("flat", 0), ("partitioned", 2)):
+            path = f"{tmp}/ddx_{name}"
+            build_dedup_index(corpus, path, bucket_prefix_len=plen)
+            query_dedup_candidates(spark, path, one_doc).count()  # warm
+            sec = min(
+                timed(
+                    lambda: query_dedup_candidates(
+                        spark, path, one_doc
+                    ).count()
+                )[1]
+                for _ in range(3)
+            )
+            results[name] = {"probe_sec": round(sec, 3)}
+    results["corpus_rows"] = corpus.count()
+    results["speedup"] = round(
+        results["flat"]["probe_sec"] / results["partitioned"]["probe_sec"], 2
+    )
+    return results
+
+
 def probe_compaction(spark, n_appends: int = 32) -> dict:
     """Small-file cost of a streaming ingest, and what compaction buys
     back: build over a 4x corpus, apply ``n_appends`` micro-batch
@@ -339,6 +393,7 @@ def main() -> None:
             "repair_vs_rebuild_4x": probe_repair_vs_rebuild(spark),
             "dedup_probe_cost_16x": probe_dedup_probe_cost(spark),
             "compaction_32_batches": probe_compaction(spark),
+            "point_probe_layout_16x": probe_point_probe_layout(spark),
         }
     finally:
         spark.stop()
