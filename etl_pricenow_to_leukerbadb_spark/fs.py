@@ -1,0 +1,136 @@
+"""Scheme-agnostic filesystem helpers over the Hadoop FileSystem API.
+
+Why this module exists: sinks and persisted indexes write wherever
+``spark.write`` can reach — driver-local disk in tests, HDFS or an
+object store (``s3a://``/``gs://``) in production. A driver-local
+probe (``os.path.isdir``) is silently ``False`` on any non-local URI,
+and ``shutil.move`` lands data under a mangled local path like
+``./s3:/bucket/...`` while the job reports success — for a keyed
+upsert that means "merge succeeded, real table never updated", the
+worst sink failure mode. Every layout decision (existence probe,
+staging, crash-safe swap, marker IO) therefore goes through the SAME
+filesystem Spark itself resolves for the path, via the JVM's
+``org.apache.hadoop.fs.FileSystem``.
+
+These helpers are driver-side metadata operations (open/rename/delete
+of a handful of paths per commit) — never per-row, so the Py4J hop is
+irrelevant to throughput. Data movement stays in ``spark.read`` /
+``df.write``.
+
+Path string helpers (`parent`, `basename`) are pure string ops that
+work on both plain paths and URIs — ``os.path`` would mis-split a
+``scheme://`` prefix on some inputs and is avoided for consistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+
+def parent(path: str) -> str:
+    """Parent of a path or URI (string op; no filesystem access)."""
+    p = path.rstrip("/")
+    head, _, _ = p.rpartition("/")
+    return head
+
+
+def basename(path: str) -> str:
+    """Last component of a path or URI (string op)."""
+    p = path.rstrip("/")
+    _, _, tail = p.rpartition("/")
+    return tail
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` under Spark's Hadoop conf —
+    the local FS for plain paths, the scheme's FS for URIs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path``; no-op when absent."""
+    fs, p = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst``. Raises when the filesystem refuses —
+    Hadoop signals that with a ``False`` return, not an exception, and
+    a silently skipped rename would detach a commit from its data."""
+    fs, s = _fs(spark, src)
+    jvm = spark._jvm
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(s, d):
+        raise RuntimeError(f"rename {src} -> {dst} refused by the filesystem")
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text marker (overwrite). Driver-side, via the
+    path's own filesystem — ``open()`` would silently create a local
+    file for an object-store URI."""
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text marker, or None when absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # IOUtils.toByteArray is not universally present; read via the
+        # JVM's stream into a reasonable marker-sized buffer loop.
+        jvm = spark._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Spark-side existence probe: the parquet table at ``path``, or
+    None when the path is absent or holds no readable parquet (e.g. an
+    empty directory). This is THE portable "does the table exist yet"
+    check — it answers against the same filesystem the write targets."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def parquet_file_count_fs(spark: SparkSession, path: str) -> int:
+    """Recursive ``*.parquet`` file count via the path's filesystem
+    (the portable twin of ``sinks.layout.parquet_file_count``)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

@@ -44,9 +44,9 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..fs import fs_delete, fs_rename, try_read_parquet
 from ..session import tiny_local_df
 from .similarity import (
     _pq_codebook,
@@ -61,42 +61,17 @@ from .similarity import (
 _META_COLS = ("n_subspaces", "sub_dim", "n_codes", "id_col", "vec_col")
 
 
-def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
-    """Spark-side existence probe: read the path, or None if absent.
-
-    Layout decisions MUST go through Spark's filesystem, never
-    ``os.path`` — the index lives wherever ``spark.write`` put it
-    (HDFS/S3 in production), and a driver-local check is silently
-    False there, which turns "append to both tables" into "append to
-    one", the exact corruption this module exists to prevent."""
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
-
-
-def _fs_delete(spark: SparkSession, path: str) -> None:
-    """Recursively delete ``path`` via the Hadoop FileSystem API —
-    works on any scheme Spark itself can write to (local, HDFS, S3A),
-    unlike ``shutil``. No-op when the path does not exist."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-
-
-def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
-    """Rename ``src`` to ``dst`` via the Hadoop FileSystem API (same
-    portability argument as ``_fs_delete``). Raises when the rename is
-    refused — Hadoop signals that with a False return, not an
-    exception, and a silently skipped rename here would leave the
-    index without its codes table."""
-    jvm = spark._jvm
-    s = jvm.org.apache.hadoop.fs.Path(src)
-    d = jvm.org.apache.hadoop.fs.Path(dst)
-    fs = s.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.rename(s, d):
-        raise RuntimeError(f"rename {src} -> {dst} refused by the filesystem")
+# Layout decisions MUST go through Spark's filesystem, never
+# ``os.path`` — the index lives wherever ``spark.write`` put it
+# (HDFS/S3 in production), and a driver-local check is silently False
+# there, which turns "append to both tables" into "append to one",
+# the exact corruption this module exists to prevent. The helpers
+# were promoted to ``..fs`` so the parquet merge sinks share them;
+# the private aliases keep this module's call sites (and its public
+# test seam) stable.
+_try_read_parquet = try_read_parquet
+_fs_delete = fs_delete
+_fs_rename = fs_rename
 
 
 def build_pq_index(

@@ -29,7 +29,6 @@ that decide whether a 100 TB table is scannable.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,12 +169,16 @@ def compact_parquet(
 
     The rewrite goes through a temp dir + atomic-ish swap so readers
     never see a half-written table — same pattern as the upsert sink.
+    Staging, the swap, and the final count all go through the path's
+    own Hadoop filesystem (``..fs``), so the compaction works on any
+    scheme Spark can write to, not just local disk.
     """
-    import shutil
+    import uuid
 
+    from ..fs import basename, fs_delete, parent, parquet_file_count_fs
     from .upsert import replace_dir
 
-    target_path = os.path.join(path, partition) if partition else path
+    target_path = f"{path.rstrip('/')}/{partition}" if partition else path
     df = spark.read.parquet(target_path)
     # DOT-prefixed temp dir: when compacting one partition the staging
     # dir lands inside the table root, and a visible name would be
@@ -192,17 +195,13 @@ def compact_parquet(
     # '.compact_events_v2_<rand>' because mkdtemp's suffix alphabet
     # includes '_' — whereas directory boundaries are unambiguous:
     # sweeping .compact/events/ can never touch .compact/events_v2/.
-    parent = os.path.dirname(target_path.rstrip("/"))
-    staging_root = os.path.join(
-        parent, ".compact", os.path.basename(target_path.rstrip("/"))
-    )
-    shutil.rmtree(staging_root, ignore_errors=True)  # stale from prior crash
-    os.makedirs(staging_root)
-    tmp = tempfile.mkdtemp(prefix="stage_", dir=staging_root)
+    staging_root = f"{parent(target_path)}/.compact/{basename(target_path)}"
+    fs_delete(spark, staging_root)  # stale from prior crash
+    tmp = f"{staging_root}/stage_{uuid.uuid4().hex[:8]}"
     # coalesce, not repartition: narrowing to fewer files needs no shuffle
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # crash-safe backup-aside swap (also clears stale backups from a
     # prior crash, which the old unconditional rename tripped over)
-    replace_dir(tmp, target_path)
-    shutil.rmtree(staging_root, ignore_errors=True)
-    return parquet_file_count(target_path)
+    replace_dir(spark, tmp, target_path)
+    fs_delete(spark, staging_root)
+    return parquet_file_count_fs(spark, target_path)

@@ -9,8 +9,17 @@ guards). Spark has no DataFrame-native upsert, so the engine provides:
                             (updates win; base rows without a matching
                             key survive) usable inside any plan;
 - ``merge_upsert_parquet`` — a parquet-table target with
-                            write-new/swap commit, the local stand-in
-                            for a lakehouse MERGE INTO;
+                            write-new/swap commit, the stand-in for a
+                            lakehouse MERGE INTO. All existence probes,
+                            staging and the crash-safe swap go through
+                            the Hadoop FileSystem API (``..fs``), so
+                            the sink works on any scheme Spark itself
+                            can write to (local, HDFS, s3a) — a
+                            driver-local ``os.path`` probe is silently
+                            False on an object-store URI, which would
+                            turn the merge into "treat table as empty,
+                            land output under a mangled local path,
+                            report success";
 - ``jdbc_upsert``          — executemany ``INSERT ... ON CONFLICT DO
                             UPDATE`` in key-ordered batches (mirrors
                             the reference's 1000-row chunking), gated
@@ -25,12 +34,19 @@ deliberately the same shape as ``MERGE INTO t USING u ON keys``.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..fs import (
+    basename,
+    fs_delete,
+    fs_exists,
+    fs_rename,
+    parent,
+    try_read_parquet,
+)
 
 
 def assert_keys_not_null(df: DataFrame, keys: list[str], table: str = "<target>") -> None:
@@ -142,7 +158,7 @@ def merge_upsert_evolve(
     return merge_upsert_df(base_p, upd_p, keys=keys)
 
 
-def replace_dir(new_dir: str, target_path: str) -> None:
+def replace_dir(spark: SparkSession, new_dir: str, target_path: str) -> None:
     """Crash-safe directory swap: rename the live target aside, move
     the new directory in, then drop the backup. A crash between the
     two renames leaves the hidden ``.<target>.bak`` sibling intact
@@ -153,24 +169,32 @@ def replace_dir(new_dir: str, target_path: str) -> None:
     compaction/merge), where a visible sibling would break partition
     discovery for every concurrent reader — and permanently, if the
     crash happens before cleanup. Spark's file index ignores hidden
-    paths."""
-    d, b = os.path.dirname(os.path.abspath(target_path)), os.path.basename(
-        target_path.rstrip("/")
-    )
-    bak = os.path.join(d, f".{b}.bak")
-    if os.path.isdir(bak):
-        shutil.rmtree(bak)
-    had_old = os.path.isdir(target_path)
+    paths.
+
+    All moves go through the path's own Hadoop FileSystem (``..fs``),
+    so the swap is scheme-portable; ``new_dir`` must live under the
+    same scheme as the target (stage next to the table — the callers
+    here all do), since a cross-filesystem rename is refused, loudly.
+
+    On object stores without native rename (S3) the per-rename cost is
+    a server-side copy — acceptable for the dimension-sized tables
+    this whole-table sink targets; the partition-scoped variant
+    (`merge_upsert_partitioned`) commits through Spark's dynamic
+    partition overwrite instead and avoids the double move."""
+    d, b = parent(target_path), basename(target_path)
+    bak = f"{d}/.{b}.bak"
+    fs_delete(spark, bak)
+    had_old = fs_exists(spark, target_path)
     if had_old:
-        os.rename(target_path, bak)
+        fs_rename(spark, target_path, bak)
     try:
-        shutil.move(new_dir, target_path)
+        fs_rename(spark, new_dir, target_path)
     except BaseException:
-        if had_old and not os.path.isdir(target_path):
-            os.rename(bak, target_path)
+        if had_old and not fs_exists(spark, target_path):
+            fs_rename(spark, bak, target_path)
         raise
     if had_old:
-        shutil.rmtree(bak, ignore_errors=True)
+        fs_delete(spark, bak)
 
 
 def merge_upsert_parquet(
@@ -195,22 +219,27 @@ def merge_upsert_parquet(
     # enforce it here (like the reference's Postgres PK would) instead
     # of silently persisting duplicate "PK" rows
     assert_keys_unique(updates, keys, table or target_path)
-    if os.path.isdir(target_path) and any(
-        f.endswith(".parquet") for f in os.listdir(target_path)
-    ):
-        base = spark.read.parquet(target_path)
+    # portable existence probe: read-or-None against the path's own
+    # filesystem (an empty or absent table reads as None, same as the
+    # old listdir check — but correct on object-store URIs too)
+    base = try_read_parquet(spark, target_path)
+    if base is not None:
         merged = merge_upsert_df(base, updates, keys, precedence_col=precedence_col)
     else:
         merged = updates
-    tmp = tempfile.mkdtemp(
-        prefix=".merge_", dir=os.path.dirname(os.path.abspath(target_path))
-    )
-    out = os.path.join(tmp, "data")
+    # staging lives under a hidden per-TARGET directory next to the
+    # table (same scheme, so the swap is a same-filesystem rename);
+    # directory boundaries keep sibling tables' staging disjoint, and
+    # single-writer-per-table (the sink's contract) makes sweeping
+    # stale staging from a prior crash safe
+    stage_root = f"{parent(target_path)}/.merge/{basename(target_path)}"
+    fs_delete(spark, stage_root)
+    out = f"{stage_root}/stage_{uuid.uuid4().hex[:8]}/data"
     # .write.parquet is an action: the output is fully on disk when it
     # returns (a re-read+count here would just double the read I/O)
     merged.write.mode("overwrite").parquet(out)
-    replace_dir(out, target_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    replace_dir(spark, out, target_path)
+    fs_delete(spark, stage_root)
 
 
 def merge_upsert_partitioned(
@@ -245,11 +274,9 @@ def merge_upsert_partitioned(
     same contract as ``merge_upsert_df`` — so a late-arriving batch
     of OLDER events cannot clobber newer rows already merged into a
     partition."""
-    from .layout import parquet_file_count
-
     assert_keys_not_null(updates, keys, table or target_path)
     assert_keys_unique(updates, keys, table or target_path)
-    if parquet_file_count(target_path) == 0:
+    if try_read_parquet(spark, target_path) is None:
         updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
         return
     touched = updates.select(*partition_cols).distinct().collect()

@@ -402,25 +402,37 @@ def incremental_agg_apply_batch(
     The view directory and the streaming checkpoint form a pair:
     epoch ids are only monotonic within one checkpoint lineage, so to
     rebuild from scratch delete BOTH (a fresh checkpoint restarts epoch
-    numbering at 0, which the marker of a kept view would shadow)."""
-    import glob
-    import os
-    import shutil
+    numbering at 0, which the marker of a kept view would shadow).
+
+    Marker IO, the existence probe, staging and the swap all go
+    through the view path's own Hadoop filesystem (``..fs``), so the
+    sink commits correctly when the view lives on HDFS/an object store
+    — a driver-local ``open()``/``os.path`` here would read an absent
+    marker (replaying committed epochs as double-counts) and land the
+    stage under a mangled local path."""
     import uuid
+
+    from ..fs import (
+        basename,
+        fs_delete,
+        fs_read_text,
+        fs_write_text,
+        parent,
+        try_read_parquet,
+    )
 
     if batch_df.isEmpty():
         return False
-    # clear stage dirs orphaned by a prior crash (single-writer by the
-    # streaming checkpoint's contract, so anything here is dead)
-    for stale in glob.glob(target_path + "_stage_*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    marker = os.path.join(target_path, _INC_EPOCH_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            applied = int(fh.read().strip())
-        if epoch_id <= applied:
-            return False
     sess = batch_df.sparkSession
+    # clear stage dirs orphaned by a prior crash (single-writer by the
+    # streaming checkpoint's contract, so anything here is dead);
+    # hidden per-view directory, same layout discipline as the upsert
+    # and compaction sinks
+    stage_root = f"{parent(target_path)}/.inc_stage/{basename(target_path)}"
+    fs_delete(sess, stage_root)
+    applied_txt = fs_read_text(sess, f"{target_path}/{_INC_EPOCH_MARKER}")
+    if applied_txt is not None and epoch_id <= int(applied_txt.strip()):
+        return False
     part = batch_df.groupBy(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -428,8 +440,9 @@ def incremental_agg_apply_batch(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(DEC)).cast(_INC_ACC).alias("sum_dec"),
     )
-    if os.path.exists(target_path):
-        existing = sess.read.parquet(target_path).select(
+    existing_df = try_read_parquet(sess, target_path)
+    if existing_df is not None:
+        existing = existing_df.select(
             "day", "event_type", "n", F.col("sum_dec").cast(_INC_ACC).alias("sum_dec")
         )
         part = (
@@ -440,11 +453,11 @@ def incremental_agg_apply_batch(
                 F.sum("sum_dec").cast(_INC_ACC).alias("sum_dec"),
             )
         )
-    tmp = target_path + f"_stage_{uuid.uuid4().hex[:8]}"
+    tmp = f"{stage_root}/stage_{uuid.uuid4().hex[:8]}"
     part.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _INC_EPOCH_MARKER), "w") as fh:
-        fh.write(str(epoch_id))
-    replace_dir(tmp, target_path)
+    fs_write_text(sess, f"{tmp}/{_INC_EPOCH_MARKER}", str(epoch_id))
+    replace_dir(sess, tmp, target_path)
+    fs_delete(sess, stage_root)
     return True
 
 

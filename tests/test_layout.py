@@ -121,7 +121,7 @@ def test_partition_merge_creates_table_when_missing(spark, sf_small, tmp_path):
     assert spark.read.parquet(path).count() == 100
 
 
-def test_replace_dir_is_crash_safe_and_clears_stale_backup(tmp_path):
+def test_replace_dir_is_crash_safe_and_clears_stale_backup(spark, tmp_path):
     from etl_pricenow_to_leukerbadb_spark.sinks.upsert import replace_dir
 
     target = tmp_path / "live"
@@ -137,7 +137,7 @@ def test_replace_dir_is_crash_safe_and_clears_stale_backup(tmp_path):
     new.mkdir()
     (new / "b.txt").write_text("new")
 
-    replace_dir(str(new), str(target))
+    replace_dir(spark, str(new), str(target))
 
     assert (target / "b.txt").read_text() == "new"
     assert not (target / "a.txt").exists()
