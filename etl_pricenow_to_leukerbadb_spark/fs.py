@@ -111,6 +111,31 @@ def fs_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of ``path`` (files and directories); [] when the
+    path does not exist."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def fs_copy(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursively copy ``src`` to ``dst`` (Hadoop ``FileUtil.copy``,
+    scheme-portable; source is left in place). Used for the small
+    index artifacts (meta/codebook/centroids) during a serving-layout
+    compaction — byte-identical copies, cheaper and safer than a
+    Spark re-encode."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    sfs = sp.getFileSystem(conf)
+    dfs = dp.getFileSystem(conf)
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, False, conf):
+        raise RuntimeError(f"copy {src} -> {dst} refused by the filesystem")
+
+
 def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     """Spark-side existence probe: the parquet table at ``path``, or
     None when the path is absent or holds no readable parquet (e.g. an

@@ -42,11 +42,22 @@ the index changes WHERE the structures live, never what they compute.
 
 from __future__ import annotations
 
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..fs import fs_delete, fs_rename, try_read_parquet
+from ..fs import (
+    fs_copy,
+    fs_delete,
+    fs_exists,
+    fs_list_names,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+    try_read_parquet,
+)
 from ..session import tiny_local_df
 from .similarity import (
     _pq_codebook,
@@ -178,7 +189,226 @@ def _write_commit(spark: SparkSession, path: str, build_id: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
-def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
+# ---------------------------------------------------------------------------
+# Serving layout: pointer indirection for zero-downtime compaction.
+#
+# The flat layout keeps the artifacts directly under `path/` and
+# compacts IN PLACE (`compact_index`): correct, but not reader-isolated
+# — a search planned before the swap holds file paths the swap removes
+# (FileNotFound), and one planned during the dark window fails the
+# commit-marker check. The serving layout removes both failure modes:
+# artifacts live under `path/gen-<id>/`, a tiny `path/CURRENT` text
+# marker names the live generation, readers resolve the pointer at
+# plan time, and `compact_index_serving` compacts a COPY into a new
+# generation and atomically swaps the pointer. Old-generation FILES
+# stay on disk until the NEXT compaction (one-generation grace), so a
+# search planned against the previous generation keeps streaming its
+# own files untouched. Cost of the isolation: the small artifacts
+# (meta/codebook/centroids, broadcast-sized) are copied per compaction
+# and two generations of codes/lists coexist between compactions —
+# ~2x index storage at the compaction cadence, the standard
+# MVCC-layout rent (measured in SCALE.md).
+# ---------------------------------------------------------------------------
+
+_CURRENT = "CURRENT"
+_GEN_RE = re.compile(r"^gen-[0-9a-f]{12}$")
+
+
+def _resolve_index_root(spark: SparkSession, path: str) -> str:
+    """The directory the index artifacts actually live in: the live
+    generation dir when ``path`` is a serving-layout root (has a
+    ``CURRENT`` pointer), else ``path`` itself (flat layout — also the
+    fixed point, so resolving an already-resolved path is a no-op and
+    every public entry point can resolve unconditionally).
+
+    The pointer swap is two metadata ops (delete + rename), so a
+    reader can catch the microsecond gap where ``CURRENT`` is absent;
+    generation dirs existing WITHOUT a pointer disambiguate that race
+    from a genuine flat layout, and the read retries briefly before
+    failing loudly."""
+    p = path.rstrip("/")
+    for _ in range(40):
+        gen = fs_read_text(spark, f"{p}/{_CURRENT}")
+        if gen is not None:
+            gen = gen.strip()
+            gen_path = f"{p}/{gen}"
+            if _GEN_RE.match(gen) and fs_exists(spark, gen_path):
+                return gen_path
+        elif not any(_GEN_RE.match(n) for n in fs_list_names(spark, p)):
+            return p
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"index at {path}: CURRENT pointer missing or naming an absent "
+        "generation after retries — a pointer swap crashed mid-flight; "
+        "restore CURRENT to point at the newest complete generation"
+    )
+
+
+def _write_current(spark: SparkSession, path: str, gen_name: str) -> None:
+    """Swap the generation pointer: stage the new marker, then
+    delete + rename. The sub-millisecond pointer-absent window is
+    covered by the resolver's retry; the data dirs themselves are
+    never touched, which is the whole point of the indirection."""
+    tmp = f"{path}/.CURRENT.next"
+    fs_write_text(spark, tmp, gen_name)
+    fs_delete(spark, f"{path}/{_CURRENT}")
+    fs_rename(spark, tmp, f"{path}/{_CURRENT}")
+
+
+def migrate_index_to_serving(spark: SparkSession, path: str) -> str:
+    """One-time, resumable migration of a flat-layout index into the
+    serving layout: validate the flat index, move every artifact dir
+    into a fresh ``gen-<id>/``, then write the ``CURRENT`` pointer.
+    Per-directory renames are atomic, so a crash mid-migration leaves
+    a partial generation WITHOUT a pointer — re-running detects it and
+    finishes moving the remaining dirs (the flat index stays loadable
+    until ``meta`` itself moves, and the pointer — what readers trust —
+    appears only once everything is in place). Single-writer op; do
+    not run under live traffic (that is what the migration buys you
+    for every compaction AFTER it)."""
+    p = path.rstrip("/")
+    if fs_read_text(spark, f"{p}/{_CURRENT}") is not None:
+        raise ValueError(f"index at {path} is already in the serving layout")
+    partial = [n for n in fs_list_names(spark, p) if _GEN_RE.match(n)]
+    if len(partial) > 1:
+        raise RuntimeError(
+            f"index at {path}: multiple pointer-less generation dirs "
+            f"({partial}) — cannot tell which migration to resume; "
+            "delete the incomplete one(s) manually"
+        )
+    if partial:
+        gen_name = partial[0]  # resume a crashed migration
+    else:
+        load_pq_index(spark, p)  # refuse to migrate a broken index
+        gen_name = f"gen-{uuid.uuid4().hex[:12]}"
+    gen_path = f"{p}/{gen_name}"
+    for n in fs_list_names(spark, p):
+        if _GEN_RE.match(n) or n == _CURRENT or n.startswith("."):
+            continue
+        fs_rename(spark, f"{p}/{n}", f"{gen_path}/{n}")
+    _write_current(spark, p, gen_name)
+    load_pq_index(spark, p)  # end-to-end: pointer resolves, index valid
+    return gen_path
+
+
+def compact_index_serving(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    keep_previous: bool = True,
+) -> dict:
+    """Reader-isolated compaction: compact a COPY of the live
+    generation into a new ``gen-<id>/`` and atomically swap the
+    ``CURRENT`` pointer — searches planned before, during, or after
+    the swap all succeed (pytest-gated), because no file a reader can
+    hold a reference to is deleted.
+
+    Same rewrite semantics as ``compact_index`` (codes id-sorted +
+    range-partitioned, lists by id, epoch markers to one file, row
+    counts verified BEFORE the pointer moves); the small artifacts
+    (meta/codebook/centroids/ivf_meta) are byte-copied. The new
+    generation's commit marker is written LAST within the generation,
+    and the pointer swap happens only after it — a crash anywhere
+    leaves ``CURRENT`` on the old, fully-intact generation, and the
+    orphaned partial generation is swept by the next successful run's
+    cleanup.
+
+    ``keep_previous=True`` (default) retains the superseded generation
+    until the NEXT compaction, giving in-flight readers a full
+    compaction interval to finish — the doubled storage is the rent
+    for zero-downtime (SCALE.md). Generations older than that are
+    deleted here. Single-writer per index, and not concurrent with a
+    streaming ingest (whose appends would land in the generation it
+    resolved at job start)."""
+    p = path.rstrip("/")
+    cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
+    if cur_name is None:
+        raise ValueError(
+            f"index at {path} is in the flat layout — run "
+            "migrate_index_to_serving() once, or use compact_index() "
+            "in a maintenance window"
+        )
+    cur_name = cur_name.strip()
+    cur = f"{p}/{cur_name}"
+    _, _, params = load_pq_index(spark, cur)  # validates marker + geometry
+    id_col = params["id_col"]
+    new_name = f"gen-{uuid.uuid4().hex[:12]}"
+    new = f"{p}/{new_name}"
+
+    report: dict = {}
+    children = fs_list_names(spark, cur)
+    rows, fb, fa = _compact_sorted(
+        spark, f"{cur}/codes", f"{new}/codes", [id_col, "subspace"], target_files
+    )
+    report["codes"] = {"rows": rows, "files_before": fb, "files_after": fa}
+    if "lists" in children and "ivf_meta" in children:
+        rows, fb, fa = _compact_sorted(
+            spark, f"{cur}/lists", f"{new}/lists", [id_col], target_files
+        )
+        report["lists"] = {"rows": rows, "files_before": fb, "files_after": fa}
+    if "ingest_epochs" in children:
+        rows, fb, fa = _compact_sorted(
+            spark,
+            f"{cur}/ingest_epochs",
+            f"{new}/ingest_epochs",
+            ["query_id", "epoch_id"],
+            1,
+        )
+        report["ingest_epochs"] = {
+            "rows": rows,
+            "files_before": fb,
+            "files_after": fa,
+        }
+    for n in children:
+        if n in ("codes", "lists", "ingest_epochs", "commit") or n.startswith("."):
+            continue
+        fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
+    if "build_id" in params:
+        _write_commit(spark, new, params["build_id"])  # completes the gen
+    _write_current(spark, p, new_name)
+    keep = {new_name} | ({cur_name} if keep_previous else set())
+    for n in fs_list_names(spark, p):
+        if _GEN_RE.match(n) and n not in keep:
+            fs_delete(spark, f"{p}/{n}")
+    report["generation"] = {"previous": cur_name, "current": new_name}
+    return report
+
+
+# Per-process handle cache: the small immutable-within-a-generation
+# artifacts (meta params, codebook plan, IVF geometry) keyed by
+# (application, resolved path). A cache HIT is validated by re-reading
+# the 1-row commit marker and comparing build_id — one tiny driver job
+# instead of the 3-5 (meta collect, commit collect, codebook count,
+# ivf_meta collect, centroids count) a cold load runs — so at serving
+# QPS the per-search driver overhead drops without weakening the crash
+# contract: any rebuild writes a new build_id (miss -> full re-check),
+# a crashed build has no matching marker (miss -> the loud load error),
+# and repair/compaction keep build_id but only rewrite codes/lists,
+# which are ALWAYS re-read fresh per call (appends must be visible, so
+# the big-table file listing is never cached). Legacy indexes without
+# a build_id cannot be validated and bypass the cache entirely.
+_HANDLE_CACHE: dict[tuple, dict] = {}
+
+
+def _cache_key(spark: SparkSession, path: str) -> tuple:
+    return (spark.sparkContext.applicationId, path)
+
+
+def invalidate_index_handles(path: str | None = None) -> None:
+    """Drop cached handles (all, or those for one resolved path) —
+    test seam and escape hatch; normal invalidation is the build_id
+    check on every hit."""
+    if path is None:
+        _HANDLE_CACHE.clear()
+        return
+    p = path.rstrip("/")
+    for k in [k for k in _HANDLE_CACHE if k[1] == p]:
+        _HANDLE_CACHE.pop(k, None)
+
+
+def load_pq_index(
+    spark: SparkSession, path: str, use_cache: bool = True
+) -> tuple[DataFrame, DataFrame, dict]:
     """Load (codes, codebook, params) from a ``build_pq_index`` path.
 
     Validates (a) that the commit marker exists and its build_id
@@ -196,7 +426,23 @@ def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame,
     through the structural codebook-count check alone — the legacy
     format cannot distinguish a crashed build from a complete one, so
     the stronger guarantee starts at the first rebuild, without forcing
-    one."""
+    one.
+
+    Serving-layout roots (``migrate_index_to_serving``) resolve their
+    ``CURRENT`` pointer here, so every search path reads the live
+    generation transparently. ``use_cache=True`` (default) serves the
+    small artifacts from the validated per-process handle cache (see
+    ``_HANDLE_CACHE``); the codes table is re-read fresh either way."""
+    path = _resolve_index_root(spark, path)
+    key = _cache_key(spark, path)
+    if use_cache and key in _HANDLE_CACHE:
+        cached = _HANDLE_CACHE[key]
+        commit = _try_read_parquet(spark, f"{path}/commit")
+        rows = commit.collect() if commit is not None else []
+        if len(rows) == 1 and rows[0]["build_id"] == cached["build_id"]:
+            codes = spark.read.parquet(f"{path}/codes")
+            return codes, cached["codebook"], dict(cached["params"])
+        _HANDLE_CACHE.pop(key, None)  # superseded or crashed generation
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1 or set(_META_COLS) - set(meta_rows[0].asDict()):
         raise ValueError(f"load_pq_index: malformed meta at {path}/meta")
@@ -223,6 +469,12 @@ def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame,
             "or was built with different parameters"
         )
     codes = spark.read.parquet(f"{path}/codes")
+    if use_cache and "build_id" in params:
+        _HANDLE_CACHE[key] = {
+            "build_id": params["build_id"],
+            "codebook": codebook,
+            "params": dict(params),
+        }
     return codes, codebook, params
 
 
@@ -307,6 +559,9 @@ def append_to_pq_index(
       ``assume_new_ids=True`` append that double-writes still fails
       loudly here instead of poisoning searches."""
     spark = delta.sparkSession
+    # appends land in the CURRENT generation of a serving-layout index
+    # (resolved once; do not compact concurrently with an append)
+    path = _resolve_index_root(spark, path)
     codes, codebook, params = load_pq_index(spark, path)
     id_col, vec_col = params["id_col"], params["vec_col"]
     dim = params["n_subspaces"] * params["sub_dim"]
@@ -510,6 +765,7 @@ def fsck_index(
     recovery: a rewrite of the narrow codes/lists tables, never a
     re-quantization of the corpus — at billion-vector scale that is
     the difference between minutes and a full rebuild."""
+    path = _resolve_index_root(spark, path)
     codes, _, params = load_pq_index(spark, path)
     id_col = params["id_col"]
     cstats = (
@@ -610,6 +866,7 @@ def repair_index(spark: SparkSession, path: str) -> dict:
     exact vector snapshot, which at the billion-vector target means
     re-reading 25x the bytes repair touches, from tables that may be
     cold or already compacted away."""
+    path = _resolve_index_root(spark, path)
     codes, _, params = load_pq_index(spark, path)
     id_col = params["id_col"]
     n_sub = int(params["n_subspaces"])
@@ -736,6 +993,7 @@ def compact_index(
 
     Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
     {...}}`` with rows / files_before / files_after per directory."""
+    path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, _, params = load_pq_index(spark, path)  # strict: marker must match
     id_col = params["id_col"]
     staging = f"{path}/.compact_stage"
@@ -882,19 +1140,29 @@ def search_ivfpq_index(
     code table, exact-re-rank the shortlist against ``corpus`` raw
     vectors. Bit-identical to ``ivf_pq_topk`` run from scratch with
     the build's parameters (pytest-gated)."""
+    path = _resolve_index_root(spark, path)
     codes, codebook, params = load_pq_index(spark, path)
-    cent_rows = spark.read.parquet(f"{path}/ivf_meta").collect()
-    if len(cent_rows) != 1:
-        raise ValueError(f"search_ivfpq_index: malformed ivf_meta at {path}")
-    n_centroids = cent_rows[0]["n_centroids"]
-    centroids = spark.read.parquet(f"{path}/centroids")
-    actual = centroids.count()  # broadcast-sized table: a cheap job
-    if actual != n_centroids:
-        raise ValueError(
-            f"search_ivfpq_index: centroid table at {path} has {actual} "
-            f"rows, expected {n_centroids} — index is corrupt or was "
-            "built with different parameters"
-        )
+    # the IVF geometry is immutable within a generation; piggyback on
+    # the handle cache entry load_pq_index just validated (same
+    # build_id check covers it — a rebuild evicts the whole entry)
+    cached = _HANDLE_CACHE.get(_cache_key(spark, path))
+    if cached is not None and "centroids" in cached:
+        centroids = cached["centroids"]
+    else:
+        cent_rows = spark.read.parquet(f"{path}/ivf_meta").collect()
+        if len(cent_rows) != 1:
+            raise ValueError(f"search_ivfpq_index: malformed ivf_meta at {path}")
+        n_centroids = cent_rows[0]["n_centroids"]
+        centroids = spark.read.parquet(f"{path}/centroids")
+        actual = centroids.count()  # broadcast-sized table: a cheap job
+        if actual != n_centroids:
+            raise ValueError(
+                f"search_ivfpq_index: centroid table at {path} has {actual} "
+                f"rows, expected {n_centroids} — index is corrupt or was "
+                "built with different parameters"
+            )
+        if cached is not None:
+            cached["centroids"] = centroids
     nid = F.col(params["id_col"]).alias("neighbor_id")
     lists = spark.read.parquet(f"{path}/lists").select(nid, "cent_id")
     index = codes.select(nid, "subspace", "code").join(lists, "neighbor_id")

@@ -153,11 +153,41 @@ def _write_bucket_index(
     ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
+# Per-process handle cache, mirroring ann_index._HANDLE_CACHE: meta
+# params are immutable within a generation, so a cache HIT re-reads
+# only the 1-row commit marker (one tiny driver job) and compares
+# build_id — a rebuild writes a new build_id (miss -> full reload), a
+# crashed build has no matching marker (miss -> the loud load error).
+# The bands table is ALWAYS re-read fresh so appends stay visible.
+_HANDLE_CACHE: dict[tuple, dict] = {}
+
+
+def invalidate_dedup_handles(path: str | None = None) -> None:
+    """Drop cached dedup-index handles (test seam; normal invalidation
+    is the per-hit build_id check)."""
+    if path is None:
+        _HANDLE_CACHE.clear()
+        return
+    p = path.rstrip("/")
+    for k in [k for k in _HANDLE_CACHE if k[1] == p]:
+        _HANDLE_CACHE.pop(k, None)
+
+
 def _load_bucket_index(
     spark: SparkSession, path: str, meta_cols: tuple, name: str
 ) -> tuple[DataFrame, dict]:
     """(bands, params) with the generation-token check: the commit
-    marker's build_id must match meta's."""
+    marker's build_id must match meta's. Params come from the
+    validated per-process handle cache when possible (one marker job
+    instead of meta+marker)."""
+    key = (spark.sparkContext.applicationId, path.rstrip("/"))
+    cached = _HANDLE_CACHE.get(key)
+    if cached is not None:
+        commit = _try_read_parquet(spark, f"{path}/commit")
+        rows = commit.collect() if commit is not None else []
+        if len(rows) == 1 and rows[0]["build_id"] == cached["build_id"]:
+            return spark.read.parquet(f"{path}/bands"), dict(cached["params"])
+        _HANDLE_CACHE.pop(key, None)  # superseded or crashed generation
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1 or set(meta_cols) - set(meta_rows[0].asDict()):
         raise ValueError(f"{name}: malformed meta at {path}/meta")
@@ -170,6 +200,7 @@ def _load_bucket_index(
             "the build (or an overwrite rebuild) crashed before "
             "completing. Rebuild with overwrite=True"
         )
+    _HANDLE_CACHE[key] = {"build_id": params["build_id"], "params": dict(params)}
     return spark.read.parquet(f"{path}/bands"), params
 
 
@@ -197,6 +228,14 @@ def _probe_bucket_index(
     (``PartitionFilters: [bp IN (...)]``)."""
     if bucket_prefix_len:
         probe_buckets = probe_buckets.withColumn("bp", _bp(bucket_prefix_len))
+        # localCheckpoint BEFORE the prefix collect: the collect and
+        # the bucket join below would otherwise each evaluate the
+        # probe's full hashing pipeline (minhash / sign-LSH) — doubling
+        # exactly the delta-hashing cost the point-probe layout exists
+        # to minimize. The probe is delta-sized by contract, so
+        # materializing it is cheap; lineage truncation also keeps the
+        # join plan free of the hashing subtree.
+        probe_buckets = probe_buckets.localCheckpoint()
         prefixes = [
             r["bp"] for r in probe_buckets.select("bp").distinct().collect()
         ]

@@ -601,17 +601,23 @@ def stream_index_ingest_job(
     "update existing records as needed" contract, re-expressed for an
     index artifact instead of a row store)."""
     from ..operators.ann_index import (
+        _resolve_index_root,
         _try_read_parquet,
         append_to_pq_index,
         load_pq_index,
     )
 
+    # the checkpoint stays keyed to the LOGICAL index path (its
+    # lineage outlives generations); data/markers/appends resolve a
+    # serving-layout pointer once at job start — do not compact the
+    # index while an ingest job is running (single-writer contract)
+    ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
+    index_path = _resolve_index_root(spark, index_path)
     codes, _, params = load_pq_index(spark, index_path)
     build_id = params.get("build_id") or ""
     id_col, vec_col = params["id_col"], params["vec_col"]
     schema = _index_stream_schema(spark, index_path, codes, params)
     markers_path = f"{index_path}/ingest_epochs"
-    ckpt_path = index_path + "_ingest_ckpt"
     qid_cache: dict[str, str] = {}
 
     def query_id(ss: SparkSession) -> str:

@@ -1,0 +1,173 @@
+"""Serving-layout (pointer-indirection) index: zero-downtime compaction.
+
+The flat layout's ``compact_index`` swaps directories in place, so a
+search PLANNED before the swap holds file paths the swap deletes
+(FileNotFound) and one planned in the commit-marker dark window fails
+the marker check. The serving layout removes both: artifacts live
+under ``path/gen-<id>/``, readers resolve a tiny ``CURRENT`` pointer
+at plan time, and compaction writes a new generation and swaps the
+pointer — old-generation files survive until the next compaction.
+
+These tests pin the contract the round-7 verdict asked for: a search
+planned BEFORE the swap still collects successfully AFTER it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.fs import fs_exists, fs_list_names, fs_read_text
+from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+    _GEN_RE,
+    append_to_pq_index,
+    build_pq_index,
+    compact_index_serving,
+    fsck_index,
+    migrate_index_to_serving,
+    search_pq_index,
+)
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+PARAMS = dict(n_subspaces=4, sub_dim=16, n_codes=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < 3)
+
+
+def _build_fragmented(spark, corpus, path: str) -> None:
+    """A flat index whose code table is deliberately many small files
+    (the post-streaming-ingest shape compaction exists for). AQE's
+    partition coalescing would fold the repartition back to one file,
+    so it is suspended for the build only."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        build_pq_index(corpus.repartition(24), path, **PARAMS)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _rows(df) -> list:
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_migrate_preserves_search_and_moves_artifacts(
+    spark, corpus, queries, tmp_path
+):
+    path = str(tmp_path / "idx")
+    _build_fragmented(spark, corpus, path)
+    before = _rows(search_pq_index(spark, path, queries, corpus, k=5))
+    gen_path = migrate_index_to_serving(spark, path)
+    # pointer written, artifacts moved under the generation dir
+    cur = fs_read_text(spark, f"{path}/CURRENT")
+    assert cur is not None and _GEN_RE.match(cur.strip())
+    assert gen_path.endswith(cur.strip())
+    assert fs_exists(spark, f"{gen_path}/codes")
+    assert not fs_exists(spark, f"{path}/codes")
+    # searches resolve the pointer transparently and are unchanged
+    assert _rows(search_pq_index(spark, path, queries, corpus, k=5)) == before
+    # migrating twice is refused (idempotence is for CRASHED runs)
+    with pytest.raises(ValueError, match="already in the serving layout"):
+        migrate_index_to_serving(spark, path)
+
+
+def test_search_planned_before_swap_survives_compaction(
+    spark, corpus, queries, tmp_path
+):
+    path = str(tmp_path / "idx")
+    _build_fragmented(spark, corpus, path)
+    migrate_index_to_serving(spark, path)
+    # PLAN the search first: read.parquet snapshots the file listing,
+    # so under the flat compaction these exact files would be deleted
+    # before the collect
+    planned = search_pq_index(spark, path, queries, corpus, k=5)
+    report = compact_index_serving(spark, path)
+    assert report["codes"]["files_after"] < report["codes"]["files_before"]
+    # the pre-swap plan still reads its own (old-generation) files
+    pre_swap_rows = _rows(planned)
+    # and a fresh plan reads the new generation — identical results
+    assert _rows(search_pq_index(spark, path, queries, corpus, k=5)) == pre_swap_rows
+    # previous generation retained for in-flight readers (grace)
+    gens = [n for n in fs_list_names(spark, path) if _GEN_RE.match(n)]
+    assert len(gens) == 2
+    assert report["generation"]["previous"] in gens
+    assert report["generation"]["current"] in gens
+    # the NEXT compaction sweeps it
+    report2 = compact_index_serving(spark, path)
+    gens2 = [n for n in fs_list_names(spark, path) if _GEN_RE.match(n)]
+    assert sorted(gens2) == sorted(
+        [report2["generation"]["previous"], report2["generation"]["current"]]
+    )
+
+
+def test_crash_before_pointer_swap_leaves_old_generation_live(
+    spark, corpus, queries, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "idx")
+    _build_fragmented(spark, corpus, path)
+    migrate_index_to_serving(spark, path)
+    before = _rows(search_pq_index(spark, path, queries, corpus, k=5))
+    old_cur = fs_read_text(spark, f"{path}/CURRENT").strip()
+
+    import etl_pricenow_to_leukerbadb_spark.operators.ann_index as ai
+
+    def boom(spark_, p, gen):
+        raise RuntimeError("injected crash before pointer swap")
+
+    monkeypatch.setattr(ai, "_write_current", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_index_serving(spark, path)
+    monkeypatch.undo()
+    # pointer untouched -> searches unaffected by the crashed run
+    assert fs_read_text(spark, f"{path}/CURRENT").strip() == old_cur
+    assert _rows(search_pq_index(spark, path, queries, corpus, k=5)) == before
+    # orphaned partial generation exists now, swept by the next success
+    orphans = [
+        n
+        for n in fs_list_names(spark, path)
+        if _GEN_RE.match(n) and n != old_cur
+    ]
+    assert len(orphans) == 1
+    report = compact_index_serving(spark, path)
+    gens = [n for n in fs_list_names(spark, path) if _GEN_RE.match(n)]
+    assert orphans[0] not in gens
+    assert sorted(gens) == sorted(
+        [report["generation"]["previous"], report["generation"]["current"]]
+    )
+
+
+def test_append_and_fsck_resolve_the_pointer(spark, corpus, queries, tmp_path):
+    path = str(tmp_path / "idx")
+    dim = PARAMS["n_subspaces"] * PARAMS["sub_dim"]
+    # threshold split: the id-seeded codebook needs ids 0..n_codes-1
+    # present in the BASE corpus
+    base = corpus.filter(F.col("vec_id") < 40)
+    delta = corpus.filter(F.col("vec_id") >= 40)
+    build_pq_index(base, path, **PARAMS)
+    gen_path = migrate_index_to_serving(spark, path)
+    append_to_pq_index(delta, path)
+    # the delta landed inside the CURRENT generation, not the root
+    assert not fs_exists(spark, f"{path}/codes")
+    n_ids = (
+        spark.read.parquet(f"{gen_path}/codes").select("vec_id").distinct().count()
+    )
+    assert n_ids == corpus.count()
+    # fsck resolves the pointer and sees a healthy index
+    report = fsck_index(spark, path)
+    assert report["n_ids"] == n_ids and not report["partial_code_ids"]
+    # a compaction after the append keeps every appended id searchable
+    compact_index_serving(spark, path)
+    got = _rows(search_pq_index(spark, path, queries, corpus, k=5))
+    full = str(tmp_path / "full")
+    build_pq_index(corpus, full, **PARAMS)
+    assert got == _rows(search_pq_index(spark, full, queries, corpus, k=5))
+    assert dim == 64  # geometry sanity for the fixture corpus
