@@ -954,6 +954,39 @@ def _compact_sorted(
     return n_rows, files_before, len(staged.inputFiles())
 
 
+def _restore_markers_if_crashed(spark: SparkSession, path: str) -> None:
+    """Recover the epoch-marker table from a swap that crashed between
+    renames: live dir absent + backup present -> rename the backup
+    back. Run at compaction start, BEFORE the staging wipe — the
+    backup deliberately lives OUTSIDE the staging dir precisely so a
+    crashed swap's only marker copy survives that wipe (the old
+    staged-copy design silently lost it there)."""
+    live, old = f"{path}/ingest_epochs", f"{path}/.ingest_epochs.old"
+    if (
+        _try_read_parquet(spark, live) is None
+        and _try_read_parquet(spark, old) is not None
+    ):
+        _fs_delete(spark, live)  # an empty husk dir would block the rename
+        _fs_rename(spark, old, live)
+
+
+def _swap_in_markers(spark: SparkSession, path: str, staged: str) -> None:
+    """Rename-first marker swap: live -> hidden backup, staged -> live,
+    then drop the backup. A crash between the renames leaves the full
+    marker copy in the backup (restored by
+    ``_restore_markers_if_crashed`` on the next run) instead of as the
+    staging dir's only copy, which the next compaction's startup wipe
+    would silently delete. Losing markers is benign (replay falls back
+    to bands/codes classification) but silent loss is not — this keeps
+    the loss-free invariant without widening the dark window: markers
+    have no commit protection by design."""
+    live, old = f"{path}/ingest_epochs", f"{path}/.ingest_epochs.old"
+    _fs_delete(spark, old)  # stale backup from a completed prior swap
+    _fs_rename(spark, live, old)
+    _fs_rename(spark, staged, live)
+    _fs_delete(spark, old)
+
+
 def compact_index(
     spark: SparkSession, path: str, target_files: int | None = None
 ) -> dict:
@@ -985,17 +1018,18 @@ def compact_index(
     concurrently with an ingest job on the same path. Readers are not
     isolated either: a search PLANNED before the swap reads file paths
     that the swap removes (FileNotFound, loud), and a search planned
-    DURING the dark window fails the marker check — run compaction in
+    DURING the dark window fails the marker check — run THIS variant in
     the same maintenance slot as ``fsck_index``, not under live query
-    traffic (a deployment that needs zero-downtime compaction points
-    searches at a path indirection and swaps the pointer, which this
-    layout supports by compacting a copy and renaming).
+    traffic. For zero-downtime compaction, migrate the index once with
+    ``migrate_index_to_serving`` and use ``compact_index_serving``,
+    which compacts a copy and swaps a pointer instead.
 
     Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
     {...}}`` with rows / files_before / files_after per directory."""
     path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, _, params = load_pq_index(spark, path)  # strict: marker must match
     id_col = params["id_col"]
+    _restore_markers_if_crashed(spark, path)
     staging = f"{path}/.compact_stage"
     _fs_delete(spark, staging)  # stale from a prior crashed compaction
 
@@ -1031,8 +1065,7 @@ def compact_index(
             ["query_id", "epoch_id"],
             1,
         )
-        _fs_delete(spark, f"{path}/ingest_epochs")
-        _fs_rename(spark, f"{staging}/ingest_epochs", f"{path}/ingest_epochs")
+        _swap_in_markers(spark, path, f"{staging}/ingest_epochs")
         report["ingest_epochs"] = {
             "rows": rows,
             "files_before": fb,

@@ -75,7 +75,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.text import tokens, word_shingles
 from ..session import tiny_local_df
 from ..sources.tables import fan_out
 from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
@@ -369,11 +368,16 @@ def _compact_bucket_index(
     index". Markers are compacted last, outside the dark window
     (losing markers is benign: replay falls back to classification).
     Single-writer per index is the caller's contract."""
-    from .ann_index import _compact_sorted
+    from .ann_index import (
+        _compact_sorted,
+        _restore_markers_if_crashed,
+        _swap_in_markers,
+    )
 
     _, params = load(spark, path)  # strict: marker must match
     id_col = params["id_col"]
     plen = params.get("bucket_prefix_len") or 0
+    _restore_markers_if_crashed(spark, path)
     staging = f"{path}/.compact_stage"
     _fs_delete(spark, staging)
 
@@ -402,8 +406,7 @@ def _compact_bucket_index(
             ["query_id", "epoch_id"],
             1,
         )
-        _fs_delete(spark, f"{path}/ingest_epochs")
-        _fs_rename(spark, f"{staging}/ingest_epochs", f"{path}/ingest_epochs")
+        _swap_in_markers(spark, path, f"{staging}/ingest_epochs")
         report["ingest_epochs"] = {
             "rows": rows,
             "files_before": fb,
@@ -461,8 +464,8 @@ def _guard_append_delta(
 
 
 def _guard_unshinglable(
-    docs: DataFrame, text_col: str, k_shingle: int, name: str
-) -> None:
+    docs: DataFrame, sigs: DataFrame, id_col: str, k_shingle: int, name: str
+) -> DataFrame:
     """Raise when any document produces NO shingles (NULL text or
     fewer than ``k_shingle`` tokens): such a document gets no minhash
     signature, so it would be silently absent from ``bands/`` —
@@ -474,10 +477,23 @@ def _guard_unshinglable(
     pre-filter short documents (and route them through an exact-dup
     check — ``exact_duplicates`` has no length floor), or pass
     ``allow_short=True`` to accept that they are unblockable by
-    shingle LSH."""
-    n_bad = docs.filter(
-        F.size(word_shingles(tokens(F.col(text_col)), k_shingle)) == F.lit(0)
-    ).count()
+    shingle LSH.
+
+    The check is derived from the SIGNATURE DataFrame (ids present in
+    ``docs`` but missing from ``sigs`` — minhashing drops zero-shingle
+    documents), not from a separate tokenize+shingle pass over the
+    corpus: tokenization is the expensive stage and must run once per
+    build/append, and deriving both the guard and the index from one
+    localCheckpointed snapshot means the guarded rows ARE the indexed
+    rows even when ``docs`` is a non-deterministic source. Returns the
+    checkpointed signatures; the caller MUST band/write these, not the
+    original lazy plan."""
+    sigs = sigs.localCheckpoint()
+    n_bad = (
+        docs.select(F.col(id_col))
+        .join(sigs.select(F.col(id_col)), id_col, "left_anti")
+        .count()
+    )
     if n_bad:
         raise ValueError(
             f"{name}: {n_bad} document(s) have NULL text or fewer than "
@@ -487,6 +503,7 @@ def _guard_unshinglable(
             "exact-dup check instead), or pass allow_short=True to accept "
             "that shingle LSH cannot block them"
         )
+    return sigs
 
 
 def build_dedup_index(
@@ -518,9 +535,11 @@ def build_dedup_index(
     parameter."""
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex
-    if not allow_short:
-        _guard_unshinglable(docs, text_col, k_shingle, "build_dedup_index")
     sigs = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
+    if not allow_short:
+        sigs = _guard_unshinglable(
+            docs, sigs, id_col, k_shingle, "build_dedup_index"
+        )
     _write_bucket_index(
         spark,
         path,
@@ -629,17 +648,17 @@ def append_to_dedup_index(
     spark = docs_delta.sparkSession
     bands_df, params = load_dedup_index(spark, path)
     id_col = params["id_col"]
+    sigs = minhash_signatures(
+        docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
+    )
     if not allow_short:
-        _guard_unshinglable(
-            docs_delta, text_col, params["k_shingle"], "append_to_dedup_index"
+        sigs = _guard_unshinglable(
+            docs_delta, sigs, id_col, params["k_shingle"], "append_to_dedup_index"
         )
     if not _guard_append_delta(
         bands_df, docs_delta, id_col, path, "append_to_dedup_index"
     ):
         return
-    sigs = minhash_signatures(
-        docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
-    )
     buckets = band_table(sigs, id_col, params["n_hashes"], params["bands"])
     plen = params.get("bucket_prefix_len") or 0
     if plen:

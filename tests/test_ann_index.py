@@ -871,3 +871,54 @@ def test_stream_index_ingest_epoch_marker_short_circuits(
         .count()
     )
     assert n_ids == corpus.count()
+
+
+def test_marker_swap_crash_is_recovered_not_silently_lost(
+    spark, corpus, tmp_path
+):
+    """Compaction swaps the epoch-marker table rename-FIRST: a crash
+    between the two renames leaves the full marker copy in a hidden
+    backup OUTSIDE the staging dir, and the next compaction restores
+    it — the old staged-copy design parked the only copy under
+    .compact_stage, which the next run's startup wipe silently
+    deleted (markers then degraded to classification replay with no
+    signal)."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_rename, try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        compact_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    vecs = str(tmp_path / "vecs")
+    build_pq_index(old, path, **PARAMS)
+    delta.repartition(2).write.parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+    markers_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/ingest_epochs").collect()
+    )
+    assert markers_before  # the ingest wrote epoch markers
+
+    # simulate a swap that crashed between the two renames: live dir
+    # moved aside, staged copy stranded under .compact_stage
+    fs_rename(spark, f"{path}/ingest_epochs", f"{path}/.ingest_epochs.old")
+    spark.createDataFrame(
+        [("dead", 0, "stale")], "query_id string, epoch_id long, build_id string"
+    ).write.parquet(f"{path}/.compact_stage/ingest_epochs")
+    assert try_read_parquet(spark, f"{path}/ingest_epochs") is None
+
+    report = compact_index(spark, path)
+    # the backup was restored (NOT the stranded stage copy), then
+    # compacted as usual
+    markers_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/ingest_epochs").collect()
+    )
+    assert markers_after == markers_before
+    assert report["ingest_epochs"]["rows"] == len(markers_before)
+    assert try_read_parquet(spark, f"{path}/.ingest_epochs.old") is None

@@ -68,6 +68,12 @@ def main() -> int:
     args = ap.parse_args()
     if args.dedup and args.vec_dedup:
         ap.error("--dedup and --vec-dedup are mutually exclusive")
+    # -1 is the "size from the row count" sentinel (bare --compact);
+    # any other non-positive value would reach repartitionByRange and
+    # die mid-staging with an opaque IllegalArgumentException, leaving
+    # a stale .compact_stage behind — reject it up front instead
+    if args.compact is not None and args.compact != -1 and args.compact < 1:
+        ap.error(f"--compact TARGET_FILES must be >= 1 (got {args.compact})")
 
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         compact_index,
