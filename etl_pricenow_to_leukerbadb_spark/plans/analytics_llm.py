@@ -5,6 +5,8 @@ SQL-expressible (BASELINE.json "north_star")."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1886,6 +1888,54 @@ def ann_ivfpq_trained_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         k=5,
     )
+
+
+@register("dd_index_probe", headline=True, multi_action=True, tags=("DD",))
+def dd_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape as a benched headline: a standing
+    persisted MinHash+LSH index over ~90% of the corpus (built ONCE per
+    bench session into a non-wiped cache dir — the untimed warm-up run
+    pays it), probed by a fixed ~10% delta through the point-probe
+    partitioned layout (``bucket_prefix_len=2``: the probe pushes a
+    literal ``bp IN (...)`` partition filter, so the corpus-side scan
+    reads only the directories the delta's buckets can live in).
+    Repeated bench runs therefore measure the O(delta) PROBE cost —
+    hash the delta once (localCheckpointed), one pruned band-table
+    join — which is the path a daily-ingest deployment pays per batch,
+    the way ``ann_ivfpq_trained_e2e`` tracks ANN's full lifecycle.
+
+    No SQL oracle by design (kept out of the driver window like the
+    other no-oracle entries): probe ≡ in-memory blocking is
+    pytest-proven (tests/test_dedup_index.py), and the in-memory
+    operator is itself oracle-paired (``dd_minhash_lsh``).
+    ``allow_short=True`` because the synthetic corpus' unshinglable
+    tail is irrelevant to probe cost; the loud-gate semantics have
+    their own tests. Cites reference scripts/pricenow_etl.py:329-358
+    (incremental update-vs-existing contract, re-expressed for a
+    curation index)."""
+    from ..fs import try_read_parquet
+    from ..operators.dedup_index import (
+        build_dedup_index,
+        query_dedup_candidates,
+    )
+    from ..session import session_cache_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = session_cache_dir(spark, f"dd_index_probe_{sf_tag}") + "/idx"
+    cut = docs.agg((F.max("doc_id") * 0.9).cast("long")).collect()[0][0]
+    if try_read_parquet(spark, f"{path}/meta") is None:
+        build_dedup_index(
+            docs.filter(F.col("doc_id") <= F.lit(cut)),
+            path,
+            k_shingle=3,
+            n_hashes=8,
+            bands=4,
+            allow_short=True,
+            bucket_prefix_len=2,
+        )
+    delta = docs.filter(F.col("doc_id") > F.lit(cut))
+    return query_dedup_candidates(spark, path, delta)
 
 
 @register(

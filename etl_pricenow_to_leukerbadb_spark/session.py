@@ -96,6 +96,25 @@ def session_scratch_dir(spark: SparkSession, tag: str) -> str:
     return path
 
 
+def session_cache_dir(spark: SparkSession, tag: str) -> str:
+    """Like ``session_scratch_dir`` but NOT wiped per call: one fixed
+    location per (session, tag) whose contents persist across
+    invocations. For queries that bench the build-once / use-many
+    lifecycle (``dd_index_probe``): the first invocation builds the
+    persisted artifact, repeated invocations measure only the use
+    path — the split a production deployment actually has. Callers
+    must key the tag by anything that changes the artifact (e.g. the
+    sf dir)."""
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", app_id, tag
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def tiny_local_df(spark: SparkSession, rows: list, schema: str):
     """Small driver-side row lists -> DataFrame via the Arrow/pandas
     path, NOT ``createDataFrame(list)``.
