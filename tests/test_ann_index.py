@@ -922,3 +922,95 @@ def test_marker_swap_crash_is_recovered_not_silently_lost(
     assert markers_after == markers_before
     assert report["ingest_epochs"]["rows"] == len(markers_before)
     assert try_read_parquet(spark, f"{path}/.ingest_epochs.old") is None
+
+
+def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
+    """Full-lifecycle soak over the IVFADC index: build -> several
+    micro-batch ingest waves (files arriving between runs of the same
+    checkpointed availableNow job) -> an injected crash (half-append:
+    lists written, codes not, no marker) -> replay repairs ->
+    fsck clean -> compact_index -> search bit-identical to a
+    from-scratch build over the union. Each piece has its own test;
+    this pins the COMPOSITION, which is what a production deployment
+    actually runs for months."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        compact_index,
+        fsck_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_list_assign,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    path = str(tmp_path / "soak_idx")
+    vecs = str(tmp_path / "soak_stream")
+    base = corpus.filter(F.col("vec_id") < 300)
+    waves = [
+        corpus.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 420)),
+        corpus.filter((F.col("vec_id") >= 420) & (F.col("vec_id") < 520)),
+        corpus.filter(F.col("vec_id") >= 520),
+    ]
+    build_ivfpq_index(base, path, n_centroids=16, **PARAMS)
+
+    # wave 1: normal ingest (two files -> possibly two micro-batches)
+    waves[0].select("vec_id", "embedding").repartition(2).write.mode(
+        "append"
+    ).parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+
+    # wave 2: crash injection — a half-append (lists only, no marker)
+    # for the wave's ids, then the wave arrives through the stream and
+    # the replay must repair it
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ivf_list_assign(
+        waves[1].select("vec_id", "embedding"), "vec_id", "embedding", 16,
+        centroids=centroids,
+    ).select("vec_id", "cent_id").write.mode("append").parquet(f"{path}/lists")
+    waves[1].select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+
+    # wave 3: normal ingest through the SAME checkpoint lineage
+    waves[2].select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs)
+    stream_index_ingest_job(spark, vecs, path)
+
+    report = fsck_index(spark, path)  # strict: raises on any violation
+    assert report["n_ids"] == corpus.count()
+
+    # months of micro-batches -> many small files; compaction restores
+    # the id-sorted layout and must not change a single row
+    n_files_before = len(spark.read.parquet(f"{path}/codes").inputFiles())
+    creport = compact_index(spark, path)
+    assert creport["codes"]["files_after"] <= n_files_before
+    fsck_index(spark, path)
+
+    full = str(tmp_path / "soak_full")
+    build_ivfpq_index(corpus, full, n_centroids=16, **PARAMS)
+    for sub in ("codes", "lists"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full}/{sub}").collect()
+        )
+        assert got == want, sub
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, full, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 15

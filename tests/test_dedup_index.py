@@ -577,6 +577,15 @@ def test_point_probe_layout_matches_flat_and_prunes(
     assert got == want
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "bp#" in plan and "IN (p" in plan, plan[:2000]
+    # and the pruning is PARTITION pruning (directory skip at planning
+    # time), not a row filter after a full scan
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "PartitionFilters" in ln and "bp#" in ln and "IN (p" in ln
+        for ln in fmt.splitlines()
+    ), fmt[:3000]
 
     # append under the partitioned layout: probe of the delta now
     # self-blocks against it, layout intact (bp dirs in the file paths)
