@@ -255,7 +255,9 @@ def _write_current(spark: SparkSession, path: str, gen_name: str) -> None:
     fs_rename(spark, tmp, f"{path}/{_CURRENT}")
 
 
-def migrate_index_to_serving(spark: SparkSession, path: str) -> str:
+def migrate_index_to_serving(
+    spark: SparkSession, path: str, _validate=None
+) -> str:
     """One-time, resumable migration of a flat-layout index into the
     serving layout: validate the flat index, move every artifact dir
     into a fresh ``gen-<id>/``, then write the ``CURRENT`` pointer.
@@ -265,7 +267,14 @@ def migrate_index_to_serving(spark: SparkSession, path: str) -> str:
     until ``meta`` itself moves, and the pointer — what readers trust —
     appears only once everything is in place). Single-writer op; do
     not run under live traffic (that is what the migration buys you
-    for every compaction AFTER it)."""
+    for every compaction AFTER it).
+
+    ``_validate(spark, path)`` is the loader that must succeed before
+    and after the move — defaults to ``load_pq_index``; the dedup
+    bucket indexes pass their own loaders through their ``migrate_*``
+    wrappers (the generation/pointer mechanics are layout-agnostic)."""
+    if _validate is None:
+        _validate = load_pq_index
     p = path.rstrip("/")
     if fs_read_text(spark, f"{p}/{_CURRENT}") is not None:
         raise ValueError(f"index at {path} is already in the serving layout")
@@ -279,7 +288,7 @@ def migrate_index_to_serving(spark: SparkSession, path: str) -> str:
     if partial:
         gen_name = partial[0]  # resume a crashed migration
     else:
-        load_pq_index(spark, p)  # refuse to migrate a broken index
+        _validate(spark, p)  # refuse to migrate a broken index
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
     gen_path = f"{p}/{gen_name}"
     for n in fs_list_names(spark, p):
@@ -287,7 +296,7 @@ def migrate_index_to_serving(spark: SparkSession, path: str) -> str:
             continue
         fs_rename(spark, f"{p}/{n}", f"{gen_path}/{n}")
     _write_current(spark, p, gen_name)
-    load_pq_index(spark, p)  # end-to-end: pointer resolves, index valid
+    _validate(spark, p)  # end-to-end: pointer resolves, index valid
     return gen_path
 
 

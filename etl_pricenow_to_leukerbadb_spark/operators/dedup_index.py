@@ -178,7 +178,12 @@ def _load_bucket_index(
     """(bands, params) with the generation-token check: the commit
     marker's build_id must match meta's. Params come from the
     validated per-process handle cache when possible (one marker job
-    instead of meta+marker)."""
+    instead of meta+marker). Serving-layout roots
+    (``migrate_dedup_index_to_serving``) resolve their ``CURRENT``
+    pointer here, so probes read the live generation transparently."""
+    from .ann_index import _resolve_index_root
+
+    path = _resolve_index_root(spark, path)
     key = (spark.sparkContext.applicationId, path.rstrip("/"))
     cached = _HANDLE_CACHE.get(key)
     if cached is not None:
@@ -277,6 +282,9 @@ def _fsck_bucket_index(
     recovers them) — via the staged-swap + commit-marker dance of the
     ANN index's ``repair_index``, then re-verifies strictly. One
     narrow-table rewrite, no re-hashing."""
+    from .ann_index import _resolve_index_root
+
+    path = _resolve_index_root(spark, path)
     bands_df, params = load(spark, path)
     id_col = params["id_col"]
     k = int(params[k_key])
@@ -370,10 +378,12 @@ def _compact_bucket_index(
     Single-writer per index is the caller's contract."""
     from .ann_index import (
         _compact_sorted,
+        _resolve_index_root,
         _restore_markers_if_crashed,
         _swap_in_markers,
     )
 
+    path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, params = load(spark, path)  # strict: marker must match
     id_col = params["id_col"]
     plen = params.get("bucket_prefix_len") or 0
@@ -646,6 +656,10 @@ def append_to_dedup_index(
     streaming ingest is ``stream_dedup_ingest_job`` (epoch markers +
     this guard, mirroring the ANN index's)."""
     spark = docs_delta.sparkSession
+    from .ann_index import _resolve_index_root
+
+    # appends land in the CURRENT generation of a serving-layout index
+    path = _resolve_index_root(spark, path)
     bands_df, params = load_dedup_index(spark, path)
     id_col = params["id_col"]
     sigs = minhash_signatures(
@@ -882,11 +896,152 @@ def compact_vec_dedup_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# Serving layout (pointer indirection), shared with the ANN index:
+# the generation/pointer mechanics live in ann_index (_resolve_index_
+# root / migrate_index_to_serving / _write_current) and are layout-
+# agnostic; the wrappers below plug in the bucket loaders and the
+# band-table compaction so a DEDUP gate can also be compacted with
+# zero reader downtime (probes planned before/during/after the pointer
+# swap all succeed — same contract, same tests' shape).
+# ---------------------------------------------------------------------------
+
+
+def migrate_dedup_index_to_serving(spark: SparkSession, path: str) -> str:
+    """One-time flat -> serving migration of a text near-dup index;
+    mechanics in ``ann_index.migrate_index_to_serving``."""
+    from .ann_index import migrate_index_to_serving
+
+    return migrate_index_to_serving(
+        spark, path, _validate=lambda ss, p: load_dedup_index(ss, p)
+    )
+
+
+def migrate_vec_dedup_index_to_serving(spark: SparkSession, path: str) -> str:
+    """One-time flat -> serving migration of a vector near-dup index."""
+    from .ann_index import migrate_index_to_serving
+
+    return migrate_index_to_serving(
+        spark, path, _validate=lambda ss, p: load_vec_dedup_index(ss, p)
+    )
+
+
+def _compact_bucket_serving(
+    spark: SparkSession, path: str, load, target_files: int | None, name: str
+) -> dict:
+    """Reader-isolated bucket-index compaction: compact a COPY of the
+    live generation's band table into a new ``gen-<id>/``, byte-copy
+    the small artifacts, write the new generation's commit marker
+    LAST, swap the ``CURRENT`` pointer, and keep the superseded
+    generation for one compaction interval (in-flight probe grace) —
+    the dedup analog of ``ann_index.compact_index_serving``, same
+    crash contract (a crash before the pointer swap leaves the old
+    generation live and the partial one orphaned for the next run's
+    sweep)."""
+    from ..fs import fs_copy, fs_list_names, fs_read_text
+    from .ann_index import (
+        _CURRENT,
+        _GEN_RE,
+        _compact_sorted,
+        _write_commit,
+        _write_current,
+    )
+
+    p = path.rstrip("/")
+    cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
+    if cur_name is None:
+        raise ValueError(
+            f"{name}: index at {path} is in the flat layout — run the "
+            "migrate_*_to_serving() wrapper once, or use the in-place "
+            "compaction in a maintenance window"
+        )
+    cur_name = cur_name.strip()
+    cur = f"{p}/{cur_name}"
+    _, params = load(spark, cur)
+    id_col = params["id_col"]
+    plen = params.get("bucket_prefix_len") or 0
+    new_name = f"gen-{uuid.uuid4().hex[:12]}"
+    new = f"{p}/{new_name}"
+    children = fs_list_names(spark, cur)
+    rows, fb, fa = _compact_sorted(
+        spark,
+        f"{cur}/bands",
+        f"{new}/bands",
+        [id_col, "band"],
+        target_files,
+        partition_col="bp" if plen else None,
+    )
+    report: dict = {
+        "bands": {"rows": rows, "files_before": fb, "files_after": fa}
+    }
+    if "ingest_epochs" in children:
+        rows, fb, fa = _compact_sorted(
+            spark,
+            f"{cur}/ingest_epochs",
+            f"{new}/ingest_epochs",
+            ["query_id", "epoch_id"],
+            1,
+        )
+        report["ingest_epochs"] = {
+            "rows": rows,
+            "files_before": fb,
+            "files_after": fa,
+        }
+    for n in children:
+        if n in ("bands", "ingest_epochs", "commit") or n.startswith("."):
+            continue
+        fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
+    _write_commit(spark, new, params["build_id"])  # completes the gen
+    _write_current(spark, p, new_name)
+    keep = {new_name, cur_name}
+    for n in fs_list_names(spark, p):
+        if _GEN_RE.match(n) and n not in keep:
+            _fs_delete(spark, f"{p}/{n}")
+    report["generation"] = {"previous": cur_name, "current": new_name}
+    return report
+
+
+def compact_dedup_index_serving(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Zero-downtime compaction of a text near-dup index — semantics
+    in ``_compact_bucket_serving``."""
+    return _compact_bucket_serving(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _TEXT_META_COLS, "compact_dedup_index_serving"
+        ),
+        target_files,
+        "compact_dedup_index_serving",
+    )
+
+
+def compact_vec_dedup_index_serving(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Zero-downtime compaction of a vector near-dup index — semantics
+    in ``_compact_bucket_serving``."""
+    return _compact_bucket_serving(
+        spark,
+        path,
+        lambda ss, p: _load_bucket_index(
+            ss, p, _VEC_META_COLS, "compact_vec_dedup_index_serving"
+        ),
+        target_files,
+        "compact_vec_dedup_index_serving",
+    )
+
+
 def append_to_vec_dedup_index(vecs_delta: DataFrame, path: str) -> None:
     """Bucket ONLY the delta under the frozen geometry and append.
     Guards and crash/retry contract: as ``append_to_dedup_index``
     (recovery via ``fsck_vec_dedup_index(repair=True)``)."""
     spark = vecs_delta.sparkSession
+    from .ann_index import _resolve_index_root
+
+    # appends land in the CURRENT generation of a serving-layout index
+    path = _resolve_index_root(spark, path)
     bands_df, params = load_vec_dedup_index(spark, path)
     id_col = params["id_col"]
     if not _guard_append_delta(

@@ -730,10 +730,14 @@ def _stream_bucket_ingest(
       surviving rows and silently skipping would leave under-blocking
       entries (missed duplicates, the worst dedup failure) forever.
     """
-    from ..operators.ann_index import _try_read_parquet
+    from ..operators.ann_index import _resolve_index_root, _try_read_parquet
 
+    # checkpoint keyed to the LOGICAL index path; data/markers resolve
+    # a serving-layout pointer once at job start (same contract as the
+    # PQ ingest: no compaction concurrent with an ingest)
+    ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
+    index_path = _resolve_index_root(spark, index_path)
     markers_path = f"{index_path}/ingest_epochs"
-    ckpt_path = index_path + "_ingest_ckpt"
     qid_cache: dict[str, str] = {}
 
     def query_id(ss: SparkSession) -> str:

@@ -171,3 +171,40 @@ def test_append_and_fsck_resolve_the_pointer(spark, corpus, queries, tmp_path):
     build_pq_index(corpus, full, **PARAMS)
     assert got == _rows(search_pq_index(spark, full, queries, corpus, k=5))
     assert dim == 64  # geometry sanity for the fixture corpus
+
+
+def test_dedup_index_serving_probe_survives_compaction(spark, sf_small, tmp_path):
+    """The bucket dedup indexes share the pointer-indirection layout:
+    a probe planned before the compaction swap still collects, and the
+    new generation answers identically."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index_serving,
+        migrate_dedup_index_to_serving,
+        query_dedup_candidates,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    probe = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    path = str(tmp_path / "ddx")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        build_dedup_index(
+            old.repartition(16), path, k_shingle=3, n_hashes=8, bands=4
+        )
+    finally:
+        spark.conf.set(key, prev)
+    migrate_index_path = migrate_dedup_index_to_serving(spark, path)
+    assert fs_exists(spark, f"{migrate_index_path}/bands")
+    planned = query_dedup_candidates(spark, path, probe)
+    report = compact_dedup_index_serving(spark, path)
+    assert report["bands"]["files_after"] < report["bands"]["files_before"]
+    pre_swap = _rows(planned)
+    assert _rows(query_dedup_candidates(spark, path, probe)) == pre_swap
+    gens = [n for n in fs_list_names(spark, path) if _GEN_RE.match(n)]
+    assert sorted(gens) == sorted(
+        [report["generation"]["previous"], report["generation"]["current"]]
+    )
