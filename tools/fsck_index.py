@@ -2,7 +2,7 @@
 (ANN and near-dup indexes).
 
 ``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
-[--dedup | --vec-dedup] [--compact [TARGET_FILES]]``
+[--dedup | --vec-dedup] [--compact [TARGET_FILES]] [--serving]``
 
 ``append_to_pq_index`` (and the bucket-index appends) verify only the
 ids each append writes (flat cost per micro-batch — the right scope
@@ -14,7 +14,12 @@ additionally rewrites the streaming-ingest small files (one per
 micro-batch in codes/lists/bands plus one marker file each) into a few
 id-sorted files AFTER the sweep comes back clean — compacting an
 inconsistent index would bake the corruption into the rewritten files.
-Exit code 0 = consistent (or --lenient), 1 = violations found.
+``--serving`` makes the compaction go through the pointer-swap
+serving layout (``compact_*_serving``: compact a copy, swap CURRENT —
+no reader downtime; the index must have been migrated with the
+module's ``migrate_*_to_serving`` once) instead of the in-place
+maintenance-window rewrite. Exit code 0 = consistent (or --lenient),
+1 = violations found.
 """
 
 from __future__ import annotations
@@ -55,6 +60,12 @@ def main() -> int:
         "(operators/dedup_index.py) instead of an ANN index",
     )
     ap.add_argument(
+        "--serving",
+        action="store_true",
+        help="compact via the zero-downtime serving layout (pointer "
+        "swap) instead of in place; requires a migrated index",
+    )
+    ap.add_argument(
         "--compact",
         nargs="?",
         const=-1,
@@ -77,22 +88,34 @@ def main() -> int:
 
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         compact_index,
+        compact_index_serving,
         fsck_index,
     )
     from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
         compact_dedup_index,
+        compact_dedup_index_serving,
         compact_vec_dedup_index,
+        compact_vec_dedup_index_serving,
         fsck_dedup_index,
         fsck_vec_dedup_index,
     )
     from etl_pricenow_to_leukerbadb_spark.session import get_spark
 
     if args.dedup:
-        fsck, compact = fsck_dedup_index, compact_dedup_index
+        fsck = fsck_dedup_index
+        compact = (
+            compact_dedup_index_serving if args.serving else compact_dedup_index
+        )
     elif args.vec_dedup:
-        fsck, compact = fsck_vec_dedup_index, compact_vec_dedup_index
+        fsck = fsck_vec_dedup_index
+        compact = (
+            compact_vec_dedup_index_serving
+            if args.serving
+            else compact_vec_dedup_index
+        )
     else:
-        fsck, compact = fsck_index, compact_index
+        fsck = fsck_index
+        compact = compact_index_serving if args.serving else compact_index
     spark = get_spark(app_name="fsck-index")
     try:
         report = fsck(spark, args.index_path, strict=False, repair=args.repair)
