@@ -1068,3 +1068,32 @@ def test_kmeans_train_centroids_feed_ivf_assign(spark, sf_small):
     assert assigned.count() == emb.count()
     cent_ids = {r.cent_id for r in cents.collect()}
     assert {r.cent_id for r in assigned.select("cent_id").distinct().collect()} <= cent_ids
+
+
+def test_dd_index_probe_builds_once_and_probes_consistently(spark, sf_small):
+    """The dd_index_probe headline must build its standing index ONCE
+    per session (the cache-dir contract: repeated bench runs measure
+    the O(delta) probe, not a rebuild) and return identical candidates
+    on every invocation."""
+    from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
+
+    spec = REGISTRY["dd_index_probe"]
+    assert spec.oracle is None and spec.headline  # no-oracle headline
+    first = sorted(tuple(r) for r in spec.fn(spark, sf_small).collect())
+    # locate the session-cached index and capture its generation token
+    import os
+    import tempfile
+
+    tag = f"dd_index_probe_{os.path.basename(sf_small.rstrip('/'))}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        spark.sparkContext.applicationId,
+        tag,
+        "idx",
+    )
+    build_id = spark.read.parquet(f"{path}/meta").first()["build_id"]
+    second = sorted(tuple(r) for r in spec.fn(spark, sf_small).collect())
+    assert second == first
+    # same generation -> the second invocation probed, it didn't rebuild
+    assert spark.read.parquet(f"{path}/meta").first()["build_id"] == build_id
