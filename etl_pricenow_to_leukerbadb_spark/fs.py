@@ -94,6 +94,25 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def fs_write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
+    """Create-exclusive text marker: raises ``FileExistsError`` when
+    ``path`` already exists (Hadoop ``create(overwrite=false)`` —
+    atomic on HDFS and the local FS; object stores degrade to
+    check-then-create, still a narrower race than a separate exists
+    probe). Used for single-writer claims (``.INGEST_ACTIVE``)."""
+    fs, p = _fs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # Py4J wraps FileAlreadyExistsException
+        if "exist" in str(e).lower():
+            raise FileExistsError(path) from None
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text marker, or None when absent."""
     fs, p = _fs(spark, path)

@@ -53,9 +53,11 @@ from ..fs import (
     fs_delete,
     fs_exists,
     fs_list_names,
+    fs_mkdirs,
     fs_read_text,
     fs_rename,
     fs_write_text,
+    fs_write_text_exclusive,
     try_read_parquet,
 )
 from ..session import tiny_local_df
@@ -255,6 +257,92 @@ def _write_current(spark: SparkSession, path: str, gen_name: str) -> None:
     fs_rename(spark, tmp, f"{path}/{_CURRENT}")
 
 
+# ---------------------------------------------------------------------------
+# Single-writer tripwires. The maintenance contract has always been
+# "one writer per index; no compaction concurrent with an ingest" —
+# but a contract that fails SILENTLY when violated is a trap: a
+# serving compaction racing a streaming ingest would sweep the
+# ingest's generation, with the epoch markers (which claim the
+# batches committed) swept along with it and the stream's checkpoint
+# already advanced — permanent, invisible data loss. These helpers
+# make the violation loud from both sides:
+#   - ingest jobs CLAIM the index (create-exclusive `.INGEST_ACTIVE`
+#     at the LOGICAL root, held for the job's lifetime, released in
+#     the job's finally — so it also rejects a second concurrent
+#     ingest on the same index);
+#   - compaction/migration REFUSE while the claim exists
+#     (`force=True` overrides after a hard-killed ingest left a stale
+#     claim — the error names that recovery);
+#   - each ingest batch re-checks AFTER its commit marker lands that
+#     the serving pointer still names the generation it appended to,
+#     failing the batch (checkpoint does not advance; replay under
+#     the new generation classifies the ids and re-appends) instead
+#     of committing into a dead generation.
+# The residual race (a compaction that snapshotted before the append
+# and swapped after the post-check) needs real coordination a
+# filesystem cannot give; the claim marker exists precisely so that
+# ordering cannot occur when both sides use these entry points.
+# ---------------------------------------------------------------------------
+
+_INGEST_ACTIVE = ".INGEST_ACTIVE"
+
+
+def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
+    """Exclusively claim ``path`` (logical root) for a streaming
+    ingest. Raises when another claim is live — a concurrent ingest,
+    or a stale claim from a hard-killed job (delete the marker or
+    pass the compactor ``force=True`` after confirming nothing runs)."""
+    marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
+    try:
+        fs_write_text_exclusive(spark, marker, tag)
+    except FileExistsError:
+        raise RuntimeError(
+            f"index at {path} is already claimed by an ingest job "
+            f"({fs_read_text(spark, marker)}); if that job was killed "
+            f"without cleanup, delete {marker} to release the claim"
+        ) from None
+
+
+def release_index_ingest_claim(spark: SparkSession, path: str) -> None:
+    fs_delete(spark, f"{path.rstrip('/')}/{_INGEST_ACTIVE}")
+
+
+def _refuse_if_ingest_active(
+    spark: SparkSession, path: str, what: str, force: bool
+) -> None:
+    marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
+    tag = fs_read_text(spark, marker)
+    if tag is not None and not force:
+        raise RuntimeError(
+            f"{what}: index at {path} is claimed by a live ingest job "
+            f"({tag}) — compacting now would strand its appends in a "
+            f"swept generation. Wait for the ingest to drain, or if it "
+            f"was killed without cleanup delete {marker} (or pass "
+            "force=True)"
+        )
+
+
+def assert_generation_stable(
+    spark: SparkSession, path: str, resolved_root: str
+) -> None:
+    """Raise when the live generation of ``path`` is no longer
+    ``resolved_root`` — an ingest batch calls this AFTER its commit
+    marker lands, so a pointer swap mid-ingest fails the batch loudly
+    (checkpoint holds; replay lands in the new generation) instead of
+    committing into a generation the next compaction sweeps."""
+    live = _resolve_index_root(spark, path)
+    if live.rstrip("/") != resolved_root.rstrip("/"):
+        raise RuntimeError(
+            f"index at {path}: generation changed mid-ingest "
+            f"(appended into {resolved_root}, live is now {live}) — a "
+            "compaction or migration ran concurrently with this ingest "
+            "in violation of the single-writer contract. This batch is "
+            "NOT committed; restart the ingest (replay re-classifies "
+            "the batch against the live generation) and keep "
+            "maintenance off the index while it runs"
+        )
+
+
 def migrate_index_to_serving(
     spark: SparkSession, path: str, _validate=None
 ) -> str:
@@ -276,6 +364,7 @@ def migrate_index_to_serving(
     if _validate is None:
         _validate = load_pq_index
     p = path.rstrip("/")
+    _refuse_if_ingest_active(spark, p, "migrate_index_to_serving", force=False)
     if fs_read_text(spark, f"{p}/{_CURRENT}") is not None:
         raise ValueError(f"index at {path} is already in the serving layout")
     partial = [n for n in fs_list_names(spark, p) if _GEN_RE.match(n)]
@@ -291,6 +380,12 @@ def migrate_index_to_serving(
         _validate(spark, p)  # refuse to migrate a broken index
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
     gen_path = f"{p}/{gen_name}"
+    # The destination parent must exist BEFORE the renames: HDFS's
+    # rename returns false (-> fs_rename raises) on a missing parent,
+    # and the local FS only succeeds via Hadoop's copy+delete fallback,
+    # which forfeits the per-directory atomicity this crash contract
+    # relies on. mkdirs is idempotent, so the resume path is unaffected.
+    fs_mkdirs(spark, gen_path)
     for n in fs_list_names(spark, p):
         if _GEN_RE.match(n) or n == _CURRENT or n.startswith("."):
             continue
@@ -305,6 +400,7 @@ def compact_index_serving(
     path: str,
     target_files: int | None = None,
     keep_previous: bool = True,
+    force: bool = False,
 ) -> dict:
     """Reader-isolated compaction: compact a COPY of the live
     generation into a new ``gen-<id>/`` and atomically swap the
@@ -328,8 +424,10 @@ def compact_index_serving(
     for zero-downtime (SCALE.md). Generations older than that are
     deleted here. Single-writer per index, and not concurrent with a
     streaming ingest (whose appends would land in the generation it
-    resolved at job start)."""
+    resolved at job start) — live ingest claims are refused unless
+    ``force=True`` (stale-claim recovery after a hard-killed job)."""
     p = path.rstrip("/")
+    _refuse_if_ingest_active(spark, p, "compact_index_serving", force)
     cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur_name is None:
         raise ValueError(
@@ -997,7 +1095,10 @@ def _swap_in_markers(spark: SparkSession, path: str, staged: str) -> None:
 
 
 def compact_index(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Compact a streaming-ingested index's small files — the
     scheduled-maintenance pass the ingest jobs defer to (each
@@ -1035,6 +1136,7 @@ def compact_index(
 
     Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
     {...}}`` with rows / files_before / files_after per directory."""
+    _refuse_if_ingest_active(spark, path, "compact_index", force)
     path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, _, params = load_pq_index(spark, path)  # strict: marker must match
     id_col = params["id_col"]

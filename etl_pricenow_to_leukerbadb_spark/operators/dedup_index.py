@@ -361,7 +361,11 @@ def _fsck_bucket_index(
 
 
 def _compact_bucket_index(
-    spark: SparkSession, path: str, load, target_files: int | None
+    spark: SparkSession,
+    path: str,
+    load,
+    target_files: int | None,
+    force: bool = False,
 ) -> dict:
     """Compact a streaming-ingested bucket index's small files — the
     band-table analog of ``ann_index.compact_index`` (each micro-batch
@@ -378,11 +382,13 @@ def _compact_bucket_index(
     Single-writer per index is the caller's contract."""
     from .ann_index import (
         _compact_sorted,
+        _refuse_if_ingest_active,
         _resolve_index_root,
         _restore_markers_if_crashed,
         _swap_in_markers,
     )
 
+    _refuse_if_ingest_active(spark, path, "compact_bucket_index", force)
     path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, params = load(spark, path)  # strict: marker must match
     id_col = params["id_col"]
@@ -625,7 +631,10 @@ def fsck_dedup_index(
 
 
 def compact_dedup_index(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Compact a text near-dup index's band table + ingest markers —
     semantics in ``_compact_bucket_index``."""
@@ -636,6 +645,7 @@ def compact_dedup_index(
             ss, p, _TEXT_META_COLS, "compact_dedup_index"
         ),
         target_files,
+        force,
     )
 
 
@@ -882,7 +892,10 @@ def fsck_vec_dedup_index(
 
 
 def compact_vec_dedup_index(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Compact a vector near-dup index's band table + ingest markers —
     semantics in ``_compact_bucket_index``."""
@@ -893,6 +906,7 @@ def compact_vec_dedup_index(
             ss, p, _VEC_META_COLS, "compact_vec_dedup_index"
         ),
         target_files,
+        force,
     )
 
 
@@ -927,7 +941,12 @@ def migrate_vec_dedup_index_to_serving(spark: SparkSession, path: str) -> str:
 
 
 def _compact_bucket_serving(
-    spark: SparkSession, path: str, load, target_files: int | None, name: str
+    spark: SparkSession,
+    path: str,
+    load,
+    target_files: int | None,
+    name: str,
+    force: bool = False,
 ) -> dict:
     """Reader-isolated bucket-index compaction: compact a COPY of the
     live generation's band table into a new ``gen-<id>/``, byte-copy
@@ -943,11 +962,13 @@ def _compact_bucket_serving(
         _CURRENT,
         _GEN_RE,
         _compact_sorted,
+        _refuse_if_ingest_active,
         _write_commit,
         _write_current,
     )
 
     p = path.rstrip("/")
+    _refuse_if_ingest_active(spark, p, name, force)
     cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur_name is None:
         raise ValueError(
@@ -1002,7 +1023,10 @@ def _compact_bucket_serving(
 
 
 def compact_dedup_index_serving(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Zero-downtime compaction of a text near-dup index — semantics
     in ``_compact_bucket_serving``."""
@@ -1014,11 +1038,15 @@ def compact_dedup_index_serving(
         ),
         target_files,
         "compact_dedup_index_serving",
+        force,
     )
 
 
 def compact_vec_dedup_index_serving(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Zero-downtime compaction of a vector near-dup index — semantics
     in ``_compact_bucket_serving``."""
@@ -1030,6 +1058,7 @@ def compact_vec_dedup_index_serving(
         ),
         target_files,
         "compact_vec_dedup_index_serving",
+        force,
     )
 
 

@@ -601,17 +601,41 @@ def stream_index_ingest_job(
     "update existing records as needed" contract, re-expressed for an
     index artifact instead of a row store)."""
     from ..operators.ann_index import (
-        _resolve_index_root,
-        _try_read_parquet,
-        append_to_pq_index,
-        load_pq_index,
+        claim_index_for_ingest,
+        release_index_ingest_claim,
     )
 
     # the checkpoint stays keyed to the LOGICAL index path (its
     # lineage outlives generations); data/markers/appends resolve a
-    # serving-layout pointer once at job start — do not compact the
-    # index while an ingest job is running (single-writer contract)
+    # serving-layout pointer once at job start. Single-writer contract,
+    # enforced loudly from both sides: this job holds the exclusive
+    # `.INGEST_ACTIVE` claim (compaction/migration refuse while it
+    # exists), and each batch re-checks after its commit marker that
+    # the serving pointer still names the generation it appended to —
+    # a swap mid-ingest fails the batch (checkpoint holds, replay
+    # re-classifies under the live generation) instead of committing
+    # into a generation the next compaction sweeps.
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
+    logical_path = index_path.rstrip("/")
+    claim_index_for_ingest(spark, logical_path, f"stream_index_ingest:{ckpt_path}")
+    try:
+        _stream_index_ingest(spark, vectors_path, logical_path, ckpt_path)
+    finally:
+        release_index_ingest_claim(spark, logical_path)
+
+
+def _stream_index_ingest(
+    spark: SparkSession, vectors_path: str, index_path: str, ckpt_path: str
+) -> None:
+    from ..operators.ann_index import (
+        _resolve_index_root,
+        _try_read_parquet,
+        append_to_pq_index,
+        assert_generation_stable,
+        load_pq_index,
+    )
+
+    logical_path = index_path
     index_path = _resolve_index_root(spark, index_path)
     codes, _, params = load_pq_index(spark, index_path)
     build_id = params.get("build_id") or ""
@@ -683,6 +707,9 @@ def stream_index_ingest_job(
             [(qid, int(epoch_id), build_id)],
             "query_id string, epoch_id long, build_id string",
         ).coalesce(1).write.mode("append").parquet(markers_path)
+        # tripwire: a pointer swap since job start means the append
+        # above landed in a dead generation — fail the batch loudly
+        assert_generation_stable(ss, logical_path, index_path)
 
     q = (
         spark.readStream.schema(schema)
@@ -730,13 +757,50 @@ def _stream_bucket_ingest(
       surviving rows and silently skipping would leave under-blocking
       entries (missed duplicates, the worst dedup failure) forever.
     """
-    from ..operators.ann_index import _resolve_index_root, _try_read_parquet
+    from ..operators.ann_index import (
+        _resolve_index_root,
+        _try_read_parquet,
+        assert_generation_stable,
+        claim_index_for_ingest,
+        release_index_ingest_claim,
+    )
 
     # checkpoint keyed to the LOGICAL index path; data/markers resolve
-    # a serving-layout pointer once at job start (same contract as the
-    # PQ ingest: no compaction concurrent with an ingest)
+    # a serving-layout pointer once at job start. Single-writer
+    # contract, enforced loudly from both sides (same scheme as
+    # stream_index_ingest_job): exclusive `.INGEST_ACTIVE` claim held
+    # for the job's lifetime, and a post-marker generation-stability
+    # tripwire per batch.
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
-    index_path = _resolve_index_root(spark, index_path)
+    logical_path = index_path.rstrip("/")
+    claim_index_for_ingest(spark, logical_path, f"{name}:{ckpt_path}")
+    try:
+        _run_bucket_ingest(
+            spark, src_path, logical_path, ckpt_path, schema, id_col,
+            rows_per_id, build_id, append, name, fsck_name,
+            _resolve_index_root, _try_read_parquet, assert_generation_stable,
+        )
+    finally:
+        release_index_ingest_claim(spark, logical_path)
+
+
+def _run_bucket_ingest(
+    spark: SparkSession,
+    src_path: str,
+    logical_path: str,
+    ckpt_path: str,
+    schema: str,
+    id_col: str,
+    rows_per_id: int,
+    build_id: str,
+    append,
+    name: str,
+    fsck_name: str,
+    _resolve_index_root,
+    _try_read_parquet,
+    assert_generation_stable,
+) -> None:
+    index_path = _resolve_index_root(spark, logical_path)
     markers_path = f"{index_path}/ingest_epochs"
     qid_cache: dict[str, str] = {}
 
@@ -792,6 +856,9 @@ def _stream_bucket_ingest(
             [(qid, int(epoch_id), build_id)],
             "query_id string, epoch_id long, build_id string",
         ).coalesce(1).write.mode("append").parquet(markers_path)
+        # tripwire: a pointer swap since job start means the append
+        # above landed in a dead generation — fail the batch loudly
+        assert_generation_stable(ss, logical_path, index_path)
 
     q = (
         spark.readStream.schema(schema)

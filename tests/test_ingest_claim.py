@@ -1,0 +1,136 @@
+"""Single-writer tripwires: ingest claims vs compaction/migration.
+
+The maintenance contract ("no compaction concurrent with an ingest")
+used to fail SILENTLY when violated: a serving compaction racing a
+streaming ingest sweeps the ingest's generation — epoch markers and
+appended data gone while the stream's checkpoint has already advanced,
+i.e. permanent invisible data loss. These tests pin the loud version:
+
+- ingest jobs hold an exclusive ``.INGEST_ACTIVE`` claim at the
+  LOGICAL index root for their lifetime (released even on failure);
+- compaction (both layouts, both index families) and migration refuse
+  while the claim exists, ``force=True`` overriding a stale claim;
+- ``assert_generation_stable`` (each batch calls it after its commit
+  marker lands) raises once the serving pointer moves, so a mid-ingest
+  swap fails the batch instead of committing into a dead generation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.fs import fs_exists
+from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+    _resolve_index_root,
+    assert_generation_stable,
+    build_pq_index,
+    claim_index_for_ingest,
+    compact_index,
+    compact_index_serving,
+    migrate_index_to_serving,
+    release_index_ingest_claim,
+)
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+PARAMS = dict(n_subspaces=4, sub_dim=16, n_codes=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+def test_claim_is_exclusive_and_releasable(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    claim_index_for_ingest(spark, path, "job-a")
+    with pytest.raises(RuntimeError, match="already claimed.*job-a"):
+        claim_index_for_ingest(spark, path, "job-b")
+    release_index_ingest_claim(spark, path)
+    claim_index_for_ingest(spark, path, "job-b")  # free again
+    release_index_ingest_claim(spark, path)
+
+
+def test_compaction_and_migration_refuse_under_claim(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    build_pq_index(corpus, path, **PARAMS)
+    claim_index_for_ingest(spark, path, "live-ingest")
+    try:
+        with pytest.raises(RuntimeError, match="claimed by a live ingest"):
+            migrate_index_to_serving(spark, path)
+        with pytest.raises(RuntimeError, match="claimed by a live ingest"):
+            compact_index(spark, path)
+    finally:
+        release_index_ingest_claim(spark, path)
+    migrate_index_to_serving(spark, path)
+    claim_index_for_ingest(spark, path, "live-ingest")
+    try:
+        with pytest.raises(RuntimeError, match="claimed by a live ingest"):
+            compact_index_serving(spark, path)
+        # stale-claim recovery after a hard-killed job: force proceeds
+        compact_index_serving(spark, path, force=True)
+    finally:
+        release_index_ingest_claim(spark, path)
+
+
+def test_generation_stability_tripwire(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    build_pq_index(corpus, path, **PARAMS)
+    # flat layout: the root is its own fixed point, check is a no-op
+    root = _resolve_index_root(spark, path)
+    assert_generation_stable(spark, path, root)
+    migrate_index_to_serving(spark, path)
+    root = _resolve_index_root(spark, path)
+    assert_generation_stable(spark, path, root)  # still live
+    compact_index_serving(spark, path)  # swaps the pointer
+    with pytest.raises(RuntimeError, match="generation changed mid-ingest"):
+        assert_generation_stable(spark, path, root)
+
+
+def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
+    """The streaming ingest claims at start and releases in finally —
+    afterwards the root carries no ``.INGEST_ACTIVE`` and maintenance
+    runs freely."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    path = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    build_pq_index(corpus.filter(F.col("vec_id") < 400), path, **PARAMS)
+    corpus.filter(F.col("vec_id") >= 400).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).write.parquet(src)
+    stream_index_ingest_job(spark, src, path)
+    assert not fs_exists(spark, f"{path}/.INGEST_ACTIVE")
+    compact_index(spark, path)  # no claim left behind
+
+    # a second job on the same index is refused while one holds the claim
+    claim_index_for_ingest(spark, path, "other")
+    try:
+        with pytest.raises(RuntimeError, match="already claimed"):
+            stream_index_ingest_job(spark, src, path)
+    finally:
+        release_index_ingest_claim(spark, path)
+
+
+def test_failed_ingest_still_releases_claim(spark, corpus, tmp_path):
+    """A batch failure propagates AND releases the claim (a dead job
+    must not block maintenance)."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_index_ingest_job,
+    )
+
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_delete
+
+    path = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    build_pq_index(corpus, path, **PARAMS)
+    corpus.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).write.parquet(src)
+    # sever the commit marker: the job's index load fails loudly
+    fs_delete(spark, f"{path}/commit")
+    with pytest.raises(Exception):
+        stream_index_ingest_job(spark, src, path)
+    assert not fs_exists(spark, f"{path}/.INGEST_ACTIVE")

@@ -76,6 +76,13 @@ def main() -> int:
         "streaming-ingest small files into TARGET_FILES id-sorted "
         "files (default: sized from the row count)",
     )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="compact across a stale .INGEST_ACTIVE claim left by a "
+        "hard-killed ingest job (compaction refuses it otherwise; "
+        "confirm no ingest is actually running first)",
+    )
     args = ap.parse_args()
     if args.dedup and args.vec_dedup:
         ap.error("--dedup and --vec-dedup are mutually exclusive")
@@ -128,7 +135,9 @@ def main() -> int:
         clean = ("post_repair" in report) or not bad
         if args.compact is not None and clean:
             target = None if args.compact == -1 else args.compact
-            report["compact"] = compact(spark, args.index_path, target)
+            report["compact"] = compact(
+                spark, args.index_path, target, force=args.force
+            )
         elif args.compact is not None:
             report["compact"] = "skipped: sweep found violations"
     finally:
