@@ -322,6 +322,33 @@ def _refuse_if_ingest_active(
         )
 
 
+def _root_report(spark: SparkSession, path: str) -> dict:
+    """Report-only root observations for fsck: orphaned generation
+    dirs (serving-layout crash debris — swept by the next successful
+    serving compaction, listed here so operators can see disk held by
+    debris) and the ``.INGEST_ACTIVE`` claim tag if one exists (maybe
+    a live ingest, maybe stale from a hard kill — fsck cannot tell, so
+    it reports rather than judges)."""
+    p = path.rstrip("/")
+    out: dict = {}
+    claim = fs_read_text(spark, f"{p}/{_INGEST_ACTIVE}")
+    if claim is not None:
+        out["ingest_claim"] = claim
+    cur = fs_read_text(spark, f"{p}/{_CURRENT}")
+    if cur is not None:
+        cur = cur.strip()
+        orphans = [
+            n
+            for n in fs_list_names(spark, p)
+            if _GEN_RE.match(n) and n != cur
+        ]
+        # at most one superseded generation is the serving layout's
+        # deliberate reader grace; anything beyond that is debris
+        if orphans:
+            out["extra_generations"] = sorted(orphans)
+    return out
+
+
 def assert_generation_stable(
     spark: SparkSession, path: str, resolved_root: str
 ) -> None:
@@ -871,7 +898,15 @@ def fsck_index(
     post-repair state is re-verified strictly. Repair is the CHEAP
     recovery: a rewrite of the narrow codes/lists tables, never a
     re-quantization of the corpus — at billion-vector scale that is
-    the difference between minutes and a full rebuild."""
+    the difference between minutes and a full rebuild.
+
+    On a serving-layout root the report also carries the root's
+    non-violation observations (``_root_report``): orphaned
+    generation dirs (crash debris the next successful serving
+    compaction sweeps) and a live/stale ``.INGEST_ACTIVE`` claim —
+    report-only, since a claim may be a legitimately running ingest
+    and an orphan is benign until disk pressure says otherwise."""
+    root_report = _root_report(spark, path)
     path = _resolve_index_root(spark, path)
     codes, _, params = load_pq_index(spark, path)
     id_col = params["id_col"]
@@ -889,6 +924,7 @@ def fsck_index(
     report = {
         "n_ids": cstats["n_ids"],
         "partial_code_ids": cstats["bad"],
+        **root_report,
     }
     if _try_read_parquet(spark, f"{path}/ivf_meta") is not None:
         lstats = (

@@ -281,9 +281,12 @@ def _fsck_bucket_index(
     partial ids drop back to their never-appended state (re-ingest
     recovers them) — via the staged-swap + commit-marker dance of the
     ANN index's ``repair_index``, then re-verifies strictly. One
-    narrow-table rewrite, no re-hashing."""
-    from .ann_index import _resolve_index_root
+    narrow-table rewrite, no re-hashing. Serving-layout roots also get
+    the report-only root observations (orphaned generations, ingest
+    claim) — see ``ann_index._root_report``."""
+    from .ann_index import _resolve_index_root, _root_report
 
+    root_report = _root_report(spark, path)
     path = _resolve_index_root(spark, path)
     bands_df, params = load(spark, path)
     id_col = params["id_col"]
@@ -309,6 +312,7 @@ def _fsck_bucket_index(
         "n_ids": stats["n_ids"],
         "dup_rows": int(stats["dup_rows"] or 0),
         "partial_ids": stats["partial_ids"],
+        **root_report,
     }
     violations = report["dup_rows"] or report["partial_ids"]
     if violations and repair:

@@ -114,6 +114,28 @@ def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
         release_index_ingest_claim(spark, path)
 
 
+def test_fsck_reports_root_observations(spark, corpus, tmp_path):
+    """fsck surfaces (report-only) a live/stale ingest claim and any
+    generation dirs beyond the live one on a serving root."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_mkdirs
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import fsck_index
+
+    path = str(tmp_path / "idx")
+    build_pq_index(corpus, path, **PARAMS)
+    rep = fsck_index(spark, path)
+    assert "ingest_claim" not in rep and "extra_generations" not in rep
+    migrate_index_to_serving(spark, path)
+    claim_index_for_ingest(spark, path, "lingering-job")
+    fake_gen = f"{path}/gen-{'0' * 12}"
+    fs_mkdirs(spark, fake_gen)
+    try:
+        rep = fsck_index(spark, path)
+        assert rep["ingest_claim"] == "lingering-job"
+        assert rep["extra_generations"] == ["gen-" + "0" * 12]
+    finally:
+        release_index_ingest_claim(spark, path)
+
+
 def test_failed_ingest_still_releases_claim(spark, corpus, tmp_path):
     """A batch failure propagates AND releases the claim (a dead job
     must not block maintenance)."""
