@@ -1100,22 +1100,39 @@ def tx_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole compute budget. A doc is admitted iff the budget was
     not yet full when its turn came (``cum - n < budget``), so the
     crossing doc is kept and every source with any docs contributes.
-    One running-sum window per source key — single exchange, exact
-    integer token arithmetic, per-source mixture weights would simply
-    replace the constant. At 100 TB: one shuffle on source, state
-    per window = one source's docs, no global sort."""
+    Exact integer token arithmetic; per-source mixture weights would
+    simply replace the constant.
+
+    The running sum is computed by ``grouped_running_sum``
+    (operators/prefix.py) — the distributed two-level prefix scan —
+    instead of one window per source, closing the skew point SCALE.md
+    used to document for this family: a plain
+    ``Window.partitionBy(source)`` serializes each source into ONE
+    task, so a source holding most of a 100 TB corpus runs on one
+    core; the scan form bounds every window partition by a range
+    block regardless of the source distribution, at the cost of one
+    extra balanced shuffle + a metadata-sized offsets collect.
+    Value-identical to the window form (operator's equality pins,
+    tests/test_prefix.py) so the oracle below is unchanged."""
+    from ..operators.prefix import grouped_running_sum
+
     docs = _t(spark, sf_dir, "documents")
     n_tokens = token_count("text").cast("long")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id").asc()
-    )
-    cum = F.sum("n_tokens").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
     return (
-        docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
-        .select("source", "doc_id", "n_tokens", cum.alias("cum_tokens"))
+        grouped_running_sum(
+            docs.select(
+                "source",
+                "doc_id",
+                n_tokens.alias("n_tokens"),
+                (-n_tokens).alias("__neg_tokens"),  # priority = longest first
+            ),
+            ["source"],
+            ["__neg_tokens", "doc_id"],
+            "n_tokens",
+            out_col="cum_tokens",
+        )
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < 2500)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
     )
 
 

@@ -1,0 +1,80 @@
+"""grouped_running_sum == the plain per-group window, value for value.
+
+The operator exists to remove the one-partition-per-group skew of the
+window form (SCALE.md's documented skew point for the token-budget
+admission family) without changing ANY output value — so the tests
+are equality pins against the window twin, including a dominant-group
+layout where the decomposition actually matters and a blocks >> rows
+configuration where most blocks are empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from etl_pricenow_to_leukerbadb_spark.functions.text import token_count
+from etl_pricenow_to_leukerbadb_spark.operators.prefix import (
+    grouped_running_sum,
+)
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+
+def _window_twin(df, group, order, value):
+    w = Window.partitionBy(*group).orderBy(*[F.col(c) for c in order])
+    return df.withColumn(
+        "running_sum",
+        F.sum(value).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_window_on_documents(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select(
+        "source", "doc_id", token_count("text").cast("long").alias("n")
+    )
+    got = grouped_running_sum(
+        docs, ["source"], ["n", "doc_id"], "n", num_blocks=7
+    )
+    want = _window_twin(docs, ["source"], ["n", "doc_id"], "n")
+    assert _rows(got) == _rows(want)
+
+
+def test_matches_window_under_dominant_group(spark):
+    # one group holds 97% of rows — the layout the window form
+    # serializes and this operator exists for
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2900, F.lit("big"))
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 7))
+        .alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    got = grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=16)
+    want = _window_twin(df, ["g"], ["k"], "v")
+    assert _rows(got) == _rows(want)
+    # the decomposition actually split the dominant group: its rows
+    # carry more than one distinct block-local offset, i.e. more than
+    # one window partition computed it
+    n_blocks_big = (
+        df.repartitionByRange(16, F.col("g"), F.col("k"))
+        .withColumn("p", F.spark_partition_id())
+        .filter(F.col("g") == "big")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert n_blocks_big > 1
+
+
+def test_more_blocks_than_rows_and_empty_input(spark):
+    df = spark.range(0, 5).select(
+        F.lit("only").alias("g"), F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    got = grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=64)
+    want = _window_twin(df, ["g"], ["k"], "v")
+    assert _rows(got) == _rows(want)
+    empty = df.filter(F.lit(False))
+    assert grouped_running_sum(empty, ["g"], ["k"], "v").count() == 0
