@@ -231,6 +231,70 @@ def probe_handle_cache(spark) -> dict:
     return results
 
 
+def probe_prefix_scan_skew(spark) -> dict:
+    """Window-per-group vs ``grouped_running_sum`` on a dominant-group
+    layout (one group holds 99% of rows): the window form computes the
+    big group's running sum in ONE task regardless of core count; the
+    two-level scan bounds every window partition by a range block.
+    Rows sized so the serialized task is the visible cost on local[32].
+    Equality of outputs is pytest-pinned (tests/test_prefix.py); this
+    probe measures only the wall ratio and the parallelism achieved."""
+    from pyspark.sql import Window, functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.operators.prefix import (
+        grouped_running_sum,
+    )
+
+    # measured series (SCALE.md): 3M/12M locally favor the window
+    # (serialized sort at memory speed vs two extra parallel passes);
+    # at 48M (SPARK_GRAFT_PROBE_ROWS=48000000, SPARK_DRIVER_MEMORY=48g)
+    # the dominant group's single window partition spills and the scan
+    # wins, 1.13x — the cliff that only deepens with size
+    n = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS", 3_000_000))
+    df = (
+        spark.range(0, n)
+        .select(
+            F.when(F.col("id") % 100 < 99, F.lit("web"))
+            .otherwise(F.concat(F.lit("s"), F.col("id") % 11))
+            .alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 997 + 1).alias("n_tokens"),
+        )
+        .localCheckpoint()  # measure the scans, not the generator
+    )
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    windowed = df.withColumn(
+        "cum", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    _, t_window = timed(lambda: windowed.agg(F.sum("cum")).collect())
+
+    _, t_scan = timed(
+        lambda: grouped_running_sum(
+            df, ["source"], ["doc_id"], "n_tokens", out_col="cum"
+        )
+        .agg(F.sum("cum"))
+        .collect()
+    )
+
+    blocks_big = (
+        df.repartitionByRange(32, F.col("source"), F.col("doc_id"))
+        .withColumn("p", F.spark_partition_id())
+        .filter(F.col("source") == "web")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    return {
+        "rows": n,
+        "dominant_share": 0.99,
+        "window_sec": round(t_window, 3),
+        "scan_sec": round(t_scan, 3),
+        "ratio": round(t_window / t_scan, 2),
+        "dominant_group_blocks": blocks_big,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-r8")
     out = {
@@ -238,6 +302,7 @@ def main() -> None:
         "point_probe_scale": probe_point_probe_scale(spark),
         "serving_compaction": probe_serving_compaction(spark),
         "handle_cache": probe_handle_cache(spark),
+        "prefix_scan_skew": probe_prefix_scan_skew(spark),
     }
     print(json.dumps(out, indent=2))
     spark.stop()
