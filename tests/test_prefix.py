@@ -78,3 +78,33 @@ def test_more_blocks_than_rows_and_empty_input(spark):
     assert _rows(got) == _rows(want)
     empty = df.filter(F.lit(False))
     assert grouped_running_sum(empty, ["g"], ["k"], "v").count() == 0
+
+
+# -- property: equality vs the window twin for ANY (groups, values) --
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# per-group lists of values; order key = list position (unique per group)
+group_sets = st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c", "dominant"]),
+    values=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=group_sets, blocks=st.sampled_from([1, 3, 17]))
+def test_property_matches_window(spark, data, blocks):
+    rows = [
+        (g, i, v) for g, vals in data.items() for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v long")
+    got = grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=blocks)
+    want = _window_twin(df, ["g"], ["k"], "v")
+    assert _rows(got) == _rows(want)
