@@ -291,10 +291,16 @@ def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
     """Exclusively claim ``path`` (logical root) for a streaming
     ingest. Raises when another claim is live — a concurrent ingest,
     or a stale claim from a hard-killed job (delete the marker or
-    pass the compactor ``force=True`` after confirming nothing runs)."""
+    pass the compactor ``force=True`` after confirming nothing runs).
+    The marker records the claim's UTC timestamp alongside the tag so
+    a refused maintenance run can judge staleness from the error
+    alone (a claim hours older than the ingest cadence is a corpse)."""
+    import datetime as _dt
+
+    stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
     marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
     try:
-        fs_write_text_exclusive(spark, marker, tag)
+        fs_write_text_exclusive(spark, marker, f"{tag} claimed_at={stamp}")
     except FileExistsError:
         raise RuntimeError(
             f"index at {path} is already claimed by an ingest job "

@@ -130,7 +130,7 @@ def test_fsck_reports_root_observations(spark, corpus, tmp_path):
     fs_mkdirs(spark, fake_gen)
     try:
         rep = fsck_index(spark, path)
-        assert rep["ingest_claim"] == "lingering-job"
+        assert rep["ingest_claim"].startswith("lingering-job claimed_at=")
         assert rep["extra_generations"] == ["gen-" + "0" * 12]
     finally:
         release_index_ingest_claim(spark, path)
