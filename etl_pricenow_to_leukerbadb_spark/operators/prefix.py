@@ -115,6 +115,19 @@ def grouped_running_sum(
     )
     off_df = tiny_local_df(spark, offsets, off_schema)
 
+    # NULL-SAFE join keys: groupBy (step 2) and window partitioning
+    # both treat a null group key as a real group, but a plain
+    # equi-join would silently DROP null-keyed rows (Catalyst inserts
+    # isnotnull filters) — the offsets must come back to every row
+    off_aliased = off_df.select(
+        F.col(_BLOCK).alias("__ob"),
+        *[F.col(c).alias(f"__og{i}") for i, c in enumerate(group_cols)],
+        "__prefix_offset",
+    )
+    cond = F.col(_BLOCK) == F.col("__ob")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og{i}"))
+
     w = Window.partitionBy(_BLOCK, *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -122,7 +135,12 @@ def grouped_running_sum(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        ranged.join(F.broadcast(off_df), [_BLOCK, *group_cols])
+        ranged.join(F.broadcast(off_aliased), cond)
         .withColumn(out_col, local_sum + F.col("__prefix_offset"))
-        .drop(_BLOCK, "__prefix_offset")
+        .drop(
+            _BLOCK,
+            "__ob",
+            *[f"__og{i}" for i in range(len(group_cols))],
+            "__prefix_offset",
+        )
     )

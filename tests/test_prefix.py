@@ -28,7 +28,8 @@ def _window_twin(df, group, order, value):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # key=str: None-keyed groups are legal and not orderable vs strings
+    return sorted((tuple(r) for r in df.collect()), key=str)
 
 
 def test_matches_window_on_documents(spark, sf_small):
@@ -67,6 +68,20 @@ def test_matches_window_under_dominant_group(spark):
         .count()
     )
     assert n_blocks_big > 1
+
+
+def test_null_group_keys_are_kept(spark):
+    """A null group key is a real group to groupBy AND to the window —
+    the operator's offsets join must be null-safe or those rows vanish
+    (Catalyst inserts isnotnull under a plain equi-join)."""
+    df = spark.createDataFrame(
+        [(None, 1, 5), (None, 2, 7), ("a", 1, 3)],
+        "g string, k int, v long",
+    )
+    got = grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=4)
+    want = _window_twin(df, ["g"], ["k"], "v")
+    assert got.count() == 3
+    assert _rows(got) == _rows(want)
 
 
 def test_more_blocks_than_rows_and_empty_input(spark):
