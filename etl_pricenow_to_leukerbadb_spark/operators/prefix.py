@@ -44,10 +44,11 @@ actions; un-pinned, each would re-evaluate the range partitioner —
 whose sampled bounds are not guaranteed stable across evaluations —
 and offsets computed against one placement would be applied to
 another, silently corrupting sums. Checkpointing materializes ONE
-placement that both actions read. ``reliable=True`` writes the pin to
-the session checkpoint dir (executor-loss-surviving, for long cluster
-jobs) instead of executor-local blocks, mirroring the iterative
-operators' contract (`dedup.py`).
+placement that both actions read. The pin goes through
+``dedup.iter_checkpoint`` — ``reliable=True`` writes it to the
+session checkpoint dir (executor-loss-surviving, for long cluster
+jobs; fails fast with setup instructions when no dir is configured)
+instead of executor-local blocks, the iterative operators' contract.
 """
 
 from __future__ import annotations
@@ -80,16 +81,17 @@ def grouped_running_sum(
     ``num_blocks`` defaults to the session's shuffle parallelism.
     Internally runs one Spark job (the offsets collect) before the
     returned DataFrame's own action."""
+    from .dedup import iter_checkpoint
+
     spark = df.sparkSession
     n = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sort_cols = [F.col(c) for c in (*group_cols, *order_cols)]
-    ranged = df.repartitionByRange(n, *sort_cols).withColumn(
-        _BLOCK, F.spark_partition_id()
+    ranged = iter_checkpoint(
+        df.repartitionByRange(n, *sort_cols).withColumn(
+            _BLOCK, F.spark_partition_id()
+        ),
+        reliable,
     )
-    if reliable:
-        ranged = ranged.checkpoint(eager=True)
-    else:
-        ranged = ranged.localCheckpoint(eager=True)
 
     partials = (
         ranged.groupBy(_BLOCK, *group_cols)

@@ -95,6 +95,34 @@ def test_more_blocks_than_rows_and_empty_input(spark):
     assert grouped_running_sum(empty, ["g"], ["k"], "v").count() == 0
 
 
+def test_reliable_pin_matches_and_requires_dir(spark, tmp_path):
+    """reliable=True mirrors the iterative operators' contract: fail
+    fast with setup instructions when no checkpoint dir is configured,
+    byte-identical results when one is."""
+    import pytest
+
+    df = spark.range(0, 200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        grouped_running_sum(df, ["g"], ["k"], "v", reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = grouped_running_sum(
+            df, ["g"], ["k"], "v", num_blocks=5, reliable=True
+        )
+        want = _window_twin(df, ["g"], ["k"], "v")
+        assert _rows(got) == _rows(want)
+    finally:
+        # restore: the shared session must leave no checkpoint dir
+        # behind (the scala setter's JVM name contains '$')
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
 # -- property: equality vs the window twin for ANY (groups, values) --
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
