@@ -99,12 +99,23 @@ def fs_write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
     ``path`` already exists (Hadoop ``create(overwrite=false)`` —
     atomic on HDFS and the local FS; object stores degrade to
     check-then-create, still a narrower race than a separate exists
-    probe). Used for single-writer claims (``.INGEST_ACTIVE``)."""
+    probe). Used for single-writer claims (``.INGEST_ACTIVE``).
+
+    Collision detection matches the JAVA EXCEPTION CLASS, not the
+    message: substring-matching 'exist' would misdiagnose unrelated
+    I/O failures ("No lease ... File does not exist", "parent
+    directory does not exist") as a live claim and tell the operator
+    to delete a marker that was never created."""
     fs, p = _fs(spark, path)
     try:
         out = fs.create(p, False)
-    except Exception as e:  # Py4J wraps FileAlreadyExistsException
-        if "exist" in str(e).lower():
+    except Exception as e:  # Py4J wraps the Java exception
+        je = getattr(e, "java_exception", None)
+        names = []
+        while je is not None:  # collision may arrive wrapped in an IOE
+            names.append(je.getClass().getName())
+            je = je.getCause()
+        if any("AlreadyExists" in n for n in names):
             raise FileExistsError(path) from None
         raise
     try:
@@ -128,6 +139,14 @@ def fs_read_text(spark: SparkSession, path: str) -> str | None:
         return bytes(baos.toByteArray()).decode("utf-8")
     finally:
         stream.close()
+
+
+def fs_mtime(spark: SparkSession, path: str) -> int:
+    """Modification time (epoch millis) of ``path`` per its own
+    filesystem. Used to order serving-layout generation dirs, whose
+    names are deliberately unordered random hex."""
+    fs, p = _fs(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())
 
 
 def fs_list_names(spark: SparkSession, path: str) -> list[str]:

@@ -51,9 +51,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..fs import (
     fs_copy,
     fs_delete,
+    parent,
     fs_exists,
     fs_list_names,
     fs_mkdirs,
+    fs_mtime,
     fs_read_text,
     fs_rename,
     fs_write_text,
@@ -278,10 +280,19 @@ def _write_current(spark: SparkSession, path: str, gen_name: str) -> None:
 #     failing the batch (checkpoint does not advance; replay under
 #     the new generation classifies the ids and re-appends) instead
 #     of committing into a dead generation.
-# The residual race (a compaction that snapshotted before the append
-# and swapped after the post-check) needs real coordination a
-# filesystem cannot give; the claim marker exists precisely so that
-# ordering cannot occur when both sides use these entry points.
+# The compaction side additionally re-checks the claim AND the live
+# generation's file counts immediately before the pointer swap
+# (`_assert_no_late_writers`): an ingest that claimed after the entry
+# check and committed a batch is detected (any committed batch adds
+# files to every compacted dir) and the swap aborts with the live
+# generation untouched. What remains unprovable on a filesystem
+# without compare-and-swap: an ingest whose claim + first committed
+# batch BOTH land inside the sub-second gap between that final check
+# and the pointer rename — physically implausible (a batch commit is
+# several Spark jobs), and on the ingest side the post-marker
+# stability check covers the symmetric ordering. Honest contract:
+# single-writer is still the rule; these tripwires make any realistic
+# violation loud rather than making concurrency safe.
 # ---------------------------------------------------------------------------
 
 _INGEST_ACTIVE = ".INGEST_ACTIVE"
@@ -318,7 +329,9 @@ def _refuse_if_ingest_active(
 ) -> None:
     marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
     tag = fs_read_text(spark, marker)
-    if tag is not None and not force:
+    if tag is None:
+        return
+    if not force:
         raise RuntimeError(
             f"{what}: index at {path} is claimed by a live ingest job "
             f"({tag}) — compacting now would strand its appends in a "
@@ -326,15 +339,27 @@ def _refuse_if_ingest_active(
             f"was killed without cleanup delete {marker} (or pass "
             "force=True)"
         )
+    # force IS the stale-claim recovery: the operator asserted nothing
+    # is running, so the corpse marker is released here — leaving it
+    # would make the next legitimate ingest's claim fail and every
+    # future maintenance run need force again
+    fs_delete(spark, marker)
 
 
 def _root_report(spark: SparkSession, path: str) -> dict:
-    """Report-only root observations for fsck: orphaned generation
-    dirs (serving-layout crash debris — swept by the next successful
-    serving compaction, listed here so operators can see disk held by
-    debris) and the ``.INGEST_ACTIVE`` claim tag if one exists (maybe
-    a live ingest, maybe stale from a hard kill — fsck cannot tell, so
-    it reports rather than judges)."""
+    """Report-only root observations for fsck on a serving-layout
+    root: the non-current generation dirs, split into the single most
+    recent one (``superseded_generation`` — the DELIBERATE reader
+    grace ``keep_previous`` retains, present after every healthy
+    compaction, not a finding) and anything older
+    (``generation_debris`` — crash leftovers the next successful
+    serving compaction sweeps, listed so operators can see disk held
+    by debris); plus the ``.INGEST_ACTIVE`` claim tag if one exists
+    (maybe a live ingest, maybe stale from a hard kill — fsck cannot
+    tell, so it reports rather than judges; the tag carries its
+    claimed_at timestamp for exactly that triage). Recency comes from
+    the generation dirs' filesystem mtimes (gen names are random hex,
+    deliberately unordered)."""
     p = path.rstrip("/")
     out: dict = {}
     claim = fs_read_text(spark, f"{p}/{_INGEST_ACTIVE}")
@@ -343,15 +368,18 @@ def _root_report(spark: SparkSession, path: str) -> dict:
     cur = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur is not None:
         cur = cur.strip()
-        orphans = [
+        others = [
             n
             for n in fs_list_names(spark, p)
             if _GEN_RE.match(n) and n != cur
         ]
-        # at most one superseded generation is the serving layout's
-        # deliberate reader grace; anything beyond that is debris
-        if orphans:
-            out["extra_generations"] = sorted(orphans)
+        if others:
+            by_mtime = sorted(
+                others, key=lambda n: fs_mtime(spark, f"{p}/{n}")
+            )
+            out["superseded_generation"] = by_mtime[-1]
+            if len(by_mtime) > 1:
+                out["generation_debris"] = by_mtime[:-1]
     return out
 
 
@@ -376,8 +404,43 @@ def assert_generation_stable(
         )
 
 
+def _assert_no_late_writers(
+    spark: SparkSession, cur: str, report: dict, what: str
+) -> None:
+    """Pre-swap guard for the serving compactions: re-check the ingest
+    claim AND that no data/marker files were added to the live
+    generation since the snapshot (any committed ingest batch adds at
+    least one file to each compacted dir). Closes the entry-check
+    TOCTOU: an ingest that claims after compaction started would
+    otherwise commit batches into the generation the swap is about to
+    supersede — its rows swept with the old generation while the
+    stream's checkpoint has advanced. An abort here leaves the live
+    generation untouched and the new one orphaned (swept by the next
+    successful run). Residual window: a full claim+append+marker cycle
+    landing entirely between this check and the pointer rename —
+    multiple Spark jobs inside a sub-second metadata gap, and the
+    claim check at the INGEST side (assert_generation_stable, after
+    its marker) covers that ordering too."""
+    p = parent(cur)
+    _refuse_if_ingest_active(spark, p, f"{what} (pre-swap)", force=False)
+    for d, stats in report.items():
+        if not isinstance(stats, dict) or "files_before" not in stats:
+            continue
+        now = len(spark.read.parquet(f"{cur}/{d}").inputFiles())
+        if now != stats["files_before"]:
+            raise RuntimeError(
+                f"{what}: {cur}/{d} gained files since the compaction "
+                f"snapshot ({stats['files_before']} -> {now}) — an ingest "
+                "ran concurrently in violation of the single-writer "
+                "contract. The live generation is untouched and still "
+                "current; the orphaned new generation will be swept by "
+                "the next successful compaction. Re-run after the "
+                "ingest drains"
+            )
+
+
 def migrate_index_to_serving(
-    spark: SparkSession, path: str, _validate=None
+    spark: SparkSession, path: str, _validate=None, force: bool = False
 ) -> str:
     """One-time, resumable migration of a flat-layout index into the
     serving layout: validate the flat index, move every artifact dir
@@ -397,7 +460,7 @@ def migrate_index_to_serving(
     if _validate is None:
         _validate = load_pq_index
     p = path.rstrip("/")
-    _refuse_if_ingest_active(spark, p, "migrate_index_to_serving", force=False)
+    _refuse_if_ingest_active(spark, p, "migrate_index_to_serving", force)
     if fs_read_text(spark, f"{p}/{_CURRENT}") is not None:
         raise ValueError(f"index at {path} is already in the serving layout")
     partial = [n for n in fs_list_names(spark, p) if _GEN_RE.match(n)]
@@ -505,6 +568,7 @@ def compact_index_serving(
         fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
     if "build_id" in params:
         _write_commit(spark, new, params["build_id"])  # completes the gen
+    _assert_no_late_writers(spark, cur, report, "compact_index_serving")
     _write_current(spark, p, new_name)
     keep = {new_name} | ({cur_name} if keep_previous else set())
     for n in fs_list_names(spark, p):

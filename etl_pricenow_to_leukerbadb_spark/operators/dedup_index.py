@@ -925,22 +925,28 @@ def compact_vec_dedup_index(
 # ---------------------------------------------------------------------------
 
 
-def migrate_dedup_index_to_serving(spark: SparkSession, path: str) -> str:
+def migrate_dedup_index_to_serving(
+    spark: SparkSession, path: str, force: bool = False
+) -> str:
     """One-time flat -> serving migration of a text near-dup index;
     mechanics in ``ann_index.migrate_index_to_serving``."""
     from .ann_index import migrate_index_to_serving
 
     return migrate_index_to_serving(
-        spark, path, _validate=lambda ss, p: load_dedup_index(ss, p)
+        spark, path, _validate=lambda ss, p: load_dedup_index(ss, p),
+        force=force,
     )
 
 
-def migrate_vec_dedup_index_to_serving(spark: SparkSession, path: str) -> str:
+def migrate_vec_dedup_index_to_serving(
+    spark: SparkSession, path: str, force: bool = False
+) -> str:
     """One-time flat -> serving migration of a vector near-dup index."""
     from .ann_index import migrate_index_to_serving
 
     return migrate_index_to_serving(
-        spark, path, _validate=lambda ss, p: load_vec_dedup_index(ss, p)
+        spark, path, _validate=lambda ss, p: load_vec_dedup_index(ss, p),
+        force=force,
     )
 
 
@@ -965,6 +971,7 @@ def _compact_bucket_serving(
     from .ann_index import (
         _CURRENT,
         _GEN_RE,
+        _assert_no_late_writers,
         _compact_sorted,
         _refuse_if_ingest_active,
         _write_commit,
@@ -1017,6 +1024,7 @@ def _compact_bucket_serving(
             continue
         fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
     _write_commit(spark, new, params["build_id"])  # completes the gen
+    _assert_no_late_writers(spark, cur, report, name)
     _write_current(spark, p, new_name)
     keep = {new_name, cur_name}
     for n in fs_list_names(spark, p):

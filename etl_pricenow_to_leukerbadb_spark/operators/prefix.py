@@ -95,9 +95,25 @@ def grouped_running_sum(
 
     partials = (
         ranged.groupBy(_BLOCK, *group_cols)
-        .agg(F.sum(value_col).alias("s"))
+        .agg(
+            F.sum(value_col).alias("s"),
+            # enforce the documented non-null precondition in the SAME
+            # job: a null value makes the two decompositions disagree
+            # (null-skipping sums carry differently across blocks) and
+            # an all-null block would crash the driver prefix below
+            F.count(F.when(F.col(value_col).isNull(), F.lit(1))).alias(
+                "nulls"
+            ),
+        )
         .collect()
     )
+    n_null = sum(r["nulls"] for r in partials)
+    if n_null:
+        raise ValueError(
+            f"grouped_running_sum: {value_col} has {n_null} null row(s) — "
+            "a null-skipping running sum is not decomposable consistently "
+            "with the window form; coalesce or filter nulls first"
+        )
     # sequential exclusive prefix per group over its blocks — one
     # driver pass over ~(#blocks + #groups) rows; ascending block
     # order alone suffices (the per-group accumulator keys the dict)

@@ -758,9 +758,6 @@ def _stream_bucket_ingest(
       entries (missed duplicates, the worst dedup failure) forever.
     """
     from ..operators.ann_index import (
-        _resolve_index_root,
-        _try_read_parquet,
-        assert_generation_stable,
         claim_index_for_ingest,
         release_index_ingest_claim,
     )
@@ -778,7 +775,6 @@ def _stream_bucket_ingest(
         _run_bucket_ingest(
             spark, src_path, logical_path, ckpt_path, schema, id_col,
             rows_per_id, build_id, append, name, fsck_name,
-            _resolve_index_root, _try_read_parquet, assert_generation_stable,
         )
     finally:
         release_index_ingest_claim(spark, logical_path)
@@ -796,10 +792,13 @@ def _run_bucket_ingest(
     append,
     name: str,
     fsck_name: str,
-    _resolve_index_root,
-    _try_read_parquet,
-    assert_generation_stable,
 ) -> None:
+    from ..operators.ann_index import (
+        _resolve_index_root,
+        _try_read_parquet,
+        assert_generation_stable,
+    )
+
     index_path = _resolve_index_root(spark, logical_path)
     markers_path = f"{index_path}/ingest_epochs"
     qid_cache: dict[str, str] = {}

@@ -68,7 +68,11 @@ def test_compaction_and_migration_refuse_under_claim(spark, corpus, tmp_path):
         with pytest.raises(RuntimeError, match="claimed by a live ingest"):
             compact_index_serving(spark, path)
         # stale-claim recovery after a hard-killed job: force proceeds
+        # AND releases the corpse marker, so the next legitimate ingest
+        # can claim without manual cleanup
         compact_index_serving(spark, path, force=True)
+        assert not fs_exists(spark, f"{path}/.INGEST_ACTIVE")
+        claim_index_for_ingest(spark, path, "next-job")
     finally:
         release_index_ingest_claim(spark, path)
 
@@ -85,6 +89,37 @@ def test_generation_stability_tripwire(spark, corpus, tmp_path):
     compact_index_serving(spark, path)  # swaps the pointer
     with pytest.raises(RuntimeError, match="generation changed mid-ingest"):
         assert_generation_stable(spark, path, root)
+
+
+def test_serving_compaction_aborts_on_late_appends(spark, corpus, tmp_path):
+    """The pre-swap guard: data files added to the live generation
+    after the compaction snapshot (an ingest that slipped past the
+    entry check) abort the swap, leaving the live generation current
+    and the new one orphaned — instead of sweeping the late appends."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        _assert_no_late_writers,
+        _resolve_index_root,
+        append_to_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_pq_index(corpus.filter(F.col("vec_id") < 400), path, **PARAMS)
+    migrate_index_to_serving(spark, path)
+    cur = _resolve_index_root(spark, path)
+    # simulate: compaction snapshotted, then an ingest appended
+    snapshot = {
+        "codes": {
+            "files_before": len(
+                spark.read.parquet(f"{cur}/codes").inputFiles()
+            )
+        }
+    }
+    append_to_pq_index(corpus.filter(F.col("vec_id") >= 400), path)
+    before = fs_read_text(spark, f"{path}/CURRENT")
+    with pytest.raises(RuntimeError, match="gained files since"):
+        _assert_no_late_writers(spark, cur, snapshot, "test")
+    assert fs_read_text(spark, f"{path}/CURRENT") == before  # still live
 
 
 def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
@@ -115,23 +150,36 @@ def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
 
 
 def test_fsck_reports_root_observations(spark, corpus, tmp_path):
-    """fsck surfaces (report-only) a live/stale ingest claim and any
-    generation dirs beyond the live one on a serving root."""
+    """fsck surfaces (report-only) a live/stale ingest claim and the
+    non-current generations on a serving root — the single most recent
+    one labelled as the deliberate keep_previous grace, older ones as
+    debris."""
+    import time
+
     from etl_pricenow_to_leukerbadb_spark.fs import fs_mkdirs
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import fsck_index
 
     path = str(tmp_path / "idx")
     build_pq_index(corpus, path, **PARAMS)
     rep = fsck_index(spark, path)
-    assert "ingest_claim" not in rep and "extra_generations" not in rep
+    assert "ingest_claim" not in rep and "superseded_generation" not in rep
     migrate_index_to_serving(spark, path)
+    # a healthy compaction leaves exactly ONE superseded generation —
+    # the reader grace, reported under its own key, never as debris
+    compact_index_serving(spark, path)
+    rep = fsck_index(spark, path)
+    assert "generation_debris" not in rep
+    grace = rep["superseded_generation"]
     claim_index_for_ingest(spark, path, "lingering-job")
-    fake_gen = f"{path}/gen-{'0' * 12}"
-    fs_mkdirs(spark, fake_gen)
+    time.sleep(0.05)  # debris classification orders by mtime
+    fs_mkdirs(spark, f"{path}/gen-{'0' * 12}")
     try:
         rep = fsck_index(spark, path)
         assert rep["ingest_claim"].startswith("lingering-job claimed_at=")
-        assert rep["extra_generations"] == ["gen-" + "0" * 12]
+        # the fake dir is now the newest non-current generation; the
+        # real grace generation ages into debris
+        assert rep["superseded_generation"] == "gen-" + "0" * 12
+        assert rep["generation_debris"] == [grace]
     finally:
         release_index_ingest_claim(spark, path)
 

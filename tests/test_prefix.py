@@ -95,6 +95,20 @@ def test_more_blocks_than_rows_and_empty_input(spark):
     assert grouped_running_sum(empty, ["g"], ["k"], "v").count() == 0
 
 
+def test_null_values_raise_loudly(spark):
+    """The non-null value precondition is enforced, not just
+    documented: a null-skipping running sum is not decomposable
+    consistently with the window form, so the operator refuses."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, None), ("b", 1, 3)],
+        "g string, k int, v long",
+    )
+    with pytest.raises(ValueError, match="null row"):
+        grouped_running_sum(df, ["g"], ["k"], "v")
+
+
 def test_reliable_pin_matches_and_requires_dir(spark, tmp_path):
     """reliable=True mirrors the iterative operators' contract: fail
     fast with setup instructions when no checkpoint dir is configured,
