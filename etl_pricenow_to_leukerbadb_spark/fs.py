@@ -115,7 +115,13 @@ def fs_write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
         while je is not None:  # collision may arrive wrapped in an IOE
             names.append(je.getClass().getName())
             je = je.getCause()
-        if any("AlreadyExists" in n for n in names):
+        # FileAlreadyExistsException everywhere; HDFS signals a
+        # concurrent create race as AlreadyBeingCreatedException
+        # (lease held by the winner) — same meaning for a claim
+        if any(
+            "AlreadyExists" in n or "AlreadyBeingCreated" in n
+            for n in names
+        ):
             raise FileExistsError(path) from None
         raise
     try:

@@ -320,17 +320,57 @@ def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
         ) from None
 
 
-def release_index_ingest_claim(spark: SparkSession, path: str) -> None:
-    fs_delete(spark, f"{path.rstrip('/')}/{_INGEST_ACTIVE}")
+def release_index_ingest_claim(
+    spark: SparkSession, path: str, owner_tag: str | None = None
+) -> None:
+    """Release the claim. With ``owner_tag`` (the tag passed to
+    ``claim_index_for_ingest``), delete only a claim that tag owns —
+    an unconditional delete from a job's finally block would remove a
+    SUCCESSOR's claim when this job's own marker was force-cleaned and
+    another ingest claimed in between."""
+    marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
+    if owner_tag is not None:
+        cur = fs_read_text(spark, marker)
+        if cur is None or not cur.startswith(f"{owner_tag} claimed_at="):
+            return
+    fs_delete(spark, marker)
+
+
+def _release_claim_if_proven_stale(
+    spark: SparkSession, path: str, entry_tag: str | None
+) -> bool:
+    """Post-run corpse cleanup for FORCED serving compactions: the
+    run's pre-swap file-count check proved no ingest wrote anything
+    for the run's whole duration, so a claim whose content is still
+    byte-identical to what entry observed demonstrably did nothing —
+    delete it so the next legitimate ingest can claim. A claim whose
+    content changed belongs to a new job and is left alone."""
+    if entry_tag is None:
+        return False
+    marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
+    if fs_read_text(spark, marker) == entry_tag:
+        fs_delete(spark, marker)
+        return True
+    return False
 
 
 def _refuse_if_ingest_active(
     spark: SparkSession, path: str, what: str, force: bool
-) -> None:
+) -> str | None:
+    """Refuse (or, with ``force``, bypass) a live ingest claim.
+    Returns the claim content observed, for the caller's post-run
+    corpse cleanup. ``force`` only BYPASSES — it must not delete the
+    marker here: if the operator's "nothing is running" judgement was
+    wrong, deleting a LIVE claim would let a second ingest claim the
+    index and run concurrently with the first, voiding the exclusivity
+    this marker exists for. The serving compactions instead release
+    the claim AFTER their pre-swap file-count check proves it made no
+    writes during the entire run (``_assert_no_late_writers`` +
+    unchanged content — a corpse by demonstration, not assertion)."""
     marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
     tag = fs_read_text(spark, marker)
     if tag is None:
-        return
+        return None
     if not force:
         raise RuntimeError(
             f"{what}: index at {path} is claimed by a live ingest job "
@@ -339,27 +379,35 @@ def _refuse_if_ingest_active(
             f"was killed without cleanup delete {marker} (or pass "
             "force=True)"
         )
-    # force IS the stale-claim recovery: the operator asserted nothing
-    # is running, so the corpse marker is released here — leaving it
-    # would make the next legitimate ingest's claim fail and every
-    # future maintenance run need force again
-    fs_delete(spark, marker)
+    return tag
 
 
 def _root_report(spark: SparkSession, path: str) -> dict:
     """Report-only root observations for fsck on a serving-layout
-    root: the non-current generation dirs, split into the single most
-    recent one (``superseded_generation`` — the DELIBERATE reader
-    grace ``keep_previous`` retains, present after every healthy
-    compaction, not a finding) and anything older
-    (``generation_debris`` — crash leftovers the next successful
-    serving compaction sweeps, listed so operators can see disk held
-    by debris); plus the ``.INGEST_ACTIVE`` claim tag if one exists
-    (maybe a live ingest, maybe stale from a hard kill — fsck cannot
-    tell, so it reports rather than judges; the tag carries its
-    claimed_at timestamp for exactly that triage). Recency comes from
-    the generation dirs' filesystem mtimes (gen names are random hex,
-    deliberately unordered)."""
+    root, classified against the CURRENT generation's mtime:
+
+    - ``superseded_generation``: the newest generation OLDER than
+      current — the DELIBERATE reader grace ``keep_previous`` retains,
+      present after every healthy compaction, not a finding;
+    - ``generation_debris``: older-than-current generations beyond
+      that one — leftovers the next successful compaction sweeps;
+    - ``orphaned_generations``: generations NEWER than current —
+      partial builds from a crashed or swap-aborted compaction (the
+      pre-swap tripwire deliberately leaves these), also swept by the
+      next successful run. Anchoring on current's mtime matters: a
+      naive newest-is-grace rule would hide exactly these as healthy
+      while mislabelling the real grace as debris;
+    - ``ingest_claim``: the claim tag if one exists (maybe live, maybe
+      a corpse — fsck reports rather than judges; the tag carries its
+      claimed_at timestamp for that triage).
+
+    Recency comes from directory mtimes with the name as tiebreak
+    (gen names are random hex, deliberately unordered). Caveat: some
+    object stores synthesize directory mtimes (prefixes have none), so
+    treat the split as ADVISORY there — the authoritative liveness
+    signal is always the ``CURRENT`` pointer, and every listed
+    generation is equally safe to leave for the next compaction's
+    sweep."""
     p = path.rstrip("/")
     out: dict = {}
     claim = fs_read_text(spark, f"{p}/{_INGEST_ACTIVE}")
@@ -368,18 +416,21 @@ def _root_report(spark: SparkSession, path: str) -> dict:
     cur = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur is not None:
         cur = cur.strip()
-        others = [
-            n
-            for n in fs_list_names(spark, p)
-            if _GEN_RE.match(n) and n != cur
-        ]
-        if others:
-            by_mtime = sorted(
-                others, key=lambda n: fs_mtime(spark, f"{p}/{n}")
-            )
-            out["superseded_generation"] = by_mtime[-1]
-            if len(by_mtime) > 1:
-                out["generation_debris"] = by_mtime[:-1]
+        cur_mtime = fs_mtime(spark, f"{p}/{cur}")
+        older, newer = [], []
+        for n in sorted(
+            n for n in fs_list_names(spark, p) if _GEN_RE.match(n) and n != cur
+        ):
+            m = fs_mtime(spark, f"{p}/{n}")
+            (older if m <= cur_mtime else newer).append((m, n))
+        if older:
+            older.sort()
+            out["superseded_generation"] = older[-1][1]
+            if len(older) > 1:
+                out["generation_debris"] = [n for _, n in older[:-1]]
+        if newer:
+            newer.sort()
+            out["orphaned_generations"] = [n for _, n in newer]
     return out
 
 
@@ -405,7 +456,11 @@ def assert_generation_stable(
 
 
 def _assert_no_late_writers(
-    spark: SparkSession, cur: str, report: dict, what: str
+    spark: SparkSession,
+    cur: str,
+    report: dict,
+    what: str,
+    entry_claim: str | None = None,
 ) -> None:
     """Pre-swap guard for the serving compactions: re-check the ingest
     claim AND that no data/marker files were added to the live
@@ -420,9 +475,22 @@ def _assert_no_late_writers(
     landing entirely between this check and the pointer rename —
     multiple Spark jobs inside a sub-second metadata gap, and the
     claim check at the INGEST side (assert_generation_stable, after
-    its marker) covers that ordering too."""
+    its marker) covers that ordering too.
+
+    ``entry_claim`` is the claim content a FORCED run bypassed at
+    entry: that exact content is tolerated here too (same corpse, not
+    a new writer); any OTHER claim — appeared, or changed content —
+    is a job that started mid-compaction and aborts the swap."""
     p = parent(cur)
-    _refuse_if_ingest_active(spark, p, f"{what} (pre-swap)", force=False)
+    marker = f"{p}/{_INGEST_ACTIVE}"
+    now_claim = fs_read_text(spark, marker)
+    if now_claim is not None and now_claim != entry_claim:
+        raise RuntimeError(
+            f"{what} (pre-swap): index at {p} was claimed by an ingest "
+            f"job ({now_claim}) after this compaction started — "
+            "aborting the swap; the live generation is untouched. "
+            "Re-run after the ingest drains"
+        )
     for d, stats in report.items():
         if not isinstance(stats, dict) or "files_before" not in stats:
             continue
@@ -523,7 +591,9 @@ def compact_index_serving(
     resolved at job start) — live ingest claims are refused unless
     ``force=True`` (stale-claim recovery after a hard-killed job)."""
     p = path.rstrip("/")
-    _refuse_if_ingest_active(spark, p, "compact_index_serving", force)
+    entry_claim = _refuse_if_ingest_active(
+        spark, p, "compact_index_serving", force
+    )
     cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur_name is None:
         raise ValueError(
@@ -568,12 +638,18 @@ def compact_index_serving(
         fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
     if "build_id" in params:
         _write_commit(spark, new, params["build_id"])  # completes the gen
-    _assert_no_late_writers(spark, cur, report, "compact_index_serving")
+    _assert_no_late_writers(
+        spark, cur, report, "compact_index_serving", entry_claim
+    )
     _write_current(spark, p, new_name)
     keep = {new_name} | ({cur_name} if keep_previous else set())
     for n in fs_list_names(spark, p):
         if _GEN_RE.match(n) and n not in keep:
             fs_delete(spark, f"{p}/{n}")
+    # the run just PROVED the bypassed claim wrote nothing for its
+    # whole duration — release the corpse so the next ingest can claim
+    if _release_claim_if_proven_stale(spark, p, entry_claim):
+        report["stale_claim_released"] = entry_claim
     report["generation"] = {"previous": cur_name, "current": new_name}
     return report
 

@@ -974,12 +974,13 @@ def _compact_bucket_serving(
         _assert_no_late_writers,
         _compact_sorted,
         _refuse_if_ingest_active,
+        _release_claim_if_proven_stale,
         _write_commit,
         _write_current,
     )
 
     p = path.rstrip("/")
-    _refuse_if_ingest_active(spark, p, name, force)
+    entry_claim = _refuse_if_ingest_active(spark, p, name, force)
     cur_name = fs_read_text(spark, f"{p}/{_CURRENT}")
     if cur_name is None:
         raise ValueError(
@@ -1024,12 +1025,14 @@ def _compact_bucket_serving(
             continue
         fs_copy(spark, f"{cur}/{n}", f"{new}/{n}")
     _write_commit(spark, new, params["build_id"])  # completes the gen
-    _assert_no_late_writers(spark, cur, report, name)
+    _assert_no_late_writers(spark, cur, report, name, entry_claim)
     _write_current(spark, p, new_name)
     keep = {new_name, cur_name}
     for n in fs_list_names(spark, p):
         if _GEN_RE.match(n) and n not in keep:
             _fs_delete(spark, f"{p}/{n}")
+    if _release_claim_if_proven_stale(spark, p, entry_claim):
+        report["stale_claim_released"] = entry_claim
     report["generation"] = {"previous": cur_name, "current": new_name}
     return report
 

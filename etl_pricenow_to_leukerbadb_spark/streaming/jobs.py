@@ -617,11 +617,12 @@ def stream_index_ingest_job(
     # into a generation the next compaction sweeps.
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
     logical_path = index_path.rstrip("/")
-    claim_index_for_ingest(spark, logical_path, f"stream_index_ingest:{ckpt_path}")
+    tag = f"stream_index_ingest:{ckpt_path}"
+    claim_index_for_ingest(spark, logical_path, tag)
     try:
         _stream_index_ingest(spark, vectors_path, logical_path, ckpt_path)
     finally:
-        release_index_ingest_claim(spark, logical_path)
+        release_index_ingest_claim(spark, logical_path, owner_tag=tag)
 
 
 def _stream_index_ingest(
@@ -770,14 +771,15 @@ def _stream_bucket_ingest(
     # tripwire per batch.
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
     logical_path = index_path.rstrip("/")
-    claim_index_for_ingest(spark, logical_path, f"{name}:{ckpt_path}")
+    tag = f"{name}:{ckpt_path}"
+    claim_index_for_ingest(spark, logical_path, tag)
     try:
         _run_bucket_ingest(
             spark, src_path, logical_path, ckpt_path, schema, id_col,
             rows_per_id, build_id, append, name, fsck_name,
         )
     finally:
-        release_index_ingest_claim(spark, logical_path)
+        release_index_ingest_claim(spark, logical_path, owner_tag=tag)
 
 
 def _run_bucket_ingest(

@@ -121,6 +121,18 @@ def test_serving_compaction_aborts_on_late_appends(spark, corpus, tmp_path):
         _assert_no_late_writers(spark, cur, snapshot, "test")
     assert fs_read_text(spark, f"{path}/CURRENT") == before  # still live
 
+    # a claim that APPEARED after compaction entry also aborts the
+    # swap, even before any files land; the claim a forced run
+    # bypassed at entry (same content) is tolerated
+    claim_index_for_ingest(spark, path, "midway-job")
+    try:
+        entry = fs_read_text(spark, f"{path}/.INGEST_ACTIVE")
+        with pytest.raises(RuntimeError, match="after this compaction started"):
+            _assert_no_late_writers(spark, cur, {}, "test", entry_claim=None)
+        _assert_no_late_writers(spark, cur, {}, "test", entry_claim=entry)
+    finally:
+        release_index_ingest_claim(spark, path)
+
 
 def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
     """The streaming ingest claims at start and releases in finally —
@@ -151,9 +163,13 @@ def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
 
 def test_fsck_reports_root_observations(spark, corpus, tmp_path):
     """fsck surfaces (report-only) a live/stale ingest claim and the
-    non-current generations on a serving root — the single most recent
-    one labelled as the deliberate keep_previous grace, older ones as
-    debris."""
+    non-current generations on a serving root, classified against the
+    CURRENT generation's mtime: the newest OLDER one is the deliberate
+    keep_previous grace, anything NEWER is an orphaned partial build
+    (crashed or swap-aborted compaction) — never the other way around,
+    so an operator clearing 'debris' can't be steered at the grace
+    generation in-flight readers may still hold."""
+    import os
     import time
 
     from etl_pricenow_to_leukerbadb_spark.fs import fs_mkdirs
@@ -168,18 +184,22 @@ def test_fsck_reports_root_observations(spark, corpus, tmp_path):
     # the reader grace, reported under its own key, never as debris
     compact_index_serving(spark, path)
     rep = fsck_index(spark, path)
-    assert "generation_debris" not in rep
+    assert "generation_debris" not in rep and "orphaned_generations" not in rep
     grace = rep["superseded_generation"]
     claim_index_for_ingest(spark, path, "lingering-job")
-    time.sleep(0.05)  # debris classification orders by mtime
-    fs_mkdirs(spark, f"{path}/gen-{'0' * 12}")
+    # a pointer-less generation NEWER than current = crash/abort orphan
+    # (mtime forced explicitly — coarse-granularity filesystems could
+    # otherwise tie it with the compaction's dirs)
+    fake_gen = f"{path}/gen-{'0' * 12}"
+    fs_mkdirs(spark, fake_gen)
+    future = time.time() + 3600
+    os.utime(fake_gen, (future, future))
     try:
         rep = fsck_index(spark, path)
         assert rep["ingest_claim"].startswith("lingering-job claimed_at=")
-        # the fake dir is now the newest non-current generation; the
-        # real grace generation ages into debris
-        assert rep["superseded_generation"] == "gen-" + "0" * 12
-        assert rep["generation_debris"] == [grace]
+        assert rep["superseded_generation"] == grace  # unchanged
+        assert rep["orphaned_generations"] == ["gen-" + "0" * 12]
+        assert "generation_debris" not in rep
     finally:
         release_index_ingest_claim(spark, path)
 
