@@ -588,8 +588,12 @@ def compact_index_serving(
     for zero-downtime (SCALE.md). Generations older than that are
     deleted here. Single-writer per index, and not concurrent with a
     streaming ingest (whose appends would land in the generation it
-    resolved at job start) — live ingest claims are refused unless
-    ``force=True`` (stale-claim recovery after a hard-killed job)."""
+    resolved at job start) — ingest claims are refused unless
+    ``force=True`` bypasses (hard-killed-job recovery: the bypassed
+    claim is released at the END of the run, once the pre-swap
+    file-count check has proven it wrote nothing — a live claim the
+    operator misjudged as stale keeps its exclusivity and aborts the
+    swap the moment it writes)."""
     p = path.rstrip("/")
     entry_claim = _refuse_if_ingest_active(
         spark, p, "compact_index_serving", force

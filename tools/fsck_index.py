@@ -81,7 +81,10 @@ def main() -> int:
         action="store_true",
         help="compact across a stale .INGEST_ACTIVE claim left by a "
         "hard-killed ingest job (compaction refuses it otherwise; "
-        "confirm no ingest is actually running first)",
+        "confirm no ingest is actually running first). A --serving "
+        "compaction also releases the claim once its pre-swap check "
+        "has proven it wrote nothing during the run; the in-place "
+        "variant leaves the marker for manual cleanup",
     )
     args = ap.parse_args()
     if args.dedup and args.vec_dedup:
