@@ -313,9 +313,19 @@ def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
     try:
         fs_write_text_exclusive(spark, marker, f"{tag} claimed_at={stamp}")
     except FileExistsError:
+        # read the competing marker ONCE; if it was released in the
+        # race window the message must not tell the operator to delete
+        # a marker that no longer exists
+        holder = fs_read_text(spark, marker)
+        if holder is None:
+            raise RuntimeError(
+                f"index at {path} was claimed by a concurrent ingest "
+                "job whose claim was released while this one was being "
+                "refused — retry the claim"
+            ) from None
         raise RuntimeError(
             f"index at {path} is already claimed by an ingest job "
-            f"({fs_read_text(spark, marker)}); if that job was killed "
+            f"({holder}); if that job was killed "
             f"without cleanup, delete {marker} to release the claim"
         ) from None
 
@@ -461,6 +471,7 @@ def _assert_no_late_writers(
     report: dict,
     what: str,
     entry_claim: str | None = None,
+    marker_root: str | None = None,
 ) -> None:
     """Pre-swap guard for the serving compactions: re-check the ingest
     claim AND that no data/marker files were added to the live
@@ -480,9 +491,15 @@ def _assert_no_late_writers(
     ``entry_claim`` is the claim content a FORCED run bypassed at
     entry: that exact content is tolerated here too (same corpse, not
     a new writer); any OTHER claim — appeared, or changed content —
-    is a job that started mid-compaction and aborts the swap."""
-    p = parent(cur)
-    marker = f"{p}/{_INGEST_ACTIVE}"
+    is a job that started mid-compaction and aborts the swap.
+
+    ``marker_root`` is where the ``.INGEST_ACTIVE`` claim lives; it
+    defaults to ``parent(cur)`` (the serving layout, where ``cur`` is
+    a generation dir under the logical root). The in-place compactors
+    pass the logical root explicitly because on a FLAT layout
+    ``parent(cur)`` would point ABOVE the index."""
+    p = marker_root if marker_root is not None else parent(cur)
+    marker = f"{p.rstrip('/')}/{_INGEST_ACTIVE}"
     now_claim = fs_read_text(spark, marker)
     if now_claim is not None and now_claim != entry_claim:
         raise RuntimeError(
@@ -1322,7 +1339,8 @@ def compact_index(
 
     Returns ``{"codes": {...}, "lists": {...}, "ingest_epochs":
     {...}}`` with rows / files_before / files_after per directory."""
-    _refuse_if_ingest_active(spark, path, "compact_index", force)
+    entry_claim = _refuse_if_ingest_active(spark, path, "compact_index", force)
+    logical_root = path  # where the ingest claim lives, pre-resolution
     path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, _, params = load_pq_index(spark, path)  # strict: marker must match
     id_col = params["id_col"]
@@ -1341,6 +1359,19 @@ def compact_index(
             spark, f"{path}/lists", f"{staging}/lists", [id_col], target_files
         )
         report["lists"] = {"rows": rows, "files_before": fb, "files_after": fa}
+
+    # Pre-swap tripwire (the serving variants' guard, ported): a
+    # forced run past a claim the operator misjudged as stale must
+    # still ABORT if that ingest was actually alive — re-check the
+    # claim and re-count the snapshot's source files; any delta means
+    # committed batches the in-place swap below would sweep.
+    # assert_generation_stable is a no-op on a flat layout (the root
+    # resolves to itself), so this check is the only late-writer
+    # defense the in-place path has.
+    _assert_no_late_writers(
+        spark, path, report, "compact_index", entry_claim,
+        marker_root=logical_root,
+    )
 
     # the dark window: no commit marker -> any load fails loudly
     if "build_id" in params:

@@ -385,6 +385,7 @@ def _compact_bucket_index(
     (losing markers is benign: replay falls back to classification).
     Single-writer per index is the caller's contract."""
     from .ann_index import (
+        _assert_no_late_writers,
         _compact_sorted,
         _refuse_if_ingest_active,
         _resolve_index_root,
@@ -392,7 +393,10 @@ def _compact_bucket_index(
         _swap_in_markers,
     )
 
-    _refuse_if_ingest_active(spark, path, "compact_bucket_index", force)
+    entry_claim = _refuse_if_ingest_active(
+        spark, path, "compact_bucket_index", force
+    )
+    logical_root = path  # where the ingest claim lives, pre-resolution
     path = _resolve_index_root(spark, path)  # in-place compact of the live gen
     _, params = load(spark, path)  # strict: marker must match
     id_col = params["id_col"]
@@ -410,6 +414,15 @@ def _compact_bucket_index(
         partition_col="bp" if plen else None,
     )
     report = {"bands": {"rows": rows, "files_before": fb, "files_after": fa}}
+    # Pre-swap tripwire (same as ann_index.compact_index): a forced
+    # run past a misjudged claim must still abort if that ingest was
+    # actually alive — re-check the claim and re-count the snapshot's
+    # files before sweeping; the flat layout has no other late-writer
+    # defense (assert_generation_stable is a no-op there).
+    _assert_no_late_writers(
+        spark, path, report, "compact_bucket_index", entry_claim,
+        marker_root=logical_root,
+    )
     _fs_delete(spark, f"{path}/commit")
     _fs_delete(spark, f"{path}/bands")
     _fs_rename(spark, f"{staging}/bands", f"{path}/bands")

@@ -60,6 +60,44 @@ from ..session import tiny_local_df
 _BLOCK = "__prefix_block"
 
 
+def _window_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """The plain one-window-per-group form — single shuffle, exact,
+    serializes each group into one task (fine while every group fits
+    one task's memory; see module docstring)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return df.withColumn(
+        out_col,
+        F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+# Measured crossover on the dev box (SCALE.md, 97%-dominant-group
+# layout): the window form wins at <= 12M dominant-group rows; the
+# scan overtakes by 48M, where the single window partition spills.
+# The true spill point is executor-memory-dependent; this default sits
+# just above the measured window-wins region so auto only pays the
+# scan's extra shuffle when a group plausibly spills.
+WINDOW_MAX_GROUP_ROWS = 16_000_000
+
+# Driver-side bound for the scan's offsets collect: range partitioning
+# by (group, order) makes each group a contiguous block run, so the
+# collect is <= #groups + #blocks - 1 rows. A group key with more
+# distinct values than this belongs on the window form (many small
+# groups partition fine; the scan exists for FEW, LARGE groups).
+MAX_PARTIALS = 1_000_000
+
+# Rows sampled by mode='auto' to estimate the max group share.
+_AUTO_SAMPLE_ROWS = 100_000
+
+
 def grouped_running_sum(
     df: DataFrame,
     group_cols: list[str],
@@ -68,23 +106,98 @@ def grouped_running_sum(
     out_col: str = "running_sum",
     num_blocks: int | None = None,
     reliable: bool = False,
+    mode: str = "scan",
+    window_max_group_rows: int = WINDOW_MAX_GROUP_ROWS,
+    max_partials: int = MAX_PARTIALS,
 ) -> DataFrame:
     """``df`` plus ``out_col`` = inclusive running sum of ``value_col``
     per ``group_cols`` group in ``order_cols`` order — value-identical
-    to the plain one-window-per-group form (pytest-pinned), with no
-    window partition larger than one range block.
+    between all three modes (pytest-pinned equality on both arms).
+
+    ``mode``:
+      * ``'scan'`` — the two-level prefix scan below: no window
+        partition larger than one range block, the 100 TB path for
+        dominant-group layouts.
+      * ``'window'`` — the plain per-group window: one shuffle, best
+        while every group fits one task (callers with a known-small
+        key pass this as a hint and skip auto's sampling jobs).
+      * ``'auto'`` — decide from the data: one stats job
+        (count + approx_count_distinct of the group key) plus one
+        bounded-sample job estimating the max group's row count; picks
+        the window unless a group plausibly exceeds
+        ``window_max_group_rows`` (spill territory), and refuses the
+        scan outright when the estimated group cardinality would blow
+        the driver-side offsets bound (``max_partials``).
 
     ``order_cols`` must make rows unique within a group (see module
     docstring), and ``value_col`` must be non-null (a null-skipping
     running sum's value at a null row differs between the two
-    decompositions; every caller here sums a computed count).
+    decompositions; every caller here sums a computed count — the
+    precondition is enforced inside the scan arm's partials job; the
+    window arm, like any Spark window, just skips nulls).
     ``num_blocks`` defaults to the session's shuffle parallelism.
-    Internally runs one Spark job (the offsets collect) before the
-    returned DataFrame's own action."""
+    The scan arm runs one Spark job (the offsets collect) before the
+    returned DataFrame's own action; auto adds two small jobs.
+
+    Driver-side cost bound (scan arm): the offsets collect is one row
+    per (block, group) pair — <= #groups + #blocks - 1 thanks to the
+    contiguous range placement — metadata-sized for the source-keyed
+    callers here (#groups ~ tens) but O(#groups) in general; the
+    ``max_partials`` guard raises rather than OOM-ing the driver
+    silently on a high-cardinality key."""
     from .dedup import iter_checkpoint
 
+    if mode not in ("scan", "window", "auto"):
+        raise ValueError(f"mode must be scan|window|auto, got {mode!r}")
+    if mode == "window":
+        return _window_running_sum(
+            df, group_cols, order_cols, value_col, out_col
+        )
+
     spark = df.sparkSession
-    n = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_blocks is not None and num_blocks < 1:
+        raise ValueError(f"num_blocks must be >= 1, got {num_blocks}")
+    if num_blocks is None:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:  # conf may be 'auto' under AQE-managed shuffles
+            n = spark.sparkContext.defaultParallelism
+    else:
+        n = num_blocks
+
+    if mode == "auto":
+        key = F.struct(*[F.col(c) for c in group_cols])
+        stats = df.select(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(key).alias("n_groups"),
+        ).first()
+        n_rows, n_groups = stats["n_rows"], stats["n_groups"]
+        if n_rows == 0 or n_groups + n > max_partials:
+            # empty input, or a key so wide the scan's driver collect
+            # would be data-sized — the window partitions fine there
+            return _window_running_sum(
+                df, group_cols, order_cols, value_col, out_col
+            )
+        frac = min(1.0, _AUTO_SAMPLE_ROWS / n_rows)
+        samp = (
+            df.select(*group_cols)
+            .sample(fraction=frac, seed=7)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"), F.sum("c").alias("t"))
+            .first()
+        )
+        if not samp["t"]:  # degenerate sample — cheap default
+            return _window_running_sum(
+                df, group_cols, order_cols, value_col, out_col
+            )
+        est_max_group = n_rows * samp["m"] / samp["t"]
+        if est_max_group <= window_max_group_rows:
+            return _window_running_sum(
+                df, group_cols, order_cols, value_col, out_col
+            )
+        # fall through to the scan
+
     sort_cols = [F.col(c) for c in (*group_cols, *order_cols)]
     ranged = iter_checkpoint(
         df.repartitionByRange(n, *sort_cols).withColumn(
@@ -107,6 +220,14 @@ def grouped_running_sum(
         )
         .collect()
     )
+    if len(partials) > max_partials:
+        raise ValueError(
+            f"grouped_running_sum: offsets collect hit {len(partials)} "
+            f"(block, group) rows (> max_partials={max_partials}) — the "
+            "group key is too wide for the scan decomposition's "
+            "driver-side prefix; use mode='window' (many small groups "
+            "partition fine) or raise max_partials deliberately"
+        )
     n_null = sum(r["nulls"] for r in partials)
     if n_null:
         raise ValueError(

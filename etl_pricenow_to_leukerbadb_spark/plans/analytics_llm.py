@@ -1057,19 +1057,34 @@ def tx_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap for corpus curation: keep the 50
     longest docs per source (window row_number — the anti-domination
     guard that stops one crawl source from flooding the training mix).
-    One shuffle on source; the window never sees more state than one
-    source's docs."""
+    The per-source rank is a running COUNT — row_number == running sum
+    of ones — so it goes through ``grouped_running_sum(mode='auto')``:
+    at a sane source distribution auto picks the plain window (same
+    plan as a direct row_number, one shuffle on source); when one
+    source dominates the corpus it switches to the two-level prefix
+    scan, bounding every window partition by a range block (the
+    dominant-source skew note SCALE.md used to pin on this family)."""
+    from ..operators.prefix import grouped_running_sum
+
     docs = _t(spark, sf_dir, "documents")
     n_tokens = token_count("text")
-    w = Window.partitionBy("source").orderBy(
-        n_tokens.desc(), F.col("doc_id").asc()
-    )
     return (
-        docs.select(
-            "source", "doc_id", n_tokens.alias("n_tokens"),
-            F.row_number().over(w).cast("long").alias("rnk"),
+        grouped_running_sum(
+            docs.select(
+                "source",
+                "doc_id",
+                n_tokens.cast("int").alias("n_tokens"),
+                (-n_tokens).cast("long").alias("__neg_tokens"),
+                F.lit(1).cast("long").alias("__one"),
+            ),
+            ["source"],
+            ["__neg_tokens", "doc_id"],
+            "__one",
+            out_col="rnk",
+            mode="auto",
         )
         .filter(F.col("rnk") <= 50)
+        .select("source", "doc_id", "n_tokens", "rnk")
     )
 
 
@@ -1130,6 +1145,7 @@ def tx_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["__neg_tokens", "doc_id"],
             "n_tokens",
             out_col="cum_tokens",
+            mode="auto",
         )
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < 2500)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
@@ -1224,23 +1240,33 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and whether it straddles a pack boundary (GPT-style pretraining
     packing, where documents cross example boundaries).
 
-    The running total is a per-source window (state = one scalar), so
-    packing parallelizes across sources and never needs a global sort
-    — at 100 TB the pack key space is (shard, pack_id), exactly how a
-    distributed tokenizer job shards its output files."""
+    The running total goes through ``grouped_running_sum(mode='auto')``
+    (inclusive sum, then minus the row's own tokens for the exclusive
+    pack start): at a sane source distribution auto keeps the plain
+    per-source window (state = one scalar), so packing parallelizes
+    across sources and never needs a global sort — at 100 TB the pack
+    key space is (shard, pack_id), exactly how a distributed tokenizer
+    job shards its output files — and when one source dominates, the
+    prefix scan bounds every window partition by a range block.
+    (The scan's window arm uses an explicit ROWS frame semantics by
+    construction; doc_id is unique per source, making the order
+    total, which both arms require.)"""
+    from ..operators.prefix import grouped_running_sum
+
     docs = _t(spark, sf_dir, "documents")
-    # Explicit ROWS frame: the default for an ordered window is RANGE, which
-    # only coincides with ROWS because doc_id is unique per source — pin it
-    # so the oracle equivalence doesn't depend on data uniqueness.
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    d = docs.select(
-        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
+    d = grouped_running_sum(
+        docs.select(
+            "doc_id",
+            "source",
+            token_count("text").cast("int").alias("n_tokens"),
+        ),
+        ["source"],
+        ["doc_id"],
+        "n_tokens",
+        out_col="__cum_tokens",
+        mode="auto",
     ).withColumn(
-        "pack_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        "pack_start", F.col("__cum_tokens") - F.col("n_tokens")
     )
     return d.select(
         "doc_id",

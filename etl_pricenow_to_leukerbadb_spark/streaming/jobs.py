@@ -59,11 +59,11 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     The file stream source also requires a *directory*; when given
     ``.../events.parquet`` we stream its parent with a glob filter."""
-    import os
+    from .. import fs
 
     schema = spark.read.parquet(events_path).schema
     if events_path.endswith(".parquet"):
-        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
+        base, fname = fs.parent(events_path), fs.basename(events_path)
         reader = (
             spark.readStream.schema(schema)
             .option("pathGlobFilter", fname)

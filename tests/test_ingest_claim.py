@@ -134,6 +134,52 @@ def test_serving_compaction_aborts_on_late_appends(spark, corpus, tmp_path):
         release_index_ingest_claim(spark, path)
 
 
+def test_flat_compaction_force_aborts_on_live_writer(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """The FLAT-layout tripwire: ``compact_index(force=True)`` past a
+    claim the operator misjudged as stale must still ABORT when that
+    ingest is actually alive. ``assert_generation_stable`` is a no-op
+    on flat layouts (the root resolves to itself), so the pre-swap
+    re-check — claim unchanged AND no files added since the snapshot —
+    is the only late-writer defense the in-place path has. A batch
+    committed between the snapshot and the swap is injected by
+    wrapping the snapshot-taking rewrite itself."""
+    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+
+    path = str(tmp_path / "idx")
+    build_pq_index(corpus.filter(F.col("vec_id") < 400), path, **PARAMS)
+    claim_index_for_ingest(spark, path, "actually-alive-job")
+
+    real = ai._compact_sorted
+    state = {"injected": False}
+
+    def inject_then_compact(spark_, src, staging, *a, **kw):
+        out = real(spark_, src, staging, *a, **kw)
+        if not state["injected"] and src.endswith("/codes"):
+            state["injected"] = True
+            # the live ingest commits a batch AFTER the snapshot
+            ai.append_to_pq_index(
+                corpus.filter(F.col("vec_id") >= 400), path
+            )
+        return out
+
+    monkeypatch.setattr(ai, "_compact_sorted", inject_then_compact)
+    try:
+        with pytest.raises(RuntimeError, match="gained files since"):
+            compact_index(spark, path, force=True)
+    finally:
+        release_index_ingest_claim(spark, path)
+    # the live index is untouched: loads cleanly, late batch included
+    codes, _, _ = ai.load_pq_index(spark, path)
+    assert codes.select("vec_id").distinct().count() == corpus.count()
+    # without the live writer, the same forced compaction succeeds
+    claim_index_for_ingest(spark, path, "corpse-claim")
+    monkeypatch.setattr(ai, "_compact_sorted", real)
+    report = compact_index(spark, path, force=True)
+    assert report["codes"]["rows"] > 0
+
+
 def test_ingest_jobs_release_claim(spark, corpus, tmp_path):
     """The streaming ingest claims at start and releases in finally —
     afterwards the root carries no ``.INGEST_ACTIVE`` and maintenance

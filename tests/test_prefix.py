@@ -133,8 +133,110 @@ def test_reliable_pin_matches_and_requires_dir(spark, tmp_path):
         assert _rows(got) == _rows(want)
     finally:
         # restore: the shared session must leave no checkpoint dir
-        # behind (the scala setter's JVM name contains '$')
-        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        # behind (the scala setter's JVM name contains '$'). The
+        # mangled name is a Spark-internal; if a version rename breaks
+        # it, skip the restore rather than cascading the teardown
+        # failure into unrelated tests — a stale checkpoint dir only
+        # affects the reliable=True refusal assertion above, which
+        # runs before this test sets one.
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+        except Exception as exc:  # pragma: no cover - version drift
+            import warnings
+
+            warnings.warn(f"could not clear checkpoint dir: {exc}")
+
+
+# -- mode dispatch: window / scan / auto are value-identical --------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_mode_window_matches_scan(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 11 + 1).alias("v"),
+    )
+    want = _rows(_window_twin(df, ["g"], ["k"], "v"))
+    got_w = grouped_running_sum(df, ["g"], ["k"], "v", mode="window")
+    got_s = grouped_running_sum(df, ["g"], ["k"], "v", mode="scan", num_blocks=8)
+    assert _rows(got_w) == want
+    assert _rows(got_s) == want
+    # the window arm is the plain window — no scan machinery in its plan
+    assert "__prefix_offset" not in _plan(got_w)
+    assert "__prefix_offset" in _plan(got_s)
+
+
+def test_auto_picks_window_for_small_groups(spark):
+    """Below the spill threshold auto must choose the plain window —
+    the measured-crossover default means the scan's extra shuffle is
+    only paid when a group plausibly spills."""
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        F.lit(3).cast("long").alias("v"),
+    )
+    got = grouped_running_sum(df, ["g"], ["k"], "v", mode="auto")
+    assert "__prefix_offset" not in _plan(got)
+    assert _rows(got) == _rows(_window_twin(df, ["g"], ["k"], "v"))
+
+
+def test_auto_picks_scan_for_dominant_group(spark):
+    """Above the (here: artificially lowered) threshold on a
+    97%-dominant-group layout, auto must switch to the prefix scan."""
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1940, F.lit("big"))
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 5))
+        .alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+    )
+    got = grouped_running_sum(
+        df, ["g"], ["k"], "v",
+        mode="auto", window_max_group_rows=100, num_blocks=16,
+    )
+    assert "__prefix_offset" in _plan(got)
+    assert _rows(got) == _rows(_window_twin(df, ["g"], ["k"], "v"))
+
+
+def test_auto_refuses_scan_on_wide_keys(spark):
+    """A group key wider than the driver-side offsets bound forces the
+    window arm even past the size threshold — many small groups
+    partition fine; the scan exists for FEW, LARGE groups."""
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("g"),  # every row its own group
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    got = grouped_running_sum(
+        df, ["g"], ["k"], "v",
+        mode="auto", window_max_group_rows=0, max_partials=50,
+    )
+    assert "__prefix_offset" not in _plan(got)
+    assert _rows(got) == _rows(_window_twin(df, ["g"], ["k"], "v"))
+
+
+def test_scan_guards_partials_and_validates_args(spark):
+    import pytest
+
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_partials"):
+        grouped_running_sum(
+            df, ["g"], ["k"], "v", mode="scan", max_partials=10, num_blocks=4
+        )
+    with pytest.raises(ValueError, match="num_blocks"):
+        grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=0)
+    with pytest.raises(ValueError, match="mode"):
+        grouped_running_sum(df, ["g"], ["k"], "v", mode="turbo")
 
 
 # -- property: equality vs the window twin for ANY (groups, values) --
