@@ -67,6 +67,7 @@ from .similarity import (
     _pq_codebook,
     ivf_list_assign,
     ivf_pq_search,
+    ivf_residuals,
     kmeans_centroids_2iter,
     pq_adc_search,
     pq_assign_codes,
@@ -100,6 +101,8 @@ def build_pq_index(
     overwrite: bool = False,
     train: bool = False,
     _commit: bool = True,
+    _meta_vec_elem_type: str | None = None,
+    _meta_residual: bool = False,
 ) -> str:
     """Quantize the corpus and persist the PQ index under ``path``.
 
@@ -126,7 +129,12 @@ def build_pq_index(
     instead of silently pairing old codes with a new codebook.
     Returns the ``build_id``. ``_commit=False`` is internal for
     ``build_ivfpq_index``, which writes the marker after its own
-    artifacts."""
+    artifacts; ``_meta_vec_elem_type`` / ``_meta_residual`` likewise —
+    a residual IVFADC build passes the RESIDUAL table as ``corpus``
+    here, but meta must record the RAW corpus's element type (it
+    defines the ingest stream schema) and flag the codes as
+    residual-encoded so every later reader scores them in the right
+    coordinate frame."""
     build_id = uuid.uuid4().hex
     mode = "overwrite" if overwrite else "errorifexists"
     spark = corpus.sparkSession
@@ -150,12 +158,14 @@ def build_pq_index(
                 build_id,
                 train,
                 corpus.schema[id_col].dataType.simpleString(),
-                corpus.schema[vec_col].dataType.elementType.simpleString(),
+                _meta_vec_elem_type
+                or corpus.schema[vec_col].dataType.elementType.simpleString(),
+                _meta_residual,
             )
         ],
         "n_subspaces int, sub_dim int, n_codes int, id_col string, "
         "vec_col string, build_id string, trained boolean, "
-        "id_type string, vec_elem_type string",
+        "id_type string, vec_elem_type string, residual boolean",
     )
     # meta first: a crashed build leaves meta without a commit marker,
     # which load_pq_index turns into a clean "incomplete build" error
@@ -793,8 +803,22 @@ def search_pq_index(
     ``corpus=None`` returns ADC-distance top-k straight off the code
     scan — the pure quantized path for when raw vectors are cold
     storage. Search output is bit-identical to ``pq_adc_topk`` run
-    from scratch with the build's parameters (pytest-gated)."""
+    from scratch with the build's parameters (pytest-gated).
+
+    Refuses a residual-encoded IVFADC layout: its codes quantize
+    ``vector - coarse centroid``, and plain ADC would score them
+    against the RAW query's lookup table — every distance silently
+    shifted by the centroid term, confidently wrong neighbors. Use
+    ``search_ivfpq_index``, which reconstructs the per-list frame."""
     codes, codebook, params = load_pq_index(spark, path)
+    if params.get("residual"):
+        raise ValueError(
+            f"search_pq_index: the index at {path} is residual-encoded "
+            "(build_ivfpq_index(residual=True)) — its codes quantize "
+            "vector - coarse centroid, which a plain ADC scan would "
+            "score in the wrong coordinate frame. Search it with "
+            "search_ivfpq_index instead"
+        )
     return pq_adc_search(
         codes.select(
             F.col(params["id_col"]).alias("neighbor_id"), "subspace", "code"
@@ -963,20 +987,39 @@ def append_to_pq_index(
         n_centroids = ivf_meta.collect()[0]["n_centroids"]
         centroids = spark.read.parquet(f"{path}/centroids")
         lists_now = _try_read_parquet(spark, f"{path}/lists")
-        to_list = delta
+        # assign the FULL delta against the frozen coarse quantizer
+        # once: the lists append below filters it, and a residual
+        # layout also needs the assignment for ids anti-joined OUT of
+        # that append (their prior half-append wrote list rows, and
+        # the frozen quantizer makes the recomputed cent_id identical)
+        assign_full = ivf_list_assign(
+            delta, id_col, vec_col, n_centroids, centroids=centroids
+        ).select(id_col, "cent_id")
+        to_list = assign_full
         if lists_now is not None:
-            to_list = delta.join(
+            to_list = assign_full.join(
                 lists_now.filter(
                     F.col(id_col).between(F.lit(lo), F.lit(hi))
                 ),
                 id_col,
                 "left_anti",
             )
-        ivf_list_assign(
-            to_list, id_col, vec_col, n_centroids, centroids=centroids
-        ).select(id_col, "cent_id").write.mode("append").parquet(f"{path}/lists")
+        to_list.write.mode("append").parquet(f"{path}/lists")
+    # a residual layout quantizes the delta's RESIDUALS against the
+    # frozen coarse quantizer — same frame the build encoded in, so
+    # append-then-search stays bit-identical to a full rebuild
+    to_code = delta
+    if params.get("residual"):
+        if ivf_meta is None:
+            raise ValueError(
+                f"append_to_pq_index: meta at {path} says residual-encoded "
+                "but ivf_meta/ is missing — the coarse quantizer the codes "
+                "were built against is gone. The index is corrupt; rebuild "
+                "with build_ivfpq_index(..., residual=True, overwrite=True)"
+            )
+        to_code = ivf_residuals(delta, assign_full, centroids, id_col, vec_col)
     new_codes = pq_assign_codes(
-        delta,
+        to_code,
         id_col,
         vec_col,
         params["n_subspaces"],
@@ -1414,6 +1457,7 @@ def build_ivfpq_index(
     n_codes: int = 8,
     overwrite: bool = False,
     train: bool = False,
+    residual: bool = False,
 ) -> str:
     """Persist the full IVFADC index: the PQ artifacts plus
     ``centroids/`` (cent_id, __cent — the coarse quantizer, always
@@ -1430,7 +1474,22 @@ def build_ivfpq_index(
     codebook via ``trained_pq_codebook``. Search and append are
     quantizer-agnostic — they load whatever tables were persisted —
     so the flag changes index QUALITY (recall at equal probe cost),
-    never the search contract."""
+    never the search contract.
+
+    ``residual=True`` persists the classic IVFADC encoding: PQ codes
+    (and the codebook, trained or fixed) are computed over
+    ``vector - assigned coarse centroid`` (``ivf_residuals``) instead
+    of raw vectors — the same code bytes describe within-list variance
+    only, the standard recall lever at identical storage. The flag is
+    stamped into meta; ``search_ivfpq_index`` reads it back so a
+    search always scores codes in the coordinate frame they were
+    encoded in, ``append_to_pq_index`` residualizes deltas against the
+    frozen quantizers, and plain ``search_pq_index`` REFUSES the
+    layout (raw-query ADC over residual codes is confidently wrong).
+    Build order differs from the raw path — centroids and lists land
+    first because the codes derive from them — but the commit marker
+    still lands last, so a crash anywhere leaves the index loudly
+    unloadable, never mixed-frame."""
     # Validate the coarse quantizer BEFORE writing anything: the
     # fixed-codebook convention takes ids 0..n_centroids-1, and a
     # corpus whose ids don't cover that range (fewer vectors, or ids
@@ -1447,6 +1506,66 @@ def build_ivfpq_index(
             f"needs ids 0..{n_centroids - 1} present exactly once — "
             "lower n_centroids or renumber the corpus ids"
         )
+    spark = corpus.sparkSession
+    if residual:
+        # Residual build order: the codes DERIVE from the coarse
+        # quantizer, so ivf_meta + centroids + lists land first, then
+        # the PQ artifacts over the residual table, then the commit
+        # marker — same loud-until-committed property, different
+        # dependency order. The overwrite cleanup happens HERE (not in
+        # build_pq_index, which would delete the just-written IVF
+        # artifacts): the commit marker goes first so a crashed
+        # rebuild reads as incomplete, never as the old generation.
+        if overwrite:
+            for sub in (
+                "commit", "meta", "codebook", "codes",
+                "ivf_meta", "centroids", "lists",
+            ):
+                _fs_delete(spark, f"{path}/{sub}")
+        mode = "errorifexists"
+        tiny_local_df(spark, [(n_centroids,)], "n_centroids int").coalesce(
+            1
+        ).write.mode(mode).parquet(f"{path}/ivf_meta")
+        if train:
+            cents = kmeans_centroids_2iter(
+                corpus, id_col, vec_col, n_centroids
+            ).select("cent_id", "__cent")
+        cents.write.mode(mode).parquet(f"{path}/centroids")
+        # persisted-artifact discipline (same as the codebook): assign
+        # lists and residualize against the centroids read BACK from
+        # disk, so codes are encoded against byte-identical entries to
+        # what every later search's probe and query-residual will use
+        cents_disk = spark.read.parquet(f"{path}/centroids")
+        ivf_list_assign(
+            corpus, id_col, vec_col, n_centroids, centroids=cents_disk
+        ).select(id_col, "cent_id").write.mode(mode).parquet(f"{path}/lists")
+        resid = ivf_residuals(
+            corpus,
+            spark.read.parquet(f"{path}/lists"),
+            cents_disk,
+            id_col,
+            vec_col,
+        )
+        build_id = build_pq_index(
+            resid,
+            path,
+            id_col,
+            vec_col,
+            n_subspaces,
+            sub_dim,
+            n_codes,
+            overwrite=False,  # this path already cleaned the dir
+            train=train,
+            _commit=False,
+            # meta records the RAW corpus element type (it defines the
+            # ingest stream schema), not the residual table's double
+            _meta_vec_elem_type=corpus.schema[
+                vec_col
+            ].dataType.elementType.simpleString(),
+            _meta_residual=True,
+        )
+        _write_commit(spark, path, build_id)
+        return build_id
     # _commit=False: the marker must land only after the IVF artifacts
     # below, so a crash mid-IVF-write leaves the whole index loudly
     # unloadable rather than a "complete" PQ index with half an IVFADC
@@ -1464,7 +1583,6 @@ def build_ivfpq_index(
         _commit=False,
     )
     mode = "overwrite" if overwrite else "errorifexists"
-    spark = corpus.sparkSession
     n_cent = tiny_local_df(spark, [(n_centroids,)], "n_centroids int")
     n_cent.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_meta")
     if train:
@@ -1540,4 +1658,7 @@ def search_ivfpq_index(
         n_probe=n_probe,
         k=k,
         rerank_factor=rerank_factor,
+        # meta-stamped at build time: codes must be scored in the
+        # coordinate frame they were encoded in (legacy meta → raw)
+        residual=bool(params.get("residual") or False),
     )

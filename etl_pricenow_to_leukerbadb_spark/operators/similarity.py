@@ -298,6 +298,43 @@ def ivf_list_assign(
     )
 
 
+def ivf_residuals(
+    corpus: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, vec_col) with the vector replaced by its coarse
+    RESIDUAL — ``vector - assigned centroid``, element-wise in double.
+
+    This is the IVFADC encoding step proper (Jégou et al. §III):
+    within an inverted list the vectors share a centroid, so the
+    residuals are centered near zero and the PQ code budget covers
+    within-list variance instead of re-describing the centroid the
+    list id already encodes — the standard recall lever at identical
+    code bytes vs quantizing raw vectors.
+
+    ``assign`` is an (id_col, cent_id) table (``ivf_list_assign``
+    output or the persisted ``lists/``); ``centroids`` is
+    (cent_id, __cent), broadcast here (always quantizer-sized). The
+    corpus⋈assign join is id-keyed — the same co-partitioned shape as
+    the codes⋈lists join every IVFADC search already does; nothing
+    quadratic, nothing collected."""
+    return (
+        corpus.join(assign.select(F.col(id_col), "cent_id"), id_col)
+        .join(F.broadcast(centroids.select("cent_id", "__cent")), "cent_id")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__cent"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias(vec_col),
+        )
+    )
+
+
 def _pq_subvectors(
     df: DataFrame,
     id_col: str,
@@ -616,6 +653,7 @@ def ivf_pq_topk(
     n_codes: int = 8,
     k: int = 5,
     rerank_factor: int = 20,
+    residual: bool = False,
 ) -> DataFrame:
     """Full IVF-PQ search: coarse probe + ADC over the probed lists
     only + exact re-rank — the composition of ``ivf_list_assign`` (the
@@ -623,6 +661,15 @@ def ivf_pq_topk(
     ``pq_assign_codes`` (the compressor, oracle-verified by
     ``emb_pq_codes_battery``) into the search structure a billion-vector
     deployment actually runs (Jégou et al., IVFADC).
+
+    ``residual=True`` quantizes coarse RESIDUALS instead of raw
+    vectors (``ivf_residuals``) — classic IVFADC: the PQ codebook is
+    derived from and applied to ``vector - assigned centroid``, and at
+    search time the per-query ADC lookup tables are computed per
+    PROBED LIST from the query's residual against that list's centroid
+    (|Q| x n_probe x n_subspaces x n_codes LUT rows — still broadcast-
+    sized). Same code bytes per vector, measurably higher recall
+    (pytest-gated >= the raw-vector form's floor).
 
     Dataflow, sized for 100 TB of vectors:
 
@@ -649,20 +696,27 @@ def ivf_pq_topk(
     neighbor outside the probed lists is unreachable — so recall is
     pytest-gated against the exact scorer rather than SQL-oracled,
     while both underlying structures stay exactly verified."""
-    lists = ivf_list_assign(corpus, id_col, vec_col, n_centroids).select(
-        F.col(id_col).alias("neighbor_id"), "cent_id"
-    )
-    codes = pq_assign_codes(
-        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
-    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
-    index = codes.join(lists, "neighbor_id")
+    assign = ivf_list_assign(corpus, id_col, vec_col, n_centroids)
+    lists = assign.select(F.col(id_col).alias("neighbor_id"), "cent_id")
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
     )
-    cb = _pq_codebook(corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes)
+    # residual=True: both the codebook seed and the code assignment
+    # operate on the residual table — vec_col's NAME is unchanged, so
+    # the downstream geometry/meta plumbing is identical either way
+    to_code = (
+        ivf_residuals(corpus, assign, cents, id_col, vec_col)
+        if residual
+        else corpus
+    )
+    codes = pq_assign_codes(
+        to_code, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    index = codes.join(lists, "neighbor_id")
+    cb = _pq_codebook(to_code, id_col, vec_col, n_subspaces, sub_dim, n_codes)
     return ivf_pq_search(
         index, cents, cb, queries, corpus, id_col, vec_col,
-        n_subspaces, sub_dim, n_probe, k, rerank_factor,
+        n_subspaces, sub_dim, n_probe, k, rerank_factor, residual=residual,
     )
 
 
@@ -679,6 +733,7 @@ def ivf_pq_search(
     n_probe: int = 4,
     k: int = 5,
     rerank_factor: int = 20,
+    residual: bool = False,
 ) -> DataFrame:
     """The IVFADC search core over materialized index structures —
     shared by ``ivf_pq_topk`` (structures derived in-memory) and
@@ -688,7 +743,16 @@ def ivf_pq_search(
     ``index``: (cent_id, neighbor_id, subspace, code) — the only
     corpus-sized scan. ``centroids``: (cent_id, __cent). ``codebook``:
     (subspace, code, __code_sub). ``n_probe``/``k``/``rerank_factor``
-    are search-time knobs; the geometry params must match the build."""
+    are search-time knobs; the geometry params must match the build.
+
+    ``residual`` must match how the codes were built (persisted in
+    ``ivf_meta`` by ``build_ivfpq_index``): residual codes scored
+    against a raw-query LUT (or vice versa) return confidently wrong
+    neighbors. With ``residual=True`` the LUT is keyed by
+    (query_id, cent_id) — the query's residual against each PROBED
+    centroid — and the ADC join picks the LUT row matching the code
+    row's own list, so a corpus vector is always compared in the
+    coordinate frame it was encoded in."""
     cents = F.broadcast(
         centroids.select(
             "cent_id",
@@ -721,31 +785,90 @@ def ivf_pq_search(
         .select("query_id", "cent_id")
     )
 
-    qsub = _pq_subvectors(
-        _require_query_dim(queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"),
-        id_col,
-        vec_col,
-        "query_id",
-        "__qsub",
-        n_subspaces,
-        sub_dim,
+    checked = _require_query_dim(
+        queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"
     )
-    qd = F.broadcast(
-        qsub.join(codebook, "subspace").select(
-            "query_id",
-            "subspace",
-            "code",
-            _sq_l2_fp(F.col("__qsub"), F.col("__code_sub")).alias("qdist_fp"),
+    if residual:
+        # per-(query, probed list) LUT: the query's RESIDUAL against
+        # each probed centroid, scored against the (residual-trained)
+        # codebook — |Q| x n_probe x n_subspaces x n_codes rows, still
+        # broadcast-sized. The cent_id in the join key doubles as the
+        # probe filter, so the corpus-sized code scan touches only
+        # probed lists, exactly like the raw path's probes join.
+        subspaces = F.explode(
+            F.array(*[F.lit(s).cast("int") for s in range(n_subspaces)])
+        ).alias("subspace")
+        qres = (
+            probes.join(
+                checked.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col)
+                ),
+                "query_id",
+            )
+            .join(cents.select("cent_id", "__cent"), "cent_id")
+            .select(
+                "query_id",
+                "cent_id",
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("__cent"),
+                    lambda x, y: x.cast("double") - y.cast("double"),
+                ).alias("__qres"),
+            )
+            .select("query_id", "cent_id", subspaces, "__qres")
+            .select(
+                "query_id",
+                "cent_id",
+                "subspace",
+                F.slice(
+                    F.col("__qres"),
+                    F.col("subspace") * sub_dim + 1,
+                    F.lit(sub_dim),
+                ).alias("__qrsub"),
+            )
         )
-    )
-
-    scored = (
-        index.join(F.broadcast(probes), "cent_id")
-        .join(qd, ["query_id", "subspace", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qdist_fp").alias("adc_dist_fp"))
-    )
+        qd = F.broadcast(
+            qres.join(codebook, "subspace").select(
+                "query_id",
+                "cent_id",
+                "subspace",
+                "code",
+                _sq_l2_fp(F.col("__qrsub"), F.col("__code_sub")).alias(
+                    "qdist_fp"
+                ),
+            )
+        )
+        scored = (
+            index.join(qd, ["cent_id", "subspace", "code"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("qdist_fp").alias("adc_dist_fp"))
+        )
+    else:
+        qsub = _pq_subvectors(
+            checked,
+            id_col,
+            vec_col,
+            "query_id",
+            "__qsub",
+            n_subspaces,
+            sub_dim,
+        )
+        qd = F.broadcast(
+            qsub.join(codebook, "subspace").select(
+                "query_id",
+                "subspace",
+                "code",
+                _sq_l2_fp(F.col("__qsub"), F.col("__code_sub")).alias("qdist_fp"),
+            )
+        )
+        scored = (
+            index.join(F.broadcast(probes), "cent_id")
+            .join(qd, ["query_id", "subspace", "code"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("qdist_fp").alias("adc_dist_fp"))
+        )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist_fp").asc(), F.col("neighbor_id").asc()
     )

@@ -96,7 +96,13 @@ def test_overwrite_rebuilds(spark, corpus, queries, index_path):
     assert search_pq_index(spark, index_path, queries, corpus, k=5).count() == 15
 
 
-def test_ivfpq_search_matches_from_scratch(spark, corpus, queries, tmp_path):
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivfpq_search_matches_from_scratch(
+    spark, corpus, queries, tmp_path, residual
+):
+    """Persisted-search parity for BOTH encodings: the residual flag
+    is stamped in meta at build time and read back by the search, so
+    the same call site gets the right coordinate frame either way."""
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         build_ivfpq_index,
         search_ivfpq_index,
@@ -104,7 +110,7 @@ def test_ivfpq_search_matches_from_scratch(spark, corpus, queries, tmp_path):
     from etl_pricenow_to_leukerbadb_spark.operators.similarity import ivf_pq_topk
 
     path = str(tmp_path / "ivfpq")
-    build_ivfpq_index(corpus, path, n_centroids=16, **PARAMS)
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=residual, **PARAMS)
     from_disk = sorted(
         tuple(r)
         for r in search_ivfpq_index(
@@ -114,7 +120,8 @@ def test_ivfpq_search_matches_from_scratch(spark, corpus, queries, tmp_path):
     from_scratch = sorted(
         tuple(r)
         for r in ivf_pq_topk(
-            corpus, queries, n_centroids=16, n_probe=4, k=5, **PARAMS
+            corpus, queries, n_centroids=16, n_probe=4, k=5,
+            residual=residual, **PARAMS
         ).collect()
     )
     assert from_disk == from_scratch and len(from_disk) == 15
@@ -579,7 +586,7 @@ def test_legacy_meta_without_build_id_loads(spark, corpus, tmp_path):
 
     shutil.rmtree(f"{path}/commit")
     meta = spark.read.parquet(f"{path}/meta").drop(
-        "build_id", "trained", "id_type", "vec_elem_type"
+        "build_id", "trained", "id_type", "vec_elem_type", "residual"
     )
     rows, schema = meta.collect(), meta.schema
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -638,11 +645,15 @@ def test_trained_codebook_recall_at_least_fixed(spark, corpus, tmp_path):
     assert codebook.count() == PARAMS["n_subspaces"] * PARAMS["n_codes"]
 
 
-def test_trained_ivfpq_index_searches_and_appends(spark, corpus, tmp_path):
+@pytest.mark.parametrize("residual", [False, True])
+def test_trained_ivfpq_index_searches_and_appends(spark, corpus, tmp_path, residual):
     """train=True must compose with the rest of the index lifecycle:
     IVFADC search returns a full, dense result off trained quantizers,
     and an append quantizes deltas against the FROZEN trained
-    codebook/centroids (quantizer-agnostic by construction)."""
+    codebook/centroids (quantizer-agnostic by construction). The
+    residual arm additionally trains the PQ codebook on RESIDUALS and
+    must residualize the append's delta against the frozen trained
+    centroids before encoding."""
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         append_to_pq_index,
         build_ivfpq_index,
@@ -652,7 +663,9 @@ def test_trained_ivfpq_index_searches_and_appends(spark, corpus, tmp_path):
     old = corpus.filter(F.col("vec_id") < 400)
     delta = corpus.filter(F.col("vec_id") >= 400)
     path = str(tmp_path / "trained_ivfpq")
-    build_ivfpq_index(old, path, n_centroids=16, train=True, **PARAMS)
+    build_ivfpq_index(
+        old, path, n_centroids=16, train=True, residual=residual, **PARAMS
+    )
     append_to_pq_index(delta, path)
     q10 = corpus.filter(F.col("vec_id") < 10)
     exact = _exact_l2_top5(corpus)
@@ -924,7 +937,8 @@ def test_marker_swap_crash_is_recovered_not_silently_lost(
     assert try_read_parquet(spark, f"{path}/.ingest_epochs.old") is None
 
 
-def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path, residual):
     """Full-lifecycle soak over the IVFADC index: build -> several
     micro-batch ingest waves (files arriving between runs of the same
     checkpointed availableNow job) -> an injected crash (half-append:
@@ -932,7 +946,14 @@ def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
     fsck clean -> compact_index -> search bit-identical to a
     from-scratch build over the union. Each piece has its own test;
     this pins the COMPOSITION, which is what a production deployment
-    actually runs for months."""
+    actually runs for months.
+
+    Parametrized over the residual encoding: the residual arm proves
+    that streamed/appended vectors encode against the FROZEN coarse
+    quantizer in the residual frame — including through the injected
+    half-append crash, whose replay must residualize the already-listed
+    ids identically — and still land bit-identical to a from-scratch
+    residual rebuild over the union."""
     from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
         build_ivfpq_index,
         compact_index,
@@ -954,7 +975,7 @@ def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
         corpus.filter((F.col("vec_id") >= 420) & (F.col("vec_id") < 520)),
         corpus.filter(F.col("vec_id") >= 520),
     ]
-    build_ivfpq_index(base, path, n_centroids=16, **PARAMS)
+    build_ivfpq_index(base, path, n_centroids=16, residual=residual, **PARAMS)
 
     # wave 1: normal ingest (two files -> possibly two micro-batches)
     waves[0].select("vec_id", "embedding").repartition(2).write.mode(
@@ -992,7 +1013,7 @@ def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
     fsck_index(spark, path)
 
     full = str(tmp_path / "soak_full")
-    build_ivfpq_index(corpus, full, n_centroids=16, **PARAMS)
+    build_ivfpq_index(corpus, full, n_centroids=16, residual=residual, **PARAMS)
     for sub in ("codes", "lists"):
         got = sorted(
             tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()
@@ -1014,3 +1035,136 @@ def test_ivfadc_ingest_lifecycle_soak(spark, corpus, queries, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 15
+
+
+# -- residual (IVFADC-proper) encoding ---------------------------------
+
+
+def test_residual_append_equals_full_rebuild(spark, corpus, queries, tmp_path):
+    """On a residual index, appended deltas must encode against the
+    FROZEN coarse quantizer in the residual frame: codes and lists are
+    bit-identical to a from-scratch residual rebuild over the union,
+    and searches match exactly."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    inc = str(tmp_path / "inc")
+    build_ivfpq_index(old, inc, n_centroids=16, residual=True, **PARAMS)
+    append_to_pq_index(delta, inc)
+
+    full = str(tmp_path / "full")
+    # ids < max(n_centroids, n_codes) all in `old`, so both quantizers
+    # (and therefore the residual frame) are identical across builds
+    build_ivfpq_index(corpus, full, n_centroids=16, residual=True, **PARAMS)
+    for sub in ("codes", "lists"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{inc}/{sub}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full}/{sub}").collect()
+        )
+        assert got == want, sub
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, inc, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, full, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 15
+
+
+def test_residual_layout_refuses_plain_pq_search(spark, corpus, queries, tmp_path):
+    """Plain ADC over residual codes scores the raw query against a
+    residual-frame codebook — confidently wrong neighbors. The layout
+    must refuse, naming the right entry point."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path / "res_refuse")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    with pytest.raises(ValueError, match="search_ivfpq_index"):
+        search_pq_index(spark, path, queries, corpus, k=5)
+
+
+def test_residual_meta_records_raw_types_and_flag(spark, corpus, tmp_path):
+    """meta must flag the encoding AND keep the RAW corpus element
+    type: vec_elem_type defines the ingest stream schema, and the
+    residual table's double must not leak into it."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path / "res_meta")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    assert meta["residual"] is True
+    raw_elem = corpus.schema["embedding"].dataType.elementType.simpleString()
+    assert meta["vec_elem_type"] == raw_elem
+    # the raw build stamps residual=False, never absent (absence is
+    # the legacy-format escape hatch only)
+    raw_path = str(tmp_path / "raw_meta")
+    build_ivfpq_index(corpus, raw_path, n_centroids=16, **PARAMS)
+    raw_meta = spark.read.parquet(f"{raw_path}/meta").collect()[0].asDict()
+    assert raw_meta["residual"] is False
+
+
+def test_residual_crashed_build_is_unloadable(spark, corpus, queries, tmp_path):
+    """The residual build writes IVF artifacts BEFORE the PQ ones; the
+    commit marker still lands last, so a crash at any point must read
+    as an incomplete index, never as a mixed-frame one."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        invalidate_index_handles,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "res_crash")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    shutil.rmtree(f"{path}/commit")
+    invalidate_index_handles(path)
+    with pytest.raises(ValueError, match="no matching commit marker"):
+        search_ivfpq_index(spark, path, queries, corpus, n_probe=4, k=5)
+
+
+def test_residual_recall_at_least_raw(spark, corpus, tmp_path):
+    """The point of residual encoding: at identical code bytes, recall
+    must not drop below the raw-vector form's on this corpus (measured
+    0.94 vs 0.92 at n_probe=4/rerank=20; deterministic fixed-point
+    pipeline, so the comparison is stable)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    q10 = corpus.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_top5(corpus)
+
+    def recall(residual: bool) -> float:
+        path = str(tmp_path / f"recall_{residual}")
+        build_ivfpq_index(
+            corpus, path, n_centroids=16, residual=residual, **PARAMS
+        )
+        got: dict[int, set[int]] = {}
+        for r in search_ivfpq_index(
+            spark, path, q10, corpus, n_probe=4, k=5
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
+
+    r_raw, r_res = recall(False), recall(True)
+    assert r_res >= r_raw, f"residual recall {r_res:.3f} < raw {r_raw:.3f}"
+    assert r_res >= 0.92, f"residual recall {r_res:.3f} below gate"

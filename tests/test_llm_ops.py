@@ -522,7 +522,17 @@ def test_pq_adc_rerank_recall_vs_exact_l2(spark, sf_small, rerank_factor, recall
     )
 
 
-def test_ivfpq_topk_recall_and_shape(spark, sf_small):
+@pytest.mark.parametrize(
+    "residual,recall_floor",
+    [
+        # measured 0.92 raw / 0.94 residual at n_probe=4, rerank=20 on
+        # this corpus — the residual floor sits at the raw path's
+        # MEASURED value: same code bytes must buy recall, not lose it
+        (False, 0.85),
+        (True, 0.92),
+    ],
+)
+def test_ivfpq_topk_recall_and_shape(spark, sf_small, residual, recall_floor):
     import numpy as np
 
     from etl_pricenow_to_leukerbadb_spark.operators.similarity import ivf_pq_topk
@@ -545,6 +555,7 @@ def test_ivfpq_topk_recall_and_shape(spark, sf_small):
         n_centroids=16,
         n_probe=4,
         rerank_factor=20,
+        residual=residual,
     ).collect()
     got: dict[int, set[int]] = {}
     for r in rows:
@@ -556,10 +567,13 @@ def test_ivfpq_topk_recall_and_shape(spark, sf_small):
         want = round(float(np.sum((V[r.query_id] - V[r.neighbor_id]) ** 2)) * 1e6)
         assert abs(r.dist_fp - want) <= 1, (r.query_id, r.neighbor_id)
     recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
-    # measured 0.92 at n_probe=4/rerank=20; the pipeline is
-    # deterministic (fixed-point distances, fixed centroids/codebook)
-    # so 0.85 is a safe hard gate on this corpus
-    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} too low"
+    # the pipeline is deterministic (fixed-point distances, fixed
+    # centroids/codebook) so a hard gate at/near the measured value is
+    # safe on this corpus
+    assert recall >= recall_floor, (
+        f"IVF-PQ recall {recall:.2f} below {recall_floor} "
+        f"(residual={residual})"
+    )
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
