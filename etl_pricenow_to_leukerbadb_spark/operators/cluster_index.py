@@ -1,0 +1,412 @@
+"""Persisted near-dup cluster assignments with O(delta) maintenance.
+
+``dd_cluster_components`` computes duplicate clusters from scratch:
+connected components over the full candidate-pair graph. With the
+persisted near-dup index (``dedup_index.py``) a daily ingest already
+gets its candidate pairs in O(delta) (``query_dedup_candidates``), but
+turning those pairs into updated CLUSTER ASSIGNMENTS previously meant
+re-running components over the full union — the last O(corpus) step in
+an otherwise O(delta) loop. This module removes it.
+
+Layout under ``path`` (same marker discipline as the ANN index):
+
+``meta/``    1-row parquet: id column name/type + generation build_id.
+``base/``    (node, component) rows, range-partitioned + sorted by
+             node so a merge's endpoint lookup prunes to the row
+             groups covering the delta's id range (the same min/max
+             trick as ``append_to_pq_index``'s ``_delta_scope``).
+``remap/``   the FLATTENED label-remap log: (old_label, new_label)
+             rows recording every cluster merge since the last
+             compaction. Reading an assignment is
+             ``base LEFT JOIN broadcast(remap) ON component =
+             old_label`` — one broadcast hash join, no chains to walk,
+             because each merge COMPOSES its remaps into the log
+             (a -> b then b -> c is stored as a -> c).
+``commit/``  1-row build_id marker, deleted before any mutation and
+             rewritten after it — the dark-window discipline of
+             ``repair_index``: a crash mid-merge reads as "incomplete,
+             retry", never as a half-merged clustering.
+
+Why a remap log instead of rewriting base rows: a merge touches
+O(delta) edges but may relabel clusters with MANY members; rewriting
+their base rows is O(touched members) data IO, and finding them in a
+node-sorted table is a full scan. The log makes a merge O(delta +
+log): the only per-merge writes are the delta's new base rows (append)
+and the composed log (tiny — one row per cluster label ever merged
+away, bounded by the number of merges, not corpus size).
+``compact_cluster_assignments`` folds the log into base (one linear
+rewrite of the narrow table) on whatever schedule keeps the log
+broadcast-sized — the same amortization as the bucket/code table
+compactions.
+
+Incremental correctness argument (pytest-pinned against the
+from-scratch recompute, including the merge-two-existing-clusters
+case): appending documents never changes candidate pairs among OLD
+documents (bucket membership is per-document), so the union graph is
+old edges ∪ delta-incident edges. Contract each old endpoint to its
+current label (labels are per-cluster minima), run components over the
+CONTRACTED delta graph (delta-sized), and the merged label of each
+contracted component is min(member labels ∪ new ids) = the true
+minimum over the merged union — exactly what a full recompute yields.
+
+Reference analog: the incremental update-vs-existing contract of
+``scripts/pricenow_etl.py:329-358`` (new data integrated against
+standing state without recomputing it), applied to cluster state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import tiny_local_df
+from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
+from .dedup import connected_components
+
+_CLUSTER_META_COLS = ("id_col", "id_type", "build_id")
+
+
+def _write_commit(spark: SparkSession, path: str, build_id: str) -> None:
+    tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/commit")
+
+
+def _restore_if_crashed(spark: SparkSession, path: str) -> None:
+    """Adopt a staged table whose swap crashed between delete and
+    rename. Safe unconditionally: a stage is only written complete
+    (parquet job committed) before its live twin is deleted, so
+    live-missing + stage-present can only be that window, and the
+    stage IS the intended next state. The commit marker stays absent
+    until the interrupted operation is RETRIED to completion."""
+    for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
+        if (
+            _try_read_parquet(spark, f"{path}/{live}") is None
+            and _try_read_parquet(spark, f"{path}/{stage}") is not None
+        ):
+            _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
+
+
+def _swap_staged(spark: SparkSession, path: str, live: str, stage: str) -> None:
+    _fs_delete(spark, f"{path}/{live}")
+    _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
+
+
+def build_cluster_assignments(
+    labels: DataFrame,
+    path: str,
+    node_col: str = "node",
+    component_col: str = "component",
+    overwrite: bool = False,
+    target_files: int | None = None,
+) -> str:
+    """Persist an initial clustering (the ``connected_components``
+    output over the full pair graph — computed ONCE, then maintained
+    incrementally by ``merge_cluster_delta``). Returns the generation
+    ``build_id``. Base is written node-sorted so later merges'
+    endpoint lookups prune on parquet min/max stats."""
+    spark = labels.sparkSession
+    build_id = uuid.uuid4().hex
+    if overwrite:
+        for sub in ("commit", "meta", "base", "remap", ".remap_stage", ".base_stage"):
+            _fs_delete(spark, f"{path}/{sub}")
+    mode = "errorifexists"
+    id_type = labels.schema[node_col].dataType.simpleString()
+    tiny_local_df(
+        spark,
+        [(node_col, id_type, build_id)],
+        "id_col string, id_type string, build_id string",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    base = labels.select(
+        F.col(node_col).alias("node"), F.col(component_col).alias("component")
+    )
+    if target_files:
+        base = base.repartitionByRange(target_files, "node")
+    base.sortWithinPartitions("node").write.mode(mode).parquet(f"{path}/base")
+    # empty log, typed like the ids (labels ARE node ids)
+    spark.createDataFrame(
+        [], f"old_label {id_type}, new_label {id_type}"
+    ).write.mode(mode).parquet(f"{path}/remap")
+    _write_commit(spark, path, build_id)
+    return build_id
+
+
+def load_cluster_assignments(
+    spark: SparkSession, path: str, _allow_uncommitted: bool = False
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(base, remap_log, params), validating the commit marker — a
+    crashed merge/compaction reads as "incomplete, retry the
+    operation", never as a half-merged clustering.
+
+    ``_allow_uncommitted`` is internal to the mutators: a missing
+    marker is EXACTLY the state a crashed merge/compaction leaves, and
+    re-running either one is the documented recovery (both are
+    idempotent, and each tolerates the other's crash residue — a
+    stale folded log matches no rows; an already-appended base row is
+    anti-joined out). Read paths stay strict."""
+    _restore_if_crashed(spark, path)
+    meta = _try_read_parquet(spark, f"{path}/meta")
+    meta_rows = meta.collect() if meta is not None else []
+    if len(meta_rows) != 1 or set(_CLUSTER_META_COLS) - set(
+        meta_rows[0].asDict()
+    ):
+        raise ValueError(
+            f"load_cluster_assignments: no valid meta at {path}/meta"
+        )
+    params = meta_rows[0].asDict()
+    if not _allow_uncommitted:
+        commit = _try_read_parquet(spark, f"{path}/commit")
+        commit_rows = commit.collect() if commit is not None else []
+        if (
+            len(commit_rows) != 1
+            or commit_rows[0]["build_id"] != params["build_id"]
+        ):
+            raise ValueError(
+                f"load_cluster_assignments: clustering at {path} has no "
+                "matching commit marker — a merge or compaction was "
+                "interrupted. Retry that operation (merges and "
+                "compactions are idempotent), or rebuild with "
+                "overwrite=True"
+            )
+    base = spark.read.parquet(f"{path}/base")
+    log = spark.read.parquet(f"{path}/remap")
+    return base, log, params
+
+
+def _resolved(base: DataFrame, log: DataFrame) -> DataFrame:
+    """Apply the flattened remap log: one broadcast join, no chains."""
+    return base.join(
+        F.broadcast(log), base.component == log.old_label, "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("new_label"), F.col("component")).alias("component"),
+    )
+
+
+def resolve_cluster_assignments(spark: SparkSession, path: str) -> DataFrame:
+    """Current (node, component) assignments — base with the remap log
+    applied. The broadcast-log join is the ONLY overhead vs a plain
+    table read; compaction removes even that."""
+    base, log, _ = load_cluster_assignments(spark, path)
+    return _resolved(base, log)
+
+
+def merge_cluster_delta(
+    spark: SparkSession,
+    path: str,
+    new_pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    reliable_checkpoints: bool = False,
+) -> dict:
+    """Merge a delta's candidate pairs into the persisted clustering in
+    O(delta + log) — no pass over the standing corpus or its graph.
+
+    ``new_pairs``: the edges INCIDENT TO THE DELTA — what
+    ``query_dedup_candidates`` returns after the delta is appended to
+    the near-dup index (delta↔corpus and delta↔delta pairs; edges
+    among old documents cannot appear from an append, and passing any
+    that duplicate existing ones is harmless — they contract to
+    self-edges). Endpoints may be brand-new ids, never-clustered old
+    ids, or members of existing clusters.
+
+    Steps, all delta-sized except the range-pruned endpoint lookup:
+
+    1. canonicalize + distinct the edges; resolve each endpoint to its
+       current label via a min/max-pruned semi-join into the
+       node-sorted base (+ broadcast log);
+    2. CONTRACT: rewrite edges over labels, drop self-edges, run
+       ``connected_components`` on the contracted graph (edges ≤ the
+       delta's pair count — driver-loop rounds over a tiny frame);
+    3. existing labels whose merged label differs become remap-log
+       entries (composed into the flattened log); endpoints that had
+       no assignment become new base rows, written with their FINAL
+       merged label.
+
+    Idempotent under retry (pytest-pinned): a replay resolves
+    endpoints to the already-merged labels, the contraction collapses
+    to self-edges, and the base append anti-joins out rows that
+    already landed — so the recovery from any crash is simply running
+    the same merge again.
+
+    Returns ``{"merged_labels": n, "new_nodes": n, "log_entries": n}``.
+    ``log_entries`` is the flattened log's post-merge size — one row
+    per label ever merged away since the last compaction; schedule
+    ``compact_cluster_assignments`` to keep it broadcast-sized."""
+    base, log, params = load_cluster_assignments(
+        spark, path, _allow_uncommitted=True
+    )
+    src, dst = F.col(src_col), F.col(dst_col)
+    edges = (
+        new_pairs.select(src.alias("u"), dst.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        # delta-sized by contract; materialize once — it feeds the
+        # endpoint lookup, the contraction, and the stats below
+        .localCheckpoint()
+    )
+    endpoints = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    stats = endpoints.agg(
+        F.min("node").alias("lo"), F.max("node").alias("hi")
+    ).collect()[0]
+    if stats["lo"] is None:
+        return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
+    # current label of every endpoint that HAS one: range-pruned scan
+    # of the node-sorted base (row groups outside [lo, hi] skipped via
+    # parquet stats), then the broadcast log
+    assigned = _resolved(
+        base.filter(F.col("node").between(F.lit(stats["lo"]), F.lit(stats["hi"])))
+        .join(endpoints, "node", "left_semi"),
+        log,
+    )
+    rep = (
+        endpoints.join(assigned, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("rep"),
+        )
+        .localCheckpoint()  # reused for both edge endpoints + label set
+    )
+    ru = rep.select(F.col("node").alias("u"), F.col("rep").alias("ru"))
+    rv = rep.select(F.col("node").alias("v"), F.col("rep").alias("rv"))
+    contracted = (
+        edges.join(ru, "u")
+        .join(rv, "v")
+        .filter(F.col("ru") != F.col("rv"))
+        .select("ru", "rv")
+        .distinct()
+    )
+    if contracted.isEmpty():
+        # nothing bridges anything: the only work is NEW endpoints
+        # whose every pair collapsed within one cluster... which cannot
+        # happen (a new id is its own rep), so new nodes always reach
+        # here via cc below; an empty contraction means every endpoint
+        # was already clustered consistently — a pure replay. No-op.
+        return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
+    cc = connected_components(
+        contracted, "ru", "rv", reliable_checkpoints=reliable_checkpoints
+    )  # (node = rep, component = merged label)
+    labels_now = assigned.select(F.col("component").alias("lbl")).distinct()
+    remap_new = (
+        cc.join(labels_now, cc.node == labels_now.lbl, "left_semi")
+        .filter(F.col("component") != F.col("node"))
+        .select(
+            F.col("node").alias("old_label"),
+            F.col("component").alias("new_label"),
+        )
+    )
+    new_rows = cc.join(labels_now, cc.node == labels_now.lbl, "left_anti").select(
+        "node", "component"
+    )
+    # compose the flattened log: entries pointing at a just-merged
+    # label are redirected to its final label, then the new entries
+    # are unioned in (their keys are CURRENT labels, which by
+    # construction are never existing log keys — a log key is stale)
+    r_bc = F.broadcast(remap_new)
+    composed = (
+        log.join(r_bc, log.new_label == r_bc.old_label, "left")
+        .select(
+            log.old_label.alias("old_label"),
+            F.coalesce(r_bc.new_label, log.new_label).alias("new_label"),
+        )
+        .unionByName(remap_new)
+        .filter(F.col("old_label") != F.col("new_label"))
+    )
+
+    n_merged = remap_new.count()
+    # --- mutation window: marker off, idempotent writes, marker on ---
+    _fs_delete(spark, f"{path}/commit")
+    # base append, replay-safe: rows already landed by a crashed prior
+    # attempt are anti-joined out (same discipline as the ANN lists
+    # append) — range-pruned, so the probe cost tracks the delta
+    to_insert = new_rows.join(
+        base.filter(
+            F.col("node").between(F.lit(stats["lo"]), F.lit(stats["hi"]))
+        ),
+        "node",
+        "left_anti",
+    )
+    n_new = to_insert.count()
+    to_insert.write.mode("append").parquet(f"{path}/base")
+    _fs_delete(spark, f"{path}/.remap_stage")
+    composed.coalesce(1).write.parquet(f"{path}/.remap_stage")
+    n_log = spark.read.parquet(f"{path}/.remap_stage").count()
+    _swap_staged(spark, path, "remap", ".remap_stage")
+    _write_commit(spark, path, params["build_id"])
+    return {"merged_labels": n_merged, "new_nodes": n_new, "log_entries": n_log}
+
+
+def compact_cluster_assignments(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Fold the remap log into base (one linear rewrite of the narrow
+    node-sorted table) and clear it — the amortized step that keeps
+    every merge's log broadcast-sized, exactly like the bucket/code
+    table compactions. Idempotent under retry: re-applying an already-
+    folded log matches no rows (its keys are stale labels)."""
+    base, log, params = load_cluster_assignments(spark, path)
+    n_rows = base.count()
+    n_log = log.count()
+    folded = _resolved(base, log)
+    if target_files is None:
+        target_files = max(1, min(len(base.inputFiles()), (n_rows + 3_999_999) // 4_000_000))
+    staged = folded.repartitionByRange(target_files, "node").sortWithinPartitions(
+        "node"
+    )
+    _fs_delete(spark, f"{path}/.base_stage")
+    staged.write.parquet(f"{path}/.base_stage")
+    if spark.read.parquet(f"{path}/.base_stage").count() != n_rows:
+        _fs_delete(spark, f"{path}/.base_stage")
+        raise RuntimeError(
+            "compact_cluster_assignments: staged rewrite changed the row "
+            "count — refusing to swap; the live table is untouched"
+        )
+    _fs_delete(spark, f"{path}/commit")
+    _swap_staged(spark, path, "base", ".base_stage")
+    id_type = params["id_type"]
+    _fs_delete(spark, f"{path}/.remap_stage")
+    spark.createDataFrame(
+        [], f"old_label {id_type}, new_label {id_type}"
+    ).write.parquet(f"{path}/.remap_stage")
+    _swap_staged(spark, path, "remap", ".remap_stage")
+    _write_commit(spark, path, params["build_id"])
+    return {"n_rows": n_rows, "log_entries_folded": n_log}
+
+
+def ingest_and_update_clusters(
+    docs_delta: DataFrame,
+    index_path: str,
+    clusters_path: str,
+    text_col: str = "text",
+    allow_short: bool = False,
+    reliable_checkpoints: bool = False,
+) -> dict:
+    """The daily near-dup loop, end to end in O(delta): append the
+    delta to the persisted near-dup index, probe it for ALL pairs the
+    delta introduces (delta↔corpus and delta↔delta — probing AFTER the
+    append makes one probe see both), and merge them into the
+    persisted clustering. Equivalence to a from-scratch
+    pairs-then-components recompute over the union is pytest-pinned."""
+    from .dedup_index import append_to_dedup_index, query_dedup_candidates
+
+    spark = docs_delta.sparkSession
+    append_to_dedup_index(
+        docs_delta, index_path, text_col=text_col, allow_short=allow_short
+    )
+    pairs = query_dedup_candidates(
+        spark, index_path, docs_delta, text_col=text_col
+    )
+    return merge_cluster_delta(
+        spark,
+        clusters_path,
+        pairs,
+        src_col="probe_id",
+        dst_col="corpus_id",
+        reliable_checkpoints=reliable_checkpoints,
+    )

@@ -1,0 +1,194 @@
+"""Persisted cluster assignments: O(delta) incremental maintenance.
+
+The contract under test: merging a delta's candidate pairs into the
+persisted clustering must land EXACTLY where a from-scratch
+connected-components recompute over the union lands — including the
+hard case where one delta document bridges two existing clusters —
+and every mutation must be idempotent under crash-retry.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+    build_cluster_assignments,
+    compact_cluster_assignments,
+    ingest_and_update_clusters,
+    load_cluster_assignments,
+    merge_cluster_delta,
+    resolve_cluster_assignments,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+    build_dedup_index,
+)
+from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+GEOM = dict(k_shingle=3, n_hashes=8, bands=4)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _resolved_set(spark, path):
+    return {
+        (r.node, r.component)
+        for r in resolve_cluster_assignments(spark, path).collect()
+    }
+
+
+def _cc_set(pairs_df):
+    return {
+        (r.node, r.component) for r in connected_components(pairs_df).collect()
+    }
+
+
+def _build_from_pairs(spark, pairs, path):
+    labels = connected_components(_pairs_df(spark, pairs))
+    return build_cluster_assignments(labels, path)
+
+
+def test_merge_bridges_two_existing_clusters(spark, tmp_path):
+    """The hard case: one delta node carries edges into TWO existing
+    clusters (plus a brand-new standalone pair). The merged labels
+    must equal a full recompute's — min over the merged union."""
+    path = str(tmp_path / "cl")
+    initial = [(1, 2), (3, 4), (10, 11)]
+    _build_from_pairs(spark, initial, path)
+    delta = [(2, 20), (20, 3), (21, 22)]
+    stats = merge_cluster_delta(spark, path, _pairs_df(spark, delta))
+    # cluster {3,4} folded into {1,2} via node 20 -> one merged label
+    assert stats["merged_labels"] == 1
+    assert stats["new_nodes"] == 3  # 20, 21, 22
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, initial + delta)
+    )
+
+
+def test_merge_is_idempotent_under_replay(spark, tmp_path):
+    """Replaying the SAME merge (the crash-recovery action) must be a
+    no-op: endpoints resolve to already-merged labels, the contraction
+    collapses, and the base append anti-joins out existing rows."""
+    path = str(tmp_path / "cl")
+    initial = [(1, 2), (3, 4)]
+    _build_from_pairs(spark, initial, path)
+    delta = _pairs_df(spark, [(2, 3), (7, 8)])
+    merge_cluster_delta(spark, path, delta)
+    want = _resolved_set(spark, path)
+    stats = merge_cluster_delta(spark, path, delta)
+    assert stats["merged_labels"] == 0 and stats["new_nodes"] == 0
+    assert _resolved_set(spark, path) == want
+
+
+def test_chained_merges_compose_the_log_flat(spark, tmp_path):
+    """a->b then b->c must be stored flattened (a->c): resolution is
+    ONE broadcast join, never a chain walk. Proven by dragging one
+    cluster's label down across two merges and checking both the
+    resolved labels and the log's direct-pointer property."""
+    path = str(tmp_path / "cl")
+    initial = [(10, 11), (20, 21)]
+    _build_from_pairs(spark, initial, path)
+    all_pairs = list(initial)
+    # merge 1: bridge {20,21} into {10,11} -> label 20 remaps to 10
+    all_pairs += [(11, 20)]
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(11, 20)]))
+    # merge 2: bridge {10,...} into a NEW lower id 1 -> 10 remaps to 1,
+    # and the existing 20->10 entry must be rewritten to 20->1
+    all_pairs += [(1, 2), (2, 10)]
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(1, 2), (2, 10)]))
+    assert _resolved_set(spark, path) == _cc_set(_pairs_df(spark, all_pairs))
+    _, log, _ = load_cluster_assignments(spark, path)
+    entries = {(r.old_label, r.new_label) for r in log.collect()}
+    assert entries == {(20, 1), (10, 1)}  # flattened, no 20->10 chain
+
+
+def test_compact_folds_log_and_preserves_resolution(spark, tmp_path):
+    path = str(tmp_path / "cl")
+    initial = [(5, 6), (8, 9)]
+    _build_from_pairs(spark, initial, path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(6, 8)]))
+    want = _resolved_set(spark, path)
+    report = compact_cluster_assignments(spark, path)
+    assert report["log_entries_folded"] == 1
+    assert _resolved_set(spark, path) == want
+    _, log, _ = load_cluster_assignments(spark, path)
+    assert log.isEmpty()
+    # the clustering stays mergeable after a compaction
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(9, 3)]))
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, initial + [(6, 8), (9, 3)])
+    )
+
+
+def test_uncommitted_state_refuses_reads_but_retries_merges(spark, tmp_path):
+    """A missing commit marker (crashed mutation) must refuse READS
+    loudly, while re-running a mutation — the documented recovery —
+    completes and restores the marker."""
+    import shutil
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2)], path)
+    shutil.rmtree(f"{path}/commit")
+    with pytest.raises(ValueError, match="no matching commit marker"):
+        resolve_cluster_assignments(spark, path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, [(1, 2), (2, 3)])
+    )
+
+
+def test_crashed_log_swap_is_restored_on_load(spark, tmp_path):
+    """Simulate the swap's dark window: the new log staged, the live
+    log deleted, crash before rename. Load must adopt the stage (it is
+    complete by construction) rather than resolving against nothing."""
+    import shutil
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    want = _resolved_set(spark, path)
+    shutil.copytree(f"{path}/remap", f"{path}/.remap_stage")
+    shutil.rmtree(f"{path}/remap")
+    assert _resolved_set(spark, path) == want
+
+
+def test_ingest_loop_matches_full_recompute(spark, sf_small, tmp_path):
+    """The daily loop end to end on real documents: index + clustering
+    built over 80% of the corpus, the remaining 20% ingested through
+    ``ingest_and_update_clusters`` (append -> probe -> merge). The
+    resolved assignments must equal a from-scratch pairs + components
+    recompute over the FULL corpus — i.e. the O(delta) loop loses
+    nothing vs rebuilding the world."""
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    build_dedup_index(old, index_path, **GEOM)
+    old_sigs = minhash_signatures(old, "doc_id", "text", 3, 8)
+    old_pairs = lsh_candidate_pairs(old_sigs, "doc_id", 8, 4)
+    build_cluster_assignments(connected_components(old_pairs), clusters_path)
+
+    ingest_and_update_clusters(delta, index_path, clusters_path)
+
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    full_pairs = lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
+    assert _resolved_set(spark, clusters_path) == _cc_set(full_pairs)
+
+
+def test_build_refuses_to_clobber(spark, tmp_path):
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2)], path)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        _build_from_pairs(spark, [(1, 2)], path)
+    # overwrite=True rebuilds cleanly
+    labels = connected_components(_pairs_df(spark, [(4, 5)]))
+    build_cluster_assignments(labels, path, overwrite=True)
+    assert _resolved_set(spark, path) == {(4, 4), (5, 4)}
