@@ -17,6 +17,17 @@ the full sample batch once when the value exceeds
 SPARK_GRAFT_BENCH_RERUN_FACTOR (default 2.5) x prior — a real plan
 regression reproduces on the re-run; a scheduling/GC artifact does not.
 Re-run queries are listed in the output ("reruns") with both readings.
+
+Per-query calibration context (the BENCH_r08 lesson — the start/end
+pair bounded the session but not WHICH queries ran in a degraded
+stretch, so four plan-unchanged headliners absorbed 11-28% risers the
+record could only call noise): one calibration sample runs immediately
+BEFORE each headline query's timed batch and lands in the JSON as
+"calibration_ctx"; queries whose neighborhood probe exceeds 1.3x the
+session's calibration floor are listed in "drift_flagged". A riser
+that is flagged ran in a measurably degraded stretch (machine drift);
+a riser that is NOT flagged regressed for real — the separation is now
+mechanical instead of argued.
 """
 
 from __future__ import annotations
@@ -71,14 +82,24 @@ def main() -> None:
         mid-run) and the round-over-round series (a 2x calibration
         jump explains a uniform 2x query offset — BENCH_r06's +35%
         'regression' was exactly this, refuted by a solo re-run)."""
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(50_000_000).selectExpr(
-                "sum(id * id % 2147483647)"
-            ).collect()
-            samples.append(time.perf_counter() - t0)
-        return round(min(samples), 3)
+        return round(min(probe_once() for _ in range(3)), 3)
+
+    def probe_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(id * id % 2147483647)"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    def probe_ctx() -> float:
+        """Per-query calibration context: min-of-2 of the fixed probe.
+        One sample flags one-off scheduler blips as degradation (a
+        single 0.14 s job has ~2x tail variance on a busy 32-thread
+        JVM — measured: 15/19 false flags); min-of-3 filters out the
+        SUSTAINED stalls being hunted. Two samples means a stretch is
+        flagged only when back-to-back probes BOTH degrade — the
+        machine-drift signature, not a blip."""
+        return min(probe_once(), probe_once())
 
     # warm up the session (JVM, codegen, parquet footer cache) — incl.
     # one scan per testdata table, so the first timed query doesn't
@@ -174,7 +195,9 @@ def main() -> None:
         trimmed = sorted(samples)[:-1] if len(samples) > 1 else samples
         return value, round(max(trimmed) - min(trimmed), 3), n
 
+    calibration_ctx: dict[str, float] = {}
     for name, spec in headline.items():
+        calibration_ctx[name] = probe_ctx()
         value, spread, n = run_query(name, spec)
         # outlier sentinel: a value far above last round's record on
         # (almost always) an unchanged plan is more likely a machine
@@ -201,6 +224,14 @@ def main() -> None:
         )
 
     calibration_end = calibrate()
+    # the floor anchors on the min-of-3 start/end calibrations (the
+    # stable readings); a per-query context > 1.3x it means that
+    # query's batch ran in a degraded stretch — its riser is machine
+    # drift, not a plan regression
+    floor = min(calibration_start, calibration_end)
+    drift_flagged = sorted(
+        n for n, v in calibration_ctx.items() if floor > 0 and v > 1.3 * floor
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -212,6 +243,8 @@ def main() -> None:
                 "runs_per_query": runs,
                 "spread": spreads,
                 "calibration_sec": [calibration_start, calibration_end],
+                "calibration_ctx": calibration_ctx,
+                "drift_flagged": drift_flagged,
                 "reruns": reruns,
                 "prior_bench": prior_file,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
