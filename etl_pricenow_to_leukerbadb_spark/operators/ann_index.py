@@ -454,6 +454,74 @@ def _root_report(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def gc_serving_root(
+    spark: SparkSession,
+    path: str,
+    min_age_sec: float = 3600.0,
+    force: bool = False,
+) -> dict:
+    """Delete the crash debris ``_root_report`` only REPORTS: aged
+    older-than-grace generations (``generation_debris``) and
+    newer-than-CURRENT orphans (``orphaned_generations``, crashed or
+    swap-aborted compactions). Without a sweep these accumulate
+    forever on a root whose compactions keep failing — the 1.35-2x
+    storage grace is only "until the next compaction" if something
+    actually runs the sweep.
+
+    Safety envelope (the same reasoning the serving compaction's own
+    post-swap sweep relies on, minus the just-swapped knowledge):
+
+    - NEVER the CURRENT generation, NEVER the one-generation reader
+      grace (``superseded_generation``) — classification is anchored
+      on CURRENT's mtime exactly like the fsck report;
+    - refuses under a live ``.INGEST_ACTIVE`` claim unless ``force``
+      — not because an ingest writes into debris (it appends into
+      CURRENT), but because a claim means a writer is active and GC
+      must stay single-writer like every other maintenance op;
+    - only deletes dirs whose mtime is at least ``min_age_sec`` old
+      (default 1 h): a CONCURRENT serving compaction stages its new
+      generation as a newer-than-CURRENT dir before the pointer swap,
+      and an age gate is what keeps a scheduler mishap (gc and
+      compaction overlapping) from sweeping a build mid-flight. Run
+      GC from the same single-writer maintenance schedule as
+      compaction; the age gate is the belt to that suspender.
+
+    Returns ``{"deleted": [...], "retained_young": [...],
+    "kept_current": name, "kept_grace": name | None}``. Works on any
+    serving-layout root (ANN or bucket index — the generation layout
+    is shared); raises on a flat-layout path."""
+    p = path.rstrip("/")
+    entry_claim = _refuse_if_ingest_active(spark, p, "gc_serving_root", force)
+    cur = fs_read_text(spark, f"{p}/{_CURRENT}")
+    if cur is None:
+        raise ValueError(
+            f"gc_serving_root: {path} is not a serving-layout root "
+            "(no CURRENT pointer) — nothing to sweep; flat layouts are "
+            "compacted in place"
+        )
+    report = _root_report(spark, p)
+    sweepable = list(report.get("generation_debris", [])) + list(
+        report.get("orphaned_generations", [])
+    )
+    now_ms = time.time() * 1000
+    deleted, retained_young = [], []
+    for n in sweepable:
+        if (now_ms - fs_mtime(spark, f"{p}/{n}")) / 1000 >= min_age_sec:
+            fs_delete(spark, f"{p}/{n}")
+            deleted.append(n)
+        else:
+            retained_young.append(n)
+    out = {
+        "deleted": deleted,
+        "retained_young": retained_young,
+        "kept_current": cur.strip(),
+        "kept_grace": report.get("superseded_generation"),
+    }
+    if entry_claim is not None:
+        out["bypassed_claim"] = entry_claim
+    return out
+
+
 def assert_generation_stable(
     spark: SparkSession, path: str, resolved_root: str
 ) -> None:

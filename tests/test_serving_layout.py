@@ -208,3 +208,73 @@ def test_dedup_index_serving_probe_survives_compaction(spark, sf_small, tmp_path
     assert sorted(gens) == sorted(
         [report["generation"]["previous"], report["generation"]["current"]]
     )
+
+
+def test_gc_serving_root_sweeps_debris_keeps_grace(
+    spark, corpus, queries, tmp_path
+):
+    """--gc's contract: aged debris and orphans are deleted, the
+    CURRENT generation and the one-generation reader grace are never
+    touched, fresh (possibly mid-staging) dirs survive the age gate,
+    and a live ingest claim refuses the sweep outright."""
+    import os
+    import shutil
+    import time as _t
+
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        claim_index_for_ingest,
+        gc_serving_root,
+        release_index_ingest_claim,
+    )
+
+    path = str(tmp_path / "idx")
+    _build_fragmented(spark, corpus, path)
+    migrate_index_to_serving(spark, path)
+    report = compact_index_serving(spark, path)
+    cur = report["generation"]["current"]
+    grace = report["generation"]["previous"]
+
+    # fabricate an AGED debris generation (older than current's mtime)
+    # and a FRESH orphan (newer — the crashed-compaction shape)
+    debris, orphan = "gen-" + "d" * 12, "gen-" + "a" * 12
+    shutil.copytree(f"{path}/{grace}", f"{path}/{debris}")
+    old = _t.time() - 7200
+    os.utime(f"{path}/{debris}", (old, old))
+    shutil.copytree(f"{path}/{cur}", f"{path}/{orphan}")
+    # copytree preserves the source's mtime — anchor the orphan's at
+    # CURRENT's + 1 s so it classifies as newer (the crashed-compaction
+    # shape) regardless of how fast the test got here; by the time the
+    # min_age_sec=0 sweep below runs, it is comfortably in the past
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_mtime
+
+    new = fs_mtime(spark, f"{path}/{cur}") / 1000 + 1
+    os.utime(f"{path}/{orphan}", (new, new))
+
+    before = _rows(search_pq_index(spark, path, queries, corpus, k=5))
+
+    # a live claim refuses the sweep (single-writer like every
+    # maintenance op); force is the documented bypass
+    claim_index_for_ingest(spark, path, "job-live")
+    with pytest.raises(RuntimeError, match="claimed by a live ingest"):
+        gc_serving_root(spark, path, min_age_sec=0)
+    release_index_ingest_claim(spark, path, "job-live")
+
+    # default age gate: aged debris swept, fresh orphan retained
+    out = gc_serving_root(spark, path, min_age_sec=3600)
+    assert out["deleted"] == [debris]
+    assert out["retained_young"] == [orphan]
+    assert out["kept_current"] == cur and out["kept_grace"] == grace
+
+    # age gate lowered: the orphan goes too; current + grace survive
+    out = gc_serving_root(spark, path, min_age_sec=0)
+    assert out["deleted"] == [orphan]
+    gens = sorted(n for n in fs_list_names(spark, path) if _GEN_RE.match(n))
+    assert gens == sorted([cur, grace])
+    assert fs_read_text(spark, f"{path}/CURRENT").strip() == cur
+    assert _rows(search_pq_index(spark, path, queries, corpus, k=5)) == before
+
+    # flat layouts have no generations to sweep — loud, not silent
+    flat = str(tmp_path / "flat")
+    build_pq_index(corpus, flat, **PARAMS)
+    with pytest.raises(ValueError, match="not a serving-layout root"):
+        gc_serving_root(spark, flat)

@@ -2,7 +2,8 @@
 (ANN and near-dup indexes).
 
 ``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
-[--dedup | --vec-dedup] [--compact [TARGET_FILES]] [--serving]``
+[--dedup | --vec-dedup] [--compact [TARGET_FILES]] [--serving]
+[--gc [MIN_AGE_SEC]]``
 
 ``append_to_pq_index`` (and the bucket-index appends) verify only the
 ids each append writes (flat cost per micro-batch — the right scope
@@ -18,8 +19,15 @@ inconsistent index would bake the corruption into the rewritten files.
 serving layout (``compact_*_serving``: compact a copy, swap CURRENT —
 no reader downtime; the index must have been migrated with the
 module's ``migrate_*_to_serving`` once) instead of the in-place
-maintenance-window rewrite. Exit code 0 = consistent (or --lenient),
-1 = violations found.
+maintenance-window rewrite. ``--gc`` additionally sweeps a serving
+root's crash debris after the sweep (and compaction, if requested)
+come back clean: aged older-than-grace generations and
+newer-than-CURRENT orphans from crashed compactions — never CURRENT,
+never the one-generation reader grace, never anything younger than
+MIN_AGE_SEC (default 3600; the age gate protects a concurrently
+staging compaction), refused under a live ingest claim unless
+--force. Exit code 0 = consistent (or --lenient), 1 = violations
+found.
 """
 
 from __future__ import annotations
@@ -75,6 +83,18 @@ def main() -> int:
         help="after a clean (or repaired) sweep, compact the index's "
         "streaming-ingest small files into TARGET_FILES id-sorted "
         "files (default: sized from the row count)",
+    )
+    ap.add_argument(
+        "--gc",
+        nargs="?",
+        const=3600.0,
+        default=None,
+        type=float,
+        metavar="MIN_AGE_SEC",
+        help="after a clean sweep (and compaction, if any), delete a "
+        "serving root's aged generation debris and crashed-compaction "
+        "orphans older than MIN_AGE_SEC (default 3600) — never the "
+        "CURRENT generation or the one-generation reader grace",
     )
     ap.add_argument(
         "--force",
@@ -143,6 +163,16 @@ def main() -> int:
             )
         elif args.compact is not None:
             report["compact"] = "skipped: sweep found violations"
+        if args.gc is not None and clean:
+            from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+                gc_serving_root,
+            )
+
+            report["gc"] = gc_serving_root(
+                spark, args.index_path, min_age_sec=args.gc, force=args.force
+            )
+        elif args.gc is not None:
+            report["gc"] = "skipped: sweep found violations"
     finally:
         spark.stop()
     print(json.dumps({"index": args.index_path, **report}))
