@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tiny_local_df
 from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
-from .dedup import connected_components
+from .dedup import connected_components_twophase
 
 _CLUSTER_META_COLS = ("id_col", "id_type", "build_id")
 
@@ -289,7 +289,14 @@ def merge_cluster_delta(
         # here via cc below; an empty contraction means every endpoint
         # was already clustered consistently — a pure replay. No-op.
         return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
-    cc = connected_components(
+    # two-phase star contraction, not min-label propagation: the
+    # contracted graph is delta-SIZED but not delta-DIAMETERED — a
+    # templated-document delta can chain many existing clusters, and
+    # min-label's round count equals that chain length while the
+    # star contraction stays O(log^2 n) (the same reasoning that made
+    # dd_cluster_components two-phase). Labels are identical between
+    # the two algorithms (pytest-pinned in test_llm_ops).
+    cc = connected_components_twophase(
         contracted, "ru", "rv", reliable_checkpoints=reliable_checkpoints
     )  # (node = rep, component = merged label)
     labels_now = assigned.select(F.col("component").alias("lbl")).distinct()
