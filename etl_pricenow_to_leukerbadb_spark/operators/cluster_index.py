@@ -417,3 +417,45 @@ def ingest_and_update_clusters(
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
     )
+
+
+def ingest_and_update_clusters_vec(
+    vecs_delta: DataFrame,
+    index_path: str,
+    clusters_path: str,
+    corpus: DataFrame | None = None,
+    threshold: float | None = None,
+    reliable_checkpoints: bool = False,
+) -> dict:
+    """The embedding-side daily loop — the vector twin of
+    ``ingest_and_update_clusters``: append the delta to the persisted
+    sign-LSH near-dup index, probe for the pairs it introduces, merge
+    them into the persisted clustering in O(delta).
+
+    Pair semantics follow ``query_vec_dedup_candidates``: without
+    ``corpus``/``threshold`` the clusters form over CANDIDATE pairs
+    (shared sign-LSH bucket — the blocked structure, exactly what a
+    from-scratch bucket-join + components over the union computes,
+    pytest-pinned); with both, candidates are first verified by the
+    exact rounded cosine against the raw vectors (``corpus`` must
+    contain the union INCLUDING this delta, so delta↔delta candidates
+    can verify) and the clusters form over true near-dup pairs — the
+    ``dd_embedding_near_dup`` semantics."""
+    from .dedup_index import (
+        append_to_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+
+    spark = vecs_delta.sparkSession
+    append_to_vec_dedup_index(vecs_delta, index_path)
+    pairs = query_vec_dedup_candidates(
+        spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
+    )
+    return merge_cluster_delta(
+        spark,
+        clusters_path,
+        pairs,
+        src_col="probe_id",
+        dst_col="corpus_id",
+        reliable_checkpoints=reliable_checkpoints,
+    )

@@ -192,3 +192,51 @@ def test_build_refuses_to_clobber(spark, tmp_path):
     labels = connected_components(_pairs_df(spark, [(4, 5)]))
     build_cluster_assignments(labels, path, overwrite=True)
     assert _resolved_set(spark, path) == {(4, 4), (5, 4)}
+
+
+def test_vec_ingest_loop_matches_full_recompute(spark, sf_small, tmp_path):
+    """The embedding-side daily loop: sign-LSH index + clustering over
+    80% of the vectors, the rest ingested through
+    ``ingest_and_update_clusters_vec``. Resolved assignments must
+    equal components over the union's full bucket-join candidate
+    graph (the blocked structure both paths share)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        ingest_and_update_clusters_vec,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+
+    geom = dict(n_planes=12, n_tables=8, dim=64)
+
+    def candidate_pairs(vecs_df):
+        b = sign_lsh_buckets_long(vecs_df, "vec_id", "embedding", **geom)
+        return (
+            b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+            .join(
+                b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    vecs = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old = vecs.filter(F.col("vec_id") < 400)
+    delta = vecs.filter(F.col("vec_id") >= 400)
+    index_path = str(tmp_path / "vddx")
+    clusters_path = str(tmp_path / "vcl")
+    build_vec_dedup_index(old, index_path, **geom)
+    build_cluster_assignments(
+        connected_components(candidate_pairs(old)), clusters_path
+    )
+    ingest_and_update_clusters_vec(delta, index_path, clusters_path)
+    assert _resolved_set(spark, clusters_path) == _cc_set(
+        candidate_pairs(vecs)
+    )
