@@ -1168,3 +1168,33 @@ def test_residual_recall_at_least_raw(spark, corpus, tmp_path):
     r_raw, r_res = recall(False), recall(True)
     assert r_res >= r_raw, f"residual recall {r_res:.3f} < raw {r_raw:.3f}"
     assert r_res >= 0.92, f"residual recall {r_res:.3f} below gate"
+
+
+def test_residual_search_scan_stays_code_only(spark, corpus, queries, tmp_path):
+    """The residual frame must not leak raw vectors into the
+    corpus-sized scan: the per-list LUT is built from the QUERY side
+    (queries x probed centroids, broadcast), so the codes and lists
+    scans still read only their narrow columns."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "res_plan")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    df = search_ivfpq_index(spark, path, queries, corpus, n_probe=4, k=5)
+    # formatted mode: simpleString truncates this plan's Scan lines
+    # before the path appears; the formatted node blocks carry full
+    # Location + ReadSchema lines
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = plan.split("\n\n")
+    for sub in ("/codes", "/lists"):
+        scans = [
+            b for b in blocks if "Scan parquet" in b and f"{sub}]" in b
+        ]
+        assert scans, (sub, plan)
+        assert all("embedding" not in b for b in scans), sub
