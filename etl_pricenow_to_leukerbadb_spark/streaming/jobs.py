@@ -737,6 +737,7 @@ def _stream_bucket_ingest(
     append,
     name: str,
     fsck_name: str,
+    post_batch=None,
 ) -> None:
     """Shared streaming-ingest core for the persisted near-dup
     indexes (text and vector frontends of ``operators/dedup_index``).
@@ -757,6 +758,16 @@ def _stream_bucket_ingest(
       ``fsck(repair=True)`` — re-appending would duplicate the
       surviving rows and silently skipping would leave under-blocking
       entries (missed duplicates, the worst dedup failure) forever.
+
+    ``post_batch(batch_df)``, when given, runs after the append and
+    BEFORE the epoch marker, with the FULL batch — not the replay-
+    filtered ``fresh`` subset. This is the hook for idempotent
+    downstream maintenance (the cluster merge): a crash between
+    append and marker replays the whole batch, and ids the replay
+    classifier drops from ``fresh`` (their buckets already landed)
+    must still reach the downstream step, which may never have run.
+    The callback must therefore be idempotent — exactly what
+    ``merge_cluster_delta`` guarantees.
     """
     from ..operators.ann_index import (
         claim_index_for_ingest,
@@ -776,7 +787,7 @@ def _stream_bucket_ingest(
     try:
         _run_bucket_ingest(
             spark, src_path, logical_path, ckpt_path, schema, id_col,
-            rows_per_id, build_id, append, name, fsck_name,
+            rows_per_id, build_id, append, name, fsck_name, post_batch,
         )
     finally:
         release_index_ingest_claim(spark, logical_path, owner_tag=tag)
@@ -794,6 +805,7 @@ def _run_bucket_ingest(
     append,
     name: str,
     fsck_name: str,
+    post_batch=None,
 ) -> None:
     from ..operators.ann_index import (
         _resolve_index_root,
@@ -852,6 +864,11 @@ def _run_bucket_ingest(
         fresh = batch_df.join(existing, id_col, "left_anti")
         if not fresh.isEmpty():
             append(fresh)
+        if post_batch is not None:
+            # full batch, not `fresh`: on a replay the classifier drops
+            # ids whose buckets already landed, but the downstream step
+            # (idempotent by contract) may have crashed before running
+            post_batch(batch_df)
         tiny_local_df(
             ss,
             [(qid, int(epoch_id), build_id)],
@@ -912,6 +929,65 @@ def stream_dedup_ingest_job(
         ),
         "stream_dedup_ingest_job",
         "fsck_dedup_index",
+    )
+
+
+def stream_dedup_cluster_job(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    clusters_path: str,
+    allow_short: bool = False,
+) -> None:
+    """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
+    each micro-batch is appended to the near-dup index, then probed
+    for the pairs it introduces and merged into the cluster
+    assignments (``merge_cluster_delta``) — the FULL curation loop
+    (index + clusters, both O(batch)) as one checkpointed streaming
+    job, equal to a from-scratch pairs+components recompute over the
+    union (pytest-pinned).
+
+    The cluster merge runs through the ``post_batch`` hook with the
+    FULL batch and before the epoch marker, so every crash window
+    replays it; the merge's own idempotency (replayed pairs contract
+    to self-edges, replayed inserts anti-join out) is what makes
+    at-least-once delivery exactly-once in effect."""
+    from ..operators.cluster_index import merge_cluster_delta
+    from ..operators.dedup_index import (
+        append_to_dedup_index,
+        load_dedup_index,
+        query_dedup_candidates,
+    )
+
+    _, params = load_dedup_index(spark, index_path)
+    text_col = params["text_col"]
+
+    def _append(fresh: DataFrame) -> None:
+        append_to_dedup_index(
+            fresh, index_path, text_col=text_col, allow_short=allow_short
+        )
+
+    def _cluster(batch_df: DataFrame) -> None:
+        ss = batch_df.sparkSession
+        pairs = query_dedup_candidates(
+            ss, index_path, batch_df, text_col=text_col
+        )
+        merge_cluster_delta(
+            ss, clusters_path, pairs, src_col="probe_id", dst_col="corpus_id"
+        )
+
+    _stream_bucket_ingest(
+        spark,
+        docs_path,
+        index_path,
+        f"{params['id_col']} {params['id_type']}, {text_col} string",
+        params["id_col"],
+        int(params["bands"]),
+        params["build_id"],
+        _append,
+        "stream_dedup_cluster_job",
+        "fsck_dedup_index",
+        post_batch=_cluster,
     )
 
 

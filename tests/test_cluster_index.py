@@ -240,3 +240,53 @@ def test_vec_ingest_loop_matches_full_recompute(spark, sf_small, tmp_path):
     assert _resolved_set(spark, clusters_path) == _cc_set(
         candidate_pairs(vecs)
     )
+
+
+def test_streaming_cluster_job_matches_full_recompute(spark, sf_small, tmp_path):
+    """The full streaming curation loop: documents arrive as parquet
+    file waves through ONE checkpointed job lineage; each micro-batch
+    extends the near-dup index AND the persisted clustering. After all
+    waves, resolved assignments must equal the from-scratch
+    pairs+components recompute over everything — and replaying the
+    whole stream against the same checkpoint must change nothing."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_dedup_cluster_job,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.7)")).collect()[0][0]
+    mid = docs.agg(F.expr("percentile(doc_id, 0.85)")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= cut)
+    waves = [
+        docs.filter((F.col("doc_id") > cut) & (F.col("doc_id") <= mid)),
+        docs.filter(F.col("doc_id") > mid),
+    ]
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    stream_dir = str(tmp_path / "docs_stream")
+    build_dedup_index(base, index_path, **GEOM)
+    base_sigs = minhash_signatures(base, "doc_id", "text", 3, 8)
+    build_cluster_assignments(
+        connected_components(lsh_candidate_pairs(base_sigs, "doc_id", 8, 4)),
+        clusters_path,
+    )
+
+    for wave in waves:
+        wave.select("doc_id", "text").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    want = _cc_set(lsh_candidate_pairs(full_sigs, "doc_id", 8, 4))
+    assert _resolved_set(spark, clusters_path) == want
+
+    # replay the whole stream against a FRESH checkpoint: the epoch
+    # markers are gone with it, so the marker-less replay classifier
+    # and the merge's idempotency carry the exactly-once effect
+    import shutil
+
+    shutil.rmtree(index_path + "_ingest_ckpt")
+    stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    assert _resolved_set(spark, clusters_path) == want
