@@ -459,3 +459,81 @@ def ingest_and_update_clusters_vec(
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
     )
+
+
+def fsck_cluster_assignments(
+    spark: SparkSession, path: str, strict: bool = True
+) -> dict:
+    """Whole-clustering consistency sweep — the scheduled-maintenance
+    counterpart of the merge's per-delta guards, mirroring
+    ``fsck_index`` for the other persisted structures.
+
+    Checks, each a narrow-table aggregate:
+
+    - ``uncommitted``: the commit marker is missing or stale (a
+      crashed mutation nobody retried);
+    - ``dup_node_rows``: base rows beyond one per node — a replayed
+      append that somehow bypassed the anti-join (every reader would
+      see the node in two clusters);
+    - ``log_chain_entries``: log keys that also appear as log VALUES —
+      the flattened-log invariant broken (resolution would need a
+      chain walk it never performs, silently wrong labels);
+    - ``log_dup_keys``: one stale label remapped to two targets;
+    - ``unanchored_components``: resolved component labels that are
+      not themselves nodes resolving to themselves — a label is by
+      construction the minimum MEMBER of its cluster, so a dangling
+      label means lost or corrupt rows.
+
+    ``strict=True`` raises on any violation, naming the recovery
+    (retry the crashed mutation; rebuild from a fresh
+    ``connected_components`` run otherwise — the pair graph is always
+    recomputable from the corpus + near-dup index)."""
+    base, log, params = load_cluster_assignments(
+        spark, path, _allow_uncommitted=True
+    )
+    commit = _try_read_parquet(spark, f"{path}/commit")
+    commit_rows = commit.collect() if commit is not None else []
+    report: dict = {
+        "uncommitted": not (
+            len(commit_rows) == 1
+            and commit_rows[0]["build_id"] == params["build_id"]
+        )
+    }
+    report["n_nodes"] = base.select("node").distinct().count()
+    report["dup_node_rows"] = base.count() - report["n_nodes"]
+    log_rows = log.count()
+    report["log_entries"] = log_rows
+    if log_rows:
+        keys = log.select(F.col("old_label").alias("l"))
+        vals = log.select(F.col("new_label").alias("l"))
+        report["log_chain_entries"] = keys.join(vals, "l", "left_semi").count()
+        report["log_dup_keys"] = log_rows - keys.distinct().count()
+    else:
+        report["log_chain_entries"] = 0
+        report["log_dup_keys"] = 0
+    resolved = _resolved(base, log)
+    anchors = resolved.filter(F.col("node") == F.col("component")).select(
+        F.col("component").alias("c")
+    )
+    report["unanchored_components"] = (
+        resolved.select(F.col("component").alias("c"))
+        .distinct()
+        .join(anchors, "c", "left_anti")
+        .count()
+    )
+    violations = (
+        report["uncommitted"]
+        or report["dup_node_rows"]
+        or report["log_chain_entries"]
+        or report["log_dup_keys"]
+        or report["unanchored_components"]
+    )
+    if strict and violations:
+        raise RuntimeError(
+            f"fsck_cluster_assignments: clustering at {path} is "
+            f"inconsistent — {report}. If a mutation crashed, retry it "
+            "(merges and compactions are idempotent); otherwise rebuild "
+            "from a fresh connected_components run over the pair graph "
+            "(always recomputable from the corpus + near-dup index)"
+        )
+    return report

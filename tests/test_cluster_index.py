@@ -290,3 +290,48 @@ def test_streaming_cluster_job_matches_full_recompute(spark, sf_small, tmp_path)
     shutil.rmtree(index_path + "_ingest_ckpt")
     stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
     assert _resolved_set(spark, clusters_path) == want
+
+
+def test_fsck_clusters_clean_and_detects_corruption(spark, tmp_path):
+    """fsck passes a healthy clustering (merged, with a live log) and
+    catches each corruption class: a missing marker, duplicated base
+    rows, and a chain-broken log."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        fsck_cluster_assignments,
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(10, 11), (20, 21)], path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(11, 20)]))
+    report = fsck_cluster_assignments(spark, path)
+    assert not report["uncommitted"]
+    assert report["dup_node_rows"] == 0
+    assert report["log_entries"] == 1
+    assert report["log_chain_entries"] == 0
+    assert report["unanchored_components"] == 0
+
+    # duplicated base row -> strict raises, lenient reports
+    spark.createDataFrame([(11, 10)], "node long, component long").write.mode(
+        "append"
+    ).parquet(f"{path}/base")
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        fsck_cluster_assignments(spark, path)
+    assert (
+        fsck_cluster_assignments(spark, path, strict=False)["dup_node_rows"]
+        == 1
+    )
+
+    # chain-broken log (a->b with b also a key) on a fresh clustering
+    path2 = str(tmp_path / "cl2")
+    _build_from_pairs(spark, [(5, 6)], path2)
+    spark.createDataFrame(
+        [(7, 5), (8, 7)], "old_label long, new_label long"
+    ).write.mode("overwrite").parquet(f"{path2}/remap")
+    rep = fsck_cluster_assignments(spark, path2, strict=False)
+    assert rep["log_chain_entries"] == 1
+
+    # missing marker reports as uncommitted
+    import shutil
+
+    shutil.rmtree(f"{path2}/commit")
+    assert fsck_cluster_assignments(spark, path2, strict=False)["uncommitted"]
