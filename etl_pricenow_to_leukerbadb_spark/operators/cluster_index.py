@@ -61,16 +61,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tiny_local_df
-from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
+from .ann_index import (
+    _fs_delete,
+    _fs_rename,
+    _try_read_parquet,
+    _write_commit,
+)
 from .dedup import connected_components_twophase
 
 _CLUSTER_META_COLS = ("id_col", "id_type", "build_id")
-
-
-def _write_commit(spark: SparkSession, path: str, build_id: str) -> None:
-    tiny_local_df(spark, [(build_id,)], "build_id string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
 def _restore_if_crashed(spark: SparkSession, path: str) -> None:
@@ -252,10 +251,24 @@ def merge_cluster_delta(
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+    def _restore_marker_if_missing() -> None:
+        # a RETRIED merge that lands here as a no-op may be the
+        # recovery of a crash that happened after every data write but
+        # before the marker rewrite — the state is consistent (that is
+        # what no-op means: nothing left to merge, nothing pending), so
+        # the retry must restore the marker or strict reads stay
+        # wedged forever behind a retry that "succeeds" without fixing
+        # anything (the streaming job would silently advance past it)
+        commit = _try_read_parquet(spark, f"{path}/commit")
+        rows = commit.collect() if commit is not None else []
+        if len(rows) != 1 or rows[0]["build_id"] != params["build_id"]:
+            _write_commit(spark, path, params["build_id"])
+
     stats = endpoints.agg(
         F.min("node").alias("lo"), F.max("node").alias("hi")
     ).collect()[0]
     if stats["lo"] is None:
+        _restore_marker_if_missing()
         return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
     # current label of every endpoint that HAS one: range-pruned scan
     # of the node-sorted base (row groups outside [lo, hi] skipped via
@@ -287,7 +300,10 @@ def merge_cluster_delta(
         # whose every pair collapsed within one cluster... which cannot
         # happen (a new id is its own rep), so new nodes always reach
         # here via cc below; an empty contraction means every endpoint
-        # was already clustered consistently — a pure replay. No-op.
+        # was already clustered consistently — a pure replay. No-op,
+        # except that a replay RECOVERING a crashed marker rewrite must
+        # still restore the marker.
+        _restore_marker_if_missing()
         return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
     # two-phase star contraction, not min-label propagation: the
     # contracted graph is delta-SIZED but not delta-DIAMETERED — a
@@ -357,7 +373,9 @@ def compact_cluster_assignments(
     every merge's log broadcast-sized, exactly like the bucket/code
     table compactions. Idempotent under retry: re-applying an already-
     folded log matches no rows (its keys are stale labels)."""
-    base, log, params = load_cluster_assignments(spark, path)
+    base, log, params = load_cluster_assignments(
+        spark, path, _allow_uncommitted=True
+    )
     n_rows = base.count()
     n_log = log.count()
     folded = _resolved(base, log)

@@ -170,8 +170,26 @@ def grouped_running_sum(
         stats = df.select(
             F.count(F.lit(1)).alias("n_rows"),
             F.approx_count_distinct(key).alias("n_groups"),
+            # piggyback the non-null precondition on the stats job:
+            # without this, the SAME null-carrying input would raise on
+            # the scan arm but silently null-skip on the window arm —
+            # semantics flipping with data volume, the worst kind of
+            # auto-dispatch surprise. Explicit mode='window' keeps
+            # plain Spark window semantics (documented).
+            F.count(F.when(F.col(value_col).isNull(), F.lit(1))).alias(
+                "n_null"
+            ),
         ).first()
         n_rows, n_groups = stats["n_rows"], stats["n_groups"]
+        if stats["n_null"]:
+            raise ValueError(
+                f"grouped_running_sum: {value_col} has {stats['n_null']} "
+                "null row(s) — a null-skipping running sum is not "
+                "decomposable consistently between the window and scan "
+                "arms, so mode='auto' refuses it on either arm. Filter "
+                "or coalesce the nulls first (or pass mode='window' "
+                "explicitly for plain null-skipping window semantics)"
+            )
         if n_rows == 0 or n_groups + n > max_partials:
             # empty input, or a key so wide the scan's driver collect
             # would be data-sized — the window partitions fine there
@@ -218,12 +236,18 @@ def grouped_running_sum(
                 "nulls"
             ),
         )
+        # LIMIT bounds the DRIVER, not just the error message: without
+        # it a 200M-group key OOMs inside .collect() before any guard
+        # runs. Under the bound LIMIT returns every row (the prefix is
+        # computed driver-side from the full set, sorted below); over
+        # it the driver holds exactly max_partials + 1 rows and raises.
+        .limit(max_partials + 1)
         .collect()
     )
     if len(partials) > max_partials:
         raise ValueError(
-            f"grouped_running_sum: offsets collect hit {len(partials)} "
-            f"(block, group) rows (> max_partials={max_partials}) — the "
+            f"grouped_running_sum: offsets collect exceeded "
+            f"max_partials={max_partials} (block, group) rows — the "
             "group key is too wide for the scan decomposition's "
             "driver-side prefix; use mode='window' (many small groups "
             "partition fine) or raise max_partials deliberately"

@@ -335,3 +335,39 @@ def test_fsck_clusters_clean_and_detects_corruption(spark, tmp_path):
 
     shutil.rmtree(f"{path2}/commit")
     assert fsck_cluster_assignments(spark, path2, strict=False)["uncommitted"]
+
+
+def test_noop_merge_replay_restores_a_crashed_marker(spark, tmp_path):
+    """The worst crash window: every data write landed but the marker
+    rewrite didn't. The documented recovery — retry the same merge —
+    resolves to a pure no-op, and that no-op must RESTORE the marker;
+    otherwise strict reads stay wedged behind a retry that 'succeeds'
+    without fixing anything (and the streaming job would silently
+    advance past it)."""
+    import shutil
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    delta = _pairs_df(spark, [(2, 3)])
+    merge_cluster_delta(spark, path, delta)
+    want = _resolved_set(spark, path)
+    # simulate the crash: all merge writes done, marker gone
+    shutil.rmtree(f"{path}/commit")
+    stats = merge_cluster_delta(spark, path, delta)  # pure replay
+    assert stats["merged_labels"] == 0 and stats["new_nodes"] == 0
+    # the replay restored the marker; strict reads work again
+    assert _resolved_set(spark, path) == want
+
+
+def test_compact_retries_across_its_own_crash_marker(spark, tmp_path):
+    """Retrying a crashed compaction is its own documented recovery,
+    so compaction must load through the uncommitted state it left."""
+    import shutil
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(5, 6), (8, 9)], path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(6, 8)]))
+    want = _resolved_set(spark, path)
+    shutil.rmtree(f"{path}/commit")  # crash after the data writes
+    compact_cluster_assignments(spark, path)
+    assert _resolved_set(spark, path) == want

@@ -267,3 +267,28 @@ def test_property_matches_window(spark, data, blocks):
     got = grouped_running_sum(df, ["g"], ["k"], "v", num_blocks=blocks)
     want = _window_twin(df, ["g"], ["k"], "v")
     assert _rows(got) == _rows(want)
+
+
+def test_auto_refuses_nulls_on_both_arms(spark):
+    """mode='auto' must not let the non-null precondition flip with
+    data volume: the same null-carrying input raises whether the
+    dispatch would land on the window arm (small data) or the scan
+    arm — only an EXPLICIT mode='window' keeps plain null-skipping
+    window semantics."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, None), ("b", 1, 3)],
+        "g string, k int, v long",
+    )
+    # tiny input -> auto would pick the window arm; must still refuse
+    with pytest.raises(ValueError, match="null row"):
+        grouped_running_sum(df, ["g"], ["k"], "v", mode="auto")
+    # forced toward the scan arm -> still refuses (the scan job's gate)
+    with pytest.raises(ValueError, match="null row"):
+        grouped_running_sum(
+            df, ["g"], ["k"], "v", mode="auto", window_max_group_rows=0
+        )
+    # explicit window: documented plain-window null-skipping semantics
+    out = grouped_running_sum(df, ["g"], ["k"], "v", mode="window")
+    assert out.count() == 3
