@@ -1198,3 +1198,48 @@ def test_residual_search_scan_stays_code_only(spark, corpus, queries, tmp_path):
         ]
         assert scans, (sub, plan)
         assert all("embedding" not in b for b in scans), sub
+
+
+def test_residual_index_survives_compaction(spark, corpus, queries, tmp_path):
+    """Compaction rewrites only the narrow code/list tables; on a
+    residual index the meta flag and the coarse artifacts must ride
+    through untouched, with search bit-identical pre/post."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_ivfpq_index,
+        compact_index,
+        fsck_index,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "res_compact")
+    build_ivfpq_index(
+        corpus.filter(F.col("vec_id") < 400),
+        path,
+        n_centroids=16,
+        residual=True,
+        **PARAMS,
+    )
+    # a few appends -> small files worth compacting
+    for lo, hi in ((400, 450), (450, 500), (500, 10_000)):
+        append_to_pq_index(
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+        )
+    before = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    compact_index(spark, path)
+    fsck_index(spark, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    assert meta["residual"] is True
+    after = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, queries, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    assert after == before and len(after) == 15
