@@ -278,3 +278,42 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
     build_pq_index(corpus, flat, **PARAMS)
     with pytest.raises(ValueError, match="not a serving-layout root"):
         gc_serving_root(spark, flat)
+
+
+def test_gc_works_on_dedup_serving_roots(spark, sf_small, tmp_path):
+    """gc_serving_root claims to sweep ANY serving-layout root — the
+    generation layout is shared across index kinds. Proven on a text
+    near-dup index: aged debris swept, grace + CURRENT retained,
+    probes unchanged."""
+    import os
+    import shutil
+    import time as _t
+
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        gc_serving_root,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index_serving,
+        migrate_dedup_index_to_serving,
+        query_dedup_candidates,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    probe = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    path = str(tmp_path / "ddx")
+    build_dedup_index(old, path, k_shingle=3, n_hashes=8, bands=4)
+    migrate_dedup_index_to_serving(spark, path)
+    report = compact_dedup_index_serving(spark, path)
+    cur = report["generation"]["current"]
+    grace = report["generation"]["previous"]
+    debris = "gen-" + "e" * 12
+    shutil.copytree(f"{path}/{grace}", f"{path}/{debris}")
+    aged = _t.time() - 7200
+    os.utime(f"{path}/{debris}", (aged, aged))
+    before = _rows(query_dedup_candidates(spark, path, probe))
+    out = gc_serving_root(spark, path)
+    assert out["deleted"] == [debris]
+    assert out["kept_current"] == cur and out["kept_grace"] == grace
+    assert _rows(query_dedup_candidates(spark, path, probe)) == before
