@@ -49,6 +49,17 @@ CONTRACTED delta graph (delta-sized), and the merged label of each
 contracted component is min(member labels ∪ new ids) = the true
 minimum over the merged union — exactly what a full recompute yields.
 
+Reader semantics during a mutation, honestly: a merge's dark window
+(marker off while the base append + log swap land) makes STRICT reads
+fail loudly rather than see a half-merged labeling — unlike the
+indexes, there is no pointer-swap serving layout here, because merges
+run per micro-batch and a generation copy per merge would be absurd.
+The clustering is a pipeline artifact consumed between ingests; a
+deployment that needs always-on reads should snapshot the resolved
+table (``resolve_cluster_assignments(...).write``) on its own
+schedule — one narrow linear write, and the snapshot is immune to the
+window by construction.
+
 Reference analog: the incremental update-vs-existing contract of
 ``scripts/pricenow_etl.py:329-358`` (new data integrated against
 standing state without recomputing it), applied to cluster state.

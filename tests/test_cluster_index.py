@@ -371,3 +371,33 @@ def test_compact_retries_across_its_own_crash_marker(spark, tmp_path):
     shutil.rmtree(f"{path}/commit")  # crash after the data writes
     compact_cluster_assignments(spark, path)
     assert _resolved_set(spark, path) == want
+
+
+def test_ingest_loop_resolves_a_serving_layout_index(spark, sf_small, tmp_path):
+    """The O(delta) loop must compose with the near-dup index's
+    pointer-swap serving layout: appends and probes resolve CURRENT
+    transparently, and the merged clustering still equals the full
+    recompute."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        migrate_dedup_index_to_serving,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    build_dedup_index(old, index_path, **GEOM)
+    migrate_dedup_index_to_serving(spark, index_path)
+    old_sigs = minhash_signatures(old, "doc_id", "text", 3, 8)
+    build_cluster_assignments(
+        connected_components(lsh_candidate_pairs(old_sigs, "doc_id", 8, 4)),
+        clusters_path,
+    )
+    ingest_and_update_clusters(delta, index_path, clusters_path)
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    assert _resolved_set(spark, clusters_path) == _cc_set(
+        lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
+    )
