@@ -476,6 +476,39 @@ def ingest_and_update_clusters_vec(
     )
 
     spark = vecs_delta.sparkSession
+    if corpus is not None and threshold is not None:
+        # the verify join is INNER on the raw table: a delta id absent
+        # from ``corpus`` would silently DROP its candidate pairs (the
+        # cosine row simply doesn't exist), quietly under-clustering —
+        # fail loudly instead. Delta-sized anti-join; corpus side
+        # range-pruned by parquet min/max stats like every id probe.
+        from .dedup_index import load_vec_dedup_index
+
+        _, params = load_vec_dedup_index(spark, index_path)
+        id_col = params["id_col"]
+        span = vecs_delta.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).collect()[0]
+        n_missing = (
+            vecs_delta.select(F.col(id_col))
+            .join(
+                corpus.filter(
+                    F.col(id_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
+                ).select(F.col(id_col)),
+                id_col,
+                "left_anti",
+            )
+            .count()
+        )
+        if n_missing:
+            raise ValueError(
+                f"ingest_and_update_clusters_vec: {n_missing} delta id(s) "
+                "are missing from `corpus` — the exact-cosine verify join "
+                "would silently drop their candidate pairs and "
+                "under-cluster. Pass the UNION including this delta as "
+                "corpus (or omit corpus/threshold for candidate-pair "
+                "clustering)"
+            )
     append_to_vec_dedup_index(vecs_delta, index_path)
     pairs = query_vec_dedup_candidates(
         spark, index_path, vecs_delta, corpus=corpus, threshold=threshold

@@ -401,3 +401,99 @@ def test_ingest_loop_resolves_a_serving_layout_index(spark, sf_small, tmp_path):
     assert _resolved_set(spark, clusters_path) == _cc_set(
         lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
     )
+
+
+def test_vec_ingest_loop_threshold_matches_full_recompute(
+    spark, sf_small, tmp_path
+):
+    """The threshold-verified arm: clusters over TRUE near-dup pairs
+    (bucket candidates exact-cosine-verified against the raw vectors)
+    must equal components over the union's blocked-and-thresholded
+    pair graph — and a corpus missing the delta must refuse loudly
+    instead of silently under-clustering."""
+    from etl_pricenow_to_leukerbadb_spark.functions.vector import (
+        cosine_prenormed,
+        norm_sq,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        ingest_and_update_clusters_vec,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+
+    geom = dict(n_planes=12, n_tables=8, dim=64)
+    thr = 0.4
+
+    def verified_pairs(vecs_df):
+        b = sign_lsh_buckets_long(vecs_df, "vec_id", "embedding", **geom)
+        cand = (
+            b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+            .join(
+                b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        v = vecs_df.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("__v"),
+            F.sqrt(norm_sq(F.col("embedding"))).alias("__n"),
+        )
+        return (
+            cand.join(
+                v.select(
+                    F.col("vec_id").alias("id_a"),
+                    F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"),
+                ),
+                "id_a",
+            )
+            .join(
+                v.select(
+                    F.col("vec_id").alias("id_b"),
+                    F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"),
+                ),
+                "id_b",
+            )
+            .filter(
+                F.round(
+                    cosine_prenormed(
+                        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                    ),
+                    6,
+                )
+                >= thr
+            )
+            .select("id_a", "id_b")
+        )
+
+    vecs = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old = vecs.filter(F.col("vec_id") < 400)
+    delta = vecs.filter(F.col("vec_id") >= 400)
+    index_path = str(tmp_path / "vddx")
+    clusters_path = str(tmp_path / "vcl")
+    build_vec_dedup_index(old, index_path, **geom)
+    build_cluster_assignments(
+        connected_components(verified_pairs(old)), clusters_path
+    )
+    # corpus missing the delta -> the verify join would silently drop
+    # pairs; the loop must refuse before touching anything
+    with pytest.raises(ValueError, match="missing from `corpus`"):
+        ingest_and_update_clusters_vec(
+            delta, index_path, clusters_path, corpus=old, threshold=thr
+        )
+    ingest_and_update_clusters_vec(
+        delta, index_path, clusters_path, corpus=vecs, threshold=thr
+    )
+    assert _resolved_set(spark, clusters_path) == _cc_set(
+        verified_pairs(vecs)
+    )
