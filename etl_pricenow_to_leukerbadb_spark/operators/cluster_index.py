@@ -599,3 +599,47 @@ def fsck_cluster_assignments(
             "(always recomputable from the corpus + near-dup index)"
         )
     return report
+
+
+def canonical_keep_table(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection off the PERSISTED clustering — the
+    step that turns the incrementally-maintained clusters into an
+    actual deduplicated corpus, without recomputing any components:
+    every document joins its persisted component (singletons are their
+    own), and per component the highest-``score_col`` member wins
+    (ties toward the lower id). Returns
+    ``(component, keep_id, n_members, best_score)`` — the same audit
+    shape as the from-scratch ``tx_dedup_keep_best`` entry, and
+    pytest-pinned equal to it when the clustering covers the same pair
+    graph.
+
+    Scale shape: the persisted (node, component) read + broadcast log,
+    one id-keyed join against ``docs``, one ``max_by`` aggregation on
+    the component key — no window sort, no graph work. In the daily
+    loop this runs AFTER ``ingest_and_update_clusters``; together they
+    make corpus curation end-to-end O(delta + one linear keep pass),
+    where the from-scratch form re-contracts the whole graph first."""
+    resolved = resolve_cluster_assignments(spark, path)
+    labeled = docs.select(F.col(id_col), F.col(score_col)).join(
+        resolved, docs[id_col] == resolved["node"], "left"
+    ).select(
+        docs[id_col],
+        F.coalesce(resolved["component"], docs[id_col]).alias("component"),
+        F.col(score_col),
+    )
+    return labeled.groupBy("component").agg(
+        F.max_by(
+            id_col,
+            F.struct(
+                F.col(score_col).alias("q"), (-F.col(id_col)).alias("t")
+            ),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(score_col).alias("best_score"),
+    )

@@ -497,3 +497,44 @@ def test_vec_ingest_loop_threshold_matches_full_recompute(
     assert _resolved_set(spark, clusters_path) == _cc_set(
         verified_pairs(vecs)
     )
+
+
+def test_canonical_keep_table_matches_from_scratch_entry(
+    spark, sf_small, tmp_path
+):
+    """Canonical selection off the persisted clustering must equal the
+    from-scratch tx_dedup_keep_best (same pair graph, same
+    keep-best-by-length, ties to the lower id) — including after an
+    incremental merge, so the daily loop's keep-list never needs the
+    graph recomputed."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        canonical_keep_table,
+    )
+    from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
+
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    build_dedup_index(old, index_path, **GEOM)
+    old_sigs = minhash_signatures(old, "doc_id", "text", 3, 8)
+    build_cluster_assignments(
+        connected_components(lsh_candidate_pairs(old_sigs, "doc_id", 8, 4)),
+        clusters_path,
+    )
+    ingest_and_update_clusters(delta, index_path, clusters_path)
+
+    got = sorted(
+        tuple(r)
+        for r in canonical_keep_table(
+            spark, clusters_path, docs.select("doc_id", "n_chars")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["tx_dedup_keep_best"].fn(spark, sf_small).collect()
+    )
+    assert got == want and got
