@@ -538,3 +538,83 @@ def test_canonical_keep_table_matches_from_scratch_entry(
         for r in REGISTRY["tx_dedup_keep_best"].fn(spark, sf_small).collect()
     )
     assert got == want and got
+
+
+# -- property: merge ≡ full recompute over random graphs ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_components(edges):
+    """Reference labels via union-find: min reachable id per node, for
+    nodes appearing in at least one (non-self) edge — the same
+    contract as connected_components, computed without Spark so each
+    hypothesis example costs one merge, not three graph jobs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    return {
+        (n, min(members))
+        for members in groups.values()
+        for n in members
+    }
+
+
+edge_st = st.tuples(
+    st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base_edges=st.sets(edge_st, max_size=12),
+    new_edges=st.sets(edge_st, min_size=1, max_size=10),
+)
+def test_property_merge_equals_full_recompute(spark, tmp_path_factory, base_edges, new_edges):
+    """For ANY base graph and ANY batch of new edges (delta-incident,
+    old↔old, duplicates of existing edges, self-loops, chains that
+    merge several clusters at once), merging into the persisted
+    clustering must land exactly where a full recompute over the union
+    lands."""
+    import shutil
+    import tempfile
+
+    base_edges = {(a, b) for a, b in base_edges if a != b}
+    initial = _py_components(base_edges)
+    path = tempfile.mkdtemp(prefix="cl_prop_") + "/cl"
+    try:
+        labels = spark.createDataFrame(
+            [(n, c) for n, c in sorted(initial)] or [(0, 0)],
+            "node long, component long",
+        )
+        if not initial:
+            labels = labels.filter("node < 0")  # typed empty clustering
+        build_cluster_assignments(labels, path)
+        merge_cluster_delta(
+            spark, path, _pairs_df(spark, sorted(new_edges))
+        )
+        want = _py_components(base_edges | new_edges)
+        assert _resolved_set(spark, path) == want
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
