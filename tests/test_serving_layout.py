@@ -253,10 +253,13 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
     before = _rows(search_pq_index(spark, path, queries, corpus, k=5))
 
     # a live claim refuses the sweep (single-writer like every
-    # maintenance op); force is the documented bypass
+    # maintenance op); force is the documented bypass and is REPORTED
     claim_index_for_ingest(spark, path, "job-live")
     with pytest.raises(RuntimeError, match="claimed by a live ingest"):
         gc_serving_root(spark, path, min_age_sec=0)
+    forced = gc_serving_root(spark, path, min_age_sec=10**9, force=True)
+    assert forced["bypassed_claim"].startswith("job-live")
+    assert forced["deleted"] == []  # age gate still holds under force
     release_index_ingest_claim(spark, path, "job-live")
 
     # default age gate: aged debris swept, fresh orphan retained
