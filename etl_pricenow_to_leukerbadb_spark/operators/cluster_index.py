@@ -466,10 +466,20 @@ def ingest_and_update_clusters_vec(
     (shared sign-LSH bucket — the blocked structure, exactly what a
     from-scratch bucket-join + components over the union computes,
     pytest-pinned); with both, candidates are first verified by the
-    exact rounded cosine against the raw vectors (``corpus`` must
-    contain the union INCLUDING this delta, so delta↔delta candidates
-    can verify) and the clusters form over true near-dup pairs — the
-    ``dd_embedding_near_dup`` semantics."""
+    exact rounded cosine against the raw vectors and the clusters form
+    over true near-dup pairs — the ``dd_embedding_near_dup``
+    semantics. ``corpus`` must then cover EVERY candidate endpoint
+    (the union including this delta): a delta id missing from it fails
+    here BEFORE anything is appended (the common stale-corpus
+    mistake, checked delta-sized); an INDEXED id missing from it fails
+    loudly at probe time inside ``query_vec_dedup_candidates``'s
+    coverage gate — silently dropping the pair is never an option. In
+    that second case the index append has already landed; recover
+    WITHOUT re-appending by fixing ``corpus`` and running the loop's
+    own tail directly: ``merge_cluster_delta(spark, clusters_path,
+    query_dedup_candidates(...), src_col="probe_id",
+    dst_col="corpus_id")`` — the merge is idempotent, so a partial
+    prior attempt is harmless."""
     from .dedup_index import (
         append_to_vec_dedup_index,
         query_vec_dedup_candidates,
@@ -477,37 +487,24 @@ def ingest_and_update_clusters_vec(
 
     spark = vecs_delta.sparkSession
     if corpus is not None and threshold is not None:
-        # the verify join is INNER on the raw table: a delta id absent
-        # from ``corpus`` would silently DROP its candidate pairs (the
-        # cosine row simply doesn't exist), quietly under-clustering —
-        # fail loudly instead. Delta-sized anti-join; corpus side
-        # range-pruned by parquet min/max stats like every id probe.
+        # delta-side coverage BEFORE the append (mutating nothing on
+        # the common mistake — a stale corpus without today's delta);
+        # the handle-cached index load makes the id_col read cheap
         from .dedup_index import load_vec_dedup_index
 
         _, params = load_vec_dedup_index(spark, index_path)
         id_col = params["id_col"]
-        span = vecs_delta.agg(
-            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
-        ).collect()[0]
         n_missing = (
             vecs_delta.select(F.col(id_col))
-            .join(
-                corpus.filter(
-                    F.col(id_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
-                ).select(F.col(id_col)),
-                id_col,
-                "left_anti",
-            )
+            .join(corpus.select(F.col(id_col)), id_col, "left_anti")
             .count()
         )
         if n_missing:
             raise ValueError(
                 f"ingest_and_update_clusters_vec: {n_missing} delta id(s) "
-                "are missing from `corpus` — the exact-cosine verify join "
-                "would silently drop their candidate pairs and "
-                "under-cluster. Pass the UNION including this delta as "
-                "corpus (or omit corpus/threshold for candidate-pair "
-                "clustering)"
+                "are missing from `corpus` — the exact-cosine verify "
+                "would silently drop their pairs. Pass the UNION "
+                "including this delta (nothing has been appended yet)"
             )
     append_to_vec_dedup_index(vecs_delta, index_path)
     pairs = query_vec_dedup_candidates(
@@ -625,6 +622,8 @@ def canonical_keep_table(
     loop this runs AFTER ``ingest_and_update_clusters``; together they
     make corpus curation end-to-end O(delta + one linear keep pass),
     where the from-scratch form re-contracts the whole graph first."""
+    from .dedup import keep_best_per_component
+
     resolved = resolve_cluster_assignments(spark, path)
     labeled = docs.select(F.col(id_col), F.col(score_col)).join(
         resolved, docs[id_col] == resolved["node"], "left"
@@ -633,13 +632,4 @@ def canonical_keep_table(
         F.coalesce(resolved["component"], docs[id_col]).alias("component"),
         F.col(score_col),
     )
-    return labeled.groupBy("component").agg(
-        F.max_by(
-            id_col,
-            F.struct(
-                F.col(score_col).alias("q"), (-F.col(id_col)).alias("t")
-            ),
-        ).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_members"),
-        F.max(score_col).alias("best_score"),
-    )
+    return keep_best_per_component(labeled, id_col, score_col)

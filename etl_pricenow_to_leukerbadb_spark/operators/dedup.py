@@ -531,6 +531,39 @@ def connected_components_twophase(
         )
 
 
+def keep_best_per_component(
+    labeled: DataFrame,
+    id_col: str,
+    score_col: str,
+    keep_alias: str = "keep_id",
+    best_alias: str = "best_score",
+) -> DataFrame:
+    """Canonical selection over labeled clusters: one row per
+    ``component`` with its highest-``score_col`` member (ties toward
+    the LOWER id), the member count, and the best score. ``labeled``
+    is (id_col, component, score_col) with singletons already labeled
+    as their own component.
+
+    One ``min_by`` aggregation on the component key — no window sort.
+    The argmin rides (-score, id), so the id tie-break is
+    type-agnostic (string ids negate nothing; negating the id instead
+    would NULL the tie-break field for string ids and make the kept
+    document nondeterministic); ``score_col`` must be numeric. Shared
+    by the from-scratch ``tx_dedup_keep_best`` entry and the persisted
+    ``cluster_index.canonical_keep_table`` — ONE implementation of the
+    keep semantics over two cluster sources, so they cannot drift."""
+    return labeled.groupBy("component").agg(
+        F.min_by(
+            id_col,
+            F.struct(
+                (-F.col(score_col)).alias("q"), F.col(id_col).alias("t")
+            ),
+        ).alias(keep_alias),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(score_col).alias(best_alias),
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-hex-character SimHash over the document's distinct tokens.
 

@@ -873,6 +873,36 @@ def query_vec_dedup_candidates(
         F.col(vec_col).alias("__cv"),
         F.sqrt(norm_sq(F.col(vec_col))).alias("__cn"),
     )
+    # Coverage gate BEFORE the verify join: the band table indexes ids
+    # whose raw vectors the caller may fail to pass back (stale
+    # snapshot, delta-only table), and the inner verify join would
+    # silently DROP those candidates — quietly under-reporting
+    # near-dups, the worst dedup failure. A row-level raise_error
+    # behind a LEFT join does NOT survive the optimizer here: the
+    # null-intolerant cosine filter lets Catalyst eliminate the outer
+    # join back to inner (measured — the gate never fired), so the
+    # check is an explicit delta-sized anti-join + driver count over
+    # the checkpointed candidates instead. The probe side needs no
+    # gate: probe vectors produced the candidates.
+    cand = cand.localCheckpoint()  # delta-sized; feeds check + verify
+    n_missing = (
+        cand.select(F.col("corpus_id"))
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).alias("corpus_id")),
+            "corpus_id",
+            "left_anti",
+        )
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"query_vec_dedup_candidates: {n_missing} candidate corpus "
+            "id(s) have no raw vector in `corpus` — the exact-cosine "
+            "verify would silently drop those pairs. Pass the raw table "
+            "covering every indexed id (including any just-appended "
+            "delta)"
+        )
     return (
         cand.join(pv, cand.probe_id == pv.__pid)
         .join(cv, F.col("corpus_id") == cv.__cid)

@@ -2053,12 +2053,11 @@ def tx_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(comp["component"], docs["doc_id"]).alias("component"),
         "n_chars",
     )
-    return labeled.groupBy("component").agg(
-        F.max_by(
-            "doc_id", F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t"))
-        ).alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_members"),
-        F.max("n_chars").alias("best_n_chars"),
+    from ..operators.dedup import keep_best_per_component
+
+    return keep_best_per_component(
+        labeled, "doc_id", "n_chars",
+        keep_alias="keep_doc_id", best_alias="best_n_chars",
     )
 
 

@@ -485,14 +485,32 @@ def test_vec_ingest_loop_threshold_matches_full_recompute(
     build_cluster_assignments(
         connected_components(verified_pairs(old)), clusters_path
     )
-    # corpus missing the delta -> the verify join would silently drop
-    # pairs; the loop must refuse before touching anything
+    # a corpus missing DELTA ids fails before anything is appended
+    # (the common stale-corpus mistake), so the full loop retries clean
     with pytest.raises(ValueError, match="missing from `corpus`"):
         ingest_and_update_clusters_vec(
             delta, index_path, clusters_path, corpus=old, threshold=thr
         )
-    ingest_and_update_clusters_vec(
-        delta, index_path, clusters_path, corpus=vecs, threshold=thr
+    # a corpus missing INDEXED ids fails loudly at probe time (the
+    # query-side coverage gate) — after the append has landed; the
+    # documented recovery is the loop's tail with the fixed corpus,
+    # exercised below by the successful full call
+    with pytest.raises(ValueError, match="no raw vector in `corpus`"):
+        ingest_and_update_clusters_vec(
+            delta, index_path, clusters_path, corpus=delta, threshold=thr
+        )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        query_vec_dedup_candidates,
+    )
+
+    merge_cluster_delta(
+        spark,
+        clusters_path,
+        query_vec_dedup_candidates(
+            spark, index_path, delta, corpus=vecs, threshold=thr
+        ),
+        src_col="probe_id",
+        dst_col="corpus_id",
     )
     assert _resolved_set(spark, clusters_path) == _cc_set(
         verified_pairs(vecs)
@@ -591,7 +609,7 @@ edge_st = st.tuples(
     base_edges=st.sets(edge_st, max_size=12),
     new_edges=st.sets(edge_st, min_size=1, max_size=10),
 )
-def test_property_merge_equals_full_recompute(spark, tmp_path_factory, base_edges, new_edges):
+def test_property_merge_equals_full_recompute(spark, base_edges, new_edges):
     """For ANY base graph and ANY batch of new edges (delta-incident,
     old↔old, duplicates of existing edges, self-loops, chains that
     merge several clusters at once), merging into the persisted
