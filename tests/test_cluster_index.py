@@ -636,3 +636,39 @@ def test_property_merge_equals_full_recompute(spark, base_edges, new_edges):
         assert _resolved_set(spark, path) == want
     finally:
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_merge_and_keep_best_support_string_ids(spark, tmp_path):
+    """The layer is id-type-generic by contract (meta records id_type;
+    least/greatest/min/max and the keep-best tie-break all work on
+    strings): merge, resolve, and canonical selection over STRING ids
+    must match the same graph over the lexicographically-equivalent
+    semantics."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        canonical_keep_table,
+    )
+
+    def pairs_df(pairs):
+        return spark.createDataFrame(pairs, "id_a string, id_b string")
+
+    initial = [("a1", "a2"), ("b1", "b2")]
+    labels = connected_components(pairs_df(initial))
+    path = str(tmp_path / "cl")
+    build_cluster_assignments(labels, path)
+    merge_cluster_delta(
+        spark, path, pairs_df([("a2", "b1"), ("c1", "c2")])
+    )
+    assert _resolved_set(spark, path) == {
+        ("a1", "a1"), ("a2", "a1"), ("b1", "a1"), ("b2", "a1"),
+        ("c1", "c1"), ("c2", "c1"),
+    }
+    docs = spark.createDataFrame(
+        [("a1", 5), ("a2", 9), ("b1", 9), ("b2", 1), ("c1", 3), ("c2", 3), ("z", 7)],
+        "doc_id string, n_chars int",
+    )
+    keep = {
+        (r.component, r.keep_id, r.n_members)
+        for r in canonical_keep_table(spark, path, docs).collect()
+    }
+    # ties to the LOWER id ('a2' < 'b1' at score 9); singleton 'z' kept
+    assert keep == {("a1", "a2", 4), ("c1", "c1", 2), ("z", "z", 1)}
