@@ -1,9 +1,12 @@
-"""Round-9 probe: incremental cluster maintenance delta cost vs the
-full recompute, across corpus inflations.
+"""Round-9 probes: incremental cluster maintenance delta cost vs the
+full recompute across corpus inflations, and the residual-IVFADC
+recall lever vs corpus size.
 
 Companion to the probe table in SCALE.md. Run:
 
-    python -m tools.probe_r9
+    python -m tools.probe_r9            # both probes
+    python -m tools.probe_r9 clusters   # just the cluster probe
+    python -m tools.probe_r9 recall     # just the recall probe
 
 ``merge_cluster_delta`` claims O(delta + log): merging a fixed-size
 delta's candidate pairs into the persisted clustering should cost the
@@ -52,6 +55,56 @@ def timed(fn):
     return out, time.perf_counter() - t0
 
 
+def residual_recall_probe(spark) -> dict:
+    """Recall@5 of the trained IVFADC index, raw vs residual encoding,
+    at the sf0.1 corpus (64 k vectors, 20 queries): measures the
+    recall lever's growth with corpus size — the gate corpus (500
+    vectors) reads 0.92 vs 0.94 where quantization error barely
+    matters; here the within-list code budget pays visibly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        _sq_l2_fp,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    cc = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+    ex = (
+        cc.crossJoin(F.broadcast(qq))
+        .filter("neighbor_id != query_id")
+        .select("query_id", "neighbor_id", _sq_l2_fp(F.col("__q"), F.col("__c")).alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    exact: dict = {}
+    for r in ex.withColumn("rank", F.row_number().over(w)).filter("rank<=5").collect():
+        exact.setdefault(r[0], set()).add(r[1])
+    tmp = tempfile.mkdtemp(prefix="probe_r9_recall_")
+    out = {"probe": "residual_recall", "corpus_vectors": emb.count(), "n_queries": len(exact)}
+    try:
+        for res in (False, True):
+            path = f"{tmp}/i_{res}"
+            build_ivfpq_index(emb, path, n_centroids=16, train=True, residual=res)
+            got: dict = {}
+            for r in search_ivfpq_index(
+                spark, path, q, emb, n_probe=4, k=5
+            ).select("query_id", "neighbor_id").collect():
+                got.setdefault(r[0], set()).add(r[1])
+            rec = sum(len(got.get(k, set()) & exact[k]) / 5 for k in exact) / len(exact)
+            out["residual" if res else "raw"] = round(rec, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
         build_cluster_assignments,
@@ -66,8 +119,14 @@ def main() -> None:
         build_dedup_index,
     )
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = get_spark(app_name="probe-r9")
     spark.sparkContext.setLogLevel("ERROR")
+    if which in ("recall", "both"):
+        print(json.dumps(residual_recall_probe(spark)))
+        if which == "recall":
+            spark.stop()
+            return
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
