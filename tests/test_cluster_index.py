@@ -672,3 +672,54 @@ def test_merge_and_keep_best_support_string_ids(spark, tmp_path):
     }
     # ties to the LOWER id ('a2' < 'b1' at score 9); singleton 'z' kept
     assert keep == {("a1", "a2", 4), ("c1", "c1", 2), ("z", "z", 1)}
+
+
+def test_streaming_cluster_job_recovers_from_mid_batch_crash(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Crash INSIDE the post-batch cluster merge (after the index
+    append, before the epoch marker): the checkpoint holds the batch,
+    the replay's classifier drops the already-appended ids from the
+    append path, and the post_batch hook re-runs the merge with the
+    FULL batch — landing exactly where an uninterrupted run lands."""
+    import etl_pricenow_to_leukerbadb_spark.operators.cluster_index as ci
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_dedup_cluster_job,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= mid)
+    wave = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    stream_dir = str(tmp_path / "docs_stream")
+    build_dedup_index(base, index_path, **GEOM)
+    base_sigs = minhash_signatures(base, "doc_id", "text", 3, 8)
+    build_cluster_assignments(
+        connected_components(lsh_candidate_pairs(base_sigs, "doc_id", 8, 4)),
+        clusters_path,
+    )
+    wave.select("doc_id", "text").coalesce(1).write.parquet(stream_dir)
+
+    real_merge = ci.merge_cluster_delta
+    calls = {"n": 0}
+
+    def crash_once(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash inside the cluster merge")
+        return real_merge(*args, **kwargs)
+
+    monkeypatch.setattr(ci, "merge_cluster_delta", crash_once)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    # the replay: same stream, same checkpoint — completes the merge
+    stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    monkeypatch.undo()
+
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    assert _resolved_set(spark, clusters_path) == _cc_set(
+        lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
+    )
