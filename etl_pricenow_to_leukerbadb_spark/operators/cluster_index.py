@@ -633,3 +633,29 @@ def canonical_keep_table(
         F.col(score_col),
     )
     return keep_best_per_component(labeled, id_col, score_col)
+
+
+def snapshot_cluster_assignments(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> int:
+    """Write the RESOLVED assignments to ``out_path`` as a plain
+    node-sorted parquet table — the always-on serving answer the
+    module docstring prescribes: merges mutate ``path`` behind the
+    dark window, while readers point at the last snapshot, which is
+    immune to the window by construction. One linear write of the
+    narrow table (node-sorted, so point lookups prune on parquet
+    min/max stats); run it on whatever cadence the consumers need.
+    Returns the row count. Strict read: refuses a mid-mutation
+    clustering rather than snapshotting a half-merged one."""
+    resolved = resolve_cluster_assignments(spark, path)
+    n_rows = resolved.count()
+    if target_files is None:
+        target_files = max(1, (n_rows + 3_999_999) // 4_000_000)
+    resolved.repartitionByRange(target_files, "node").sortWithinPartitions(
+        "node"
+    ).write.mode(mode).parquet(out_path)
+    return n_rows

@@ -723,3 +723,32 @@ def test_streaming_cluster_job_recovers_from_mid_batch_crash(
     assert _resolved_set(spark, clusters_path) == _cc_set(
         lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
     )
+
+
+def test_snapshot_is_resolution_immune_to_the_mutation_window(spark, tmp_path):
+    """The serving answer: a snapshot equals the resolution at write
+    time, stays readable while a later mutation holds the dark window,
+    and the strict read refuses to snapshot mid-mutation state."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        snapshot_cluster_assignments,
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    want = _resolved_set(spark, path)
+    n = snapshot_cluster_assignments(spark, path, out)
+    assert n == 4
+    got = {(r.node, r.component) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    # simulate a mutation in flight: marker off -> snapshot refuses,
+    # but the EXISTING snapshot keeps serving
+    shutil.rmtree(f"{path}/commit")
+    with pytest.raises(ValueError, match="no matching commit marker"):
+        snapshot_cluster_assignments(spark, path, str(tmp_path / "snap2"))
+    assert {
+        (r.node, r.component) for r in spark.read.parquet(out).collect()
+    } == want
