@@ -57,7 +57,7 @@ def timed(fn):
 
 def residual_recall_probe(spark) -> dict:
     """Recall@5 of the trained IVFADC index, raw vs residual encoding,
-    at the sf0.1 corpus (64 k vectors, 20 queries): measures the
+    at the sf0.1 corpus (2 k vectors, 20 queries): measures the
     recall lever's growth with corpus size — the gate corpus (500
     vectors) reads 0.92 vs 0.94 where quantization error barely
     matters; here the within-list code budget pays visibly."""
