@@ -55,10 +55,12 @@ fail loudly rather than see a half-merged labeling — unlike the
 indexes, there is no pointer-swap serving layout here, because merges
 run per micro-batch and a generation copy per merge would be absurd.
 The clustering is a pipeline artifact consumed between ingests; a
-deployment that needs always-on reads should snapshot the resolved
-table (``resolve_cluster_assignments(...).write``) on its own
-schedule — one narrow linear write, and the snapshot is immune to the
-window by construction.
+deployment that needs always-on reads should publish
+``snapshot_cluster_assignments`` on its own schedule — one narrow
+linear write into a fresh generation dir with an atomic
+``CURRENT``-pointer swap (read back via ``read_cluster_snapshot``),
+so the snapshot is immune to the window by construction AND its own
+publish never exposes a half-deleted table.
 
 Reference analog: the incremental update-vs-existing contract of
 ``scripts/pricenow_etl.py:329-358`` (new data integrated against
@@ -67,10 +69,20 @@ standing state without recomputing it), applied to cluster state.
 
 from __future__ import annotations
 
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..fs import (
+    fs_delete,
+    fs_exists,
+    fs_list_names,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+)
 from ..session import tiny_local_df
 from .ann_index import (
     _fs_delete,
@@ -82,14 +94,36 @@ from .dedup import connected_components_twophase
 
 _CLUSTER_META_COLS = ("id_col", "id_type", "build_id")
 
+# The remap-log row budget that triggers auto-compaction in the
+# continuous loops (``ingest_and_update_clusters[_vec]``,
+# ``stream_dedup_cluster_job``). Rationale: resolution is
+# ``base LEFT JOIN broadcast(log)``, so the log is shipped to every
+# task as a broadcast hash relation — two ids of payload per row
+# (~16 B) hashes to roughly 50-100 B/row on the JVM, putting 500k rows
+# at ~25-50 MB per executor, the top of the comfortable explicit-
+# broadcast budget. Folding is one linear rewrite of the narrow
+# node-sorted base, so compacting at the budget's edge is cheap
+# insurance against the join degrading (or the broadcast OOMing) on a
+# merge-heavy stream that nobody is baby-sitting — the same
+# engine-turns-the-dial argument as ``grouped_running_sum(mode='auto')``.
+LOG_COMPACT_THRESHOLD = 500_000
+
 
 def _restore_if_crashed(spark: SparkSession, path: str) -> None:
     """Adopt a staged table whose swap crashed between delete and
-    rename. Safe unconditionally: a stage is only written complete
-    (parquet job committed) before its live twin is deleted, so
-    live-missing + stage-present can only be that window, and the
-    stage IS the intended next state. The commit marker stays absent
-    until the interrupted operation is RETRIED to completion."""
+    rename: a stage is only written complete (parquet job committed)
+    before its live twin is deleted, so live-missing + stage-present
+    can only be that window, and the stage IS the intended next state.
+    The commit marker stays absent until the interrupted operation is
+    RETRIED to completion.
+
+    Called only from MUTATOR loads (``_allow_uncommitted=True``), which
+    hold the single-writer role: a strict READ that performed this
+    rename could land inside a LIVE writer's swap window (live deleted,
+    stage present for a moment) and adopt the stage out from under it,
+    failing the writer's own rename and aborting a healthy mutation —
+    so the read path stays side-effect-free and repairs belong to the
+    writer."""
     for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
         if (
             _try_read_parquet(spark, f"{path}/{live}") is None
@@ -101,6 +135,81 @@ def _restore_if_crashed(spark: SparkSession, path: str) -> None:
 def _swap_staged(spark: SparkSession, path: str, live: str, stage: str) -> None:
     _fs_delete(spark, f"{path}/{live}")
     _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
+
+
+def _read_pending(spark: SparkSession, path: str) -> str | None:
+    """The pending-operation token, if one is persisted: the op
+    fingerprint a mutator wrote before opening its mutation window."""
+    pend = _try_read_parquet(spark, f"{path}/pending")
+    rows = pend.collect() if pend is not None else []
+    return rows[0]["op_fp"] if len(rows) == 1 else None
+
+
+def _guard_pending(
+    spark: SparkSession,
+    path: str,
+    op_fp: str,
+    params: dict,
+    compatible: tuple[str, ...] = (),
+) -> None:
+    """Refuse to mutate over a DIFFERENT operation's crash residue.
+
+    Every mutator persists a fingerprint of its operation beside the
+    commit marker before opening the mutation window and removes it
+    after the marker rewrite. Without this token, a merge of delta A
+    that crashed after its base append but before its remap-log swap
+    — and is never retried — would be silently COMMITTED by the next
+    merge of delta B: B's marker rewrite blesses a state where A's new
+    rows carry merged labels while the old cluster members keep the
+    old ones, and ``fsck_cluster_assignments`` cannot see it (both
+    halves stay anchored, no dup rows, no log chains). The token makes
+    the documented recovery — retry the crashed operation — enforced:
+    only the crashed operation's own replay (same fingerprint) may
+    proceed through the uncommitted state.
+
+    A token found while the commit marker is VALID is stale debris
+    (the crash landed after the marker rewrite but before the token
+    delete — a committed, consistent state); it is cleared here. A
+    missing marker with NO token is a manually-cleared or pre-token
+    state and stays permissive, preserving the original retry
+    semantics.
+
+    ``compatible`` lists token PREFIXES whose crash residue is provably
+    consistent for this caller and may be proceeded through: a crashed
+    COMPACTION leaves either the old state or a folded base with a
+    stale log whose keys match no rows (argued in
+    ``compact_cluster_assignments``), so merges pass
+    ``compatible=("compact",)`` — an unattended streaming loop must
+    not wedge on its own auto-compaction's crash. A crashed MERGE's
+    residue is compatible with NOTHING but its own replay."""
+    token = _read_pending(spark, path)
+    if token is None:
+        return
+    commit = _try_read_parquet(spark, f"{path}/commit")
+    rows = commit.collect() if commit is not None else []
+    if len(rows) == 1 and rows[0]["build_id"] == params["build_id"]:
+        _fs_delete(spark, f"{path}/pending")
+        return
+    if token != op_fp and not any(token.startswith(c) for c in compatible):
+        raise RuntimeError(
+            f"clustering at {path}: a different operation "
+            f"({token!r}) crashed mid-mutation and was never retried — "
+            f"refusing to commit its half-merged state under this one "
+            f"({op_fp!r}). Retry the crashed operation first (merges "
+            "and compactions are idempotent), or rebuild with "
+            "build_cluster_assignments(overwrite=True)"
+        )
+
+
+def _write_pending(spark: SparkSession, path: str, op_fp: str) -> None:
+    """Persist the token. The delete-then-write pair is only reachable
+    by the operation that owns the token (``_guard_pending`` already
+    refused foreign ones), so a crash between the two metadata ops
+    merely downgrades a replay to the pre-token permissive state."""
+    _fs_delete(spark, f"{path}/pending")
+    tiny_local_df(spark, [(op_fp,)], "op_fp string").coalesce(1).write.parquet(
+        f"{path}/pending"
+    )
 
 
 def build_cluster_assignments(
@@ -119,7 +228,15 @@ def build_cluster_assignments(
     spark = labels.sparkSession
     build_id = uuid.uuid4().hex
     if overwrite:
-        for sub in ("commit", "meta", "base", "remap", ".remap_stage", ".base_stage"):
+        for sub in (
+            "commit",
+            "pending",
+            "meta",
+            "base",
+            "remap",
+            ".remap_stage",
+            ".base_stage",
+        ):
             _fs_delete(spark, f"{path}/{sub}")
     mode = "errorifexists"
     id_type = labels.schema[node_col].dataType.simpleString()
@@ -152,10 +269,15 @@ def load_cluster_assignments(
     ``_allow_uncommitted`` is internal to the mutators: a missing
     marker is EXACTLY the state a crashed merge/compaction leaves, and
     re-running either one is the documented recovery (both are
-    idempotent, and each tolerates the other's crash residue — a
-    stale folded log matches no rows; an already-appended base row is
-    anti-joined out). Read paths stay strict."""
-    _restore_if_crashed(spark, path)
+    idempotent, each tolerates the other's crash residue — a stale
+    folded log matches no rows; an already-appended base row is
+    anti-joined out — and the pending-operation token refuses a
+    DIFFERENT operation from committing over the residue). Read paths
+    stay strict AND side-effect-free: crash-restore renames run only
+    under the mutator flag, so a reader can never steal a live
+    writer's staged swap (see ``_restore_if_crashed``)."""
+    if _allow_uncommitted:
+        _restore_if_crashed(spark, path)
     meta = _try_read_parquet(spark, f"{path}/meta")
     meta_rows = meta.collect() if meta is not None else []
     if len(meta_rows) != 1 or set(_CLUSTER_META_COLS) - set(
@@ -257,6 +379,19 @@ def merge_cluster_delta(
         # endpoint lookup, the contraction, and the stats below
         .localCheckpoint()
     )
+    # Operation fingerprint: order-independent over the canonical
+    # distinct edge set (bit_xor of per-edge xxhash64 — XOR is safe
+    # because the set is distinct, and it cannot overflow under ANSI
+    # the way a sum can — plus the count), so a replay of the SAME
+    # delta — the documented crash recovery — fingerprints
+    # identically, while any other delta does not. One tiny agg over
+    # the already-checkpointed delta frame.
+    fp_row = edges.agg(
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    op_fp = f"merge:{fp_row['n']}:{fp_row['h']}"
+    _guard_pending(spark, path, op_fp, params, compatible=("compact",))
     endpoints = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -274,6 +409,10 @@ def merge_cluster_delta(
         rows = commit.collect() if commit is not None else []
         if len(rows) != 1 or rows[0]["build_id"] != params["build_id"]:
             _write_commit(spark, path, params["build_id"])
+            # any pending token still present here is OURS (foreign
+            # ones were refused at entry) — the crash it recorded is
+            # now recovered, so clear it with the marker restored
+            _fs_delete(spark, f"{path}/pending")
 
     stats = endpoints.agg(
         F.min("node").alias("lo"), F.max("node").alias("hi")
@@ -354,7 +493,11 @@ def merge_cluster_delta(
     )
 
     n_merged = remap_new.count()
-    # --- mutation window: marker off, idempotent writes, marker on ---
+    # --- mutation window: pending token on, marker off, idempotent
+    # writes, marker on, token off — a crash anywhere in the window
+    # leaves a token naming THIS operation, so only its own replay can
+    # re-commit (any other mutator refuses in _guard_pending) ---
+    _write_pending(spark, path, op_fp)
     _fs_delete(spark, f"{path}/commit")
     # base append, replay-safe: rows already landed by a crashed prior
     # attempt are anti-joined out (same discipline as the ANN lists
@@ -373,6 +516,7 @@ def merge_cluster_delta(
     n_log = spark.read.parquet(f"{path}/.remap_stage").count()
     _swap_staged(spark, path, "remap", ".remap_stage")
     _write_commit(spark, path, params["build_id"])
+    _fs_delete(spark, f"{path}/pending")
     return {"merged_labels": n_merged, "new_nodes": n_new, "log_entries": n_log}
 
 
@@ -383,10 +527,16 @@ def compact_cluster_assignments(
     node-sorted table) and clear it — the amortized step that keeps
     every merge's log broadcast-sized, exactly like the bucket/code
     table compactions. Idempotent under retry: re-applying an already-
-    folded log matches no rows (its keys are stale labels)."""
+    folded log matches no rows (its keys are stale labels). Any two
+    compactions are interchangeable, so the pending-operation token is
+    a constant — a crashed compaction's residue can be recovered by
+    ANY later compaction, while a crashed MERGE's residue refuses a
+    compaction (folding the old log over the merge's half-landed base
+    would commit the half-merged state)."""
     base, log, params = load_cluster_assignments(
         spark, path, _allow_uncommitted=True
     )
+    _guard_pending(spark, path, "compact", params)
     n_rows = base.count()
     n_log = log.count()
     folded = _resolved(base, log)
@@ -403,6 +553,7 @@ def compact_cluster_assignments(
             "compact_cluster_assignments: staged rewrite changed the row "
             "count — refusing to swap; the live table is untouched"
         )
+    _write_pending(spark, path, "compact")
     _fs_delete(spark, f"{path}/commit")
     _swap_staged(spark, path, "base", ".base_stage")
     id_type = params["id_type"]
@@ -412,7 +563,34 @@ def compact_cluster_assignments(
     ).write.parquet(f"{path}/.remap_stage")
     _swap_staged(spark, path, "remap", ".remap_stage")
     _write_commit(spark, path, params["build_id"])
+    _fs_delete(spark, f"{path}/pending")
     return {"n_rows": n_rows, "log_entries_folded": n_log}
+
+
+def _compact_if_log_large(
+    spark: SparkSession,
+    clusters_path: str,
+    stats: dict,
+    threshold: int | None,
+) -> dict:
+    """Auto-compaction hook for the continuous loops: when a merge
+    leaves the flattened remap log past ``threshold`` rows, fold it
+    into base right here instead of trusting an operator to notice the
+    docstring. The resolution join's "one broadcast join" invariant
+    only holds while the log is broadcast-sized; a merge-heavy stream
+    that never compacts walks the log past that budget unattended (see
+    ``LOG_COMPACT_THRESHOLD`` for the sizing rationale). ``None``
+    disables the hook for callers that schedule compaction themselves.
+    Returns the merge stats extended with ``log_compacted`` (and the
+    folded row count when it fired)."""
+    stats = dict(stats)
+    stats["log_compacted"] = False
+    if threshold is not None and stats.get("log_entries", 0) >= threshold:
+        folded = compact_cluster_assignments(spark, clusters_path)
+        stats["log_compacted"] = True
+        stats["log_entries_folded"] = folded["log_entries_folded"]
+        stats["log_entries"] = 0
+    return stats
 
 
 def ingest_and_update_clusters(
@@ -422,13 +600,18 @@ def ingest_and_update_clusters(
     text_col: str = "text",
     allow_short: bool = False,
     reliable_checkpoints: bool = False,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
 ) -> dict:
     """The daily near-dup loop, end to end in O(delta): append the
     delta to the persisted near-dup index, probe it for ALL pairs the
     delta introduces (delta↔corpus and delta↔delta — probing AFTER the
     append makes one probe see both), and merge them into the
     persisted clustering. Equivalence to a from-scratch
-    pairs-then-components recompute over the union is pytest-pinned."""
+    pairs-then-components recompute over the union is pytest-pinned.
+    When the merge leaves the remap log at or past
+    ``compact_log_threshold`` rows the loop compacts it in place
+    (``None`` opts out), keeping the broadcast-resolution invariant
+    without operator attention."""
     from .dedup_index import append_to_dedup_index, query_dedup_candidates
 
     spark = docs_delta.sparkSession
@@ -438,13 +621,16 @@ def ingest_and_update_clusters(
     pairs = query_dedup_candidates(
         spark, index_path, docs_delta, text_col=text_col
     )
-    return merge_cluster_delta(
+    stats = merge_cluster_delta(
         spark,
         clusters_path,
         pairs,
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
+    )
+    return _compact_if_log_large(
+        spark, clusters_path, stats, compact_log_threshold
     )
 
 
@@ -455,6 +641,7 @@ def ingest_and_update_clusters_vec(
     corpus: DataFrame | None = None,
     threshold: float | None = None,
     reliable_checkpoints: bool = False,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
 ) -> dict:
     """The embedding-side daily loop — the vector twin of
     ``ingest_and_update_clusters``: append the delta to the persisted
@@ -510,13 +697,16 @@ def ingest_and_update_clusters_vec(
     pairs = query_vec_dedup_candidates(
         spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
     )
-    return merge_cluster_delta(
+    stats = merge_cluster_delta(
         spark,
         clusters_path,
         pairs,
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
+    )
+    return _compact_if_log_large(
+        spark, clusters_path, stats, compact_log_threshold
     )
 
 
@@ -558,6 +748,11 @@ def fsck_cluster_assignments(
             and commit_rows[0]["build_id"] == params["build_id"]
         )
     }
+    # the pending-operation token names WHICH mutation crashed (merges
+    # carry their delta's edge-set fingerprint) — surfaced so the
+    # sweep's operator knows what to retry; an uncommitted state
+    # already flags as a violation above
+    report["pending_op"] = _read_pending(spark, path)
     report["n_nodes"] = base.select("node").distinct().count()
     report["dup_node_rows"] = base.count() - report["n_nodes"]
     log_rows = log.count()
@@ -635,27 +830,91 @@ def canonical_keep_table(
     return keep_best_per_component(labeled, id_col, score_col)
 
 
+_SNAP_GEN_RE = re.compile(r"^gen-[0-9a-f]{12}$")
+
+
 def snapshot_cluster_assignments(
     spark: SparkSession,
     path: str,
     out_path: str,
-    mode: str = "overwrite",
     target_files: int | None = None,
 ) -> int:
-    """Write the RESOLVED assignments to ``out_path`` as a plain
-    node-sorted parquet table — the always-on serving answer the
-    module docstring prescribes: merges mutate ``path`` behind the
-    dark window, while readers point at the last snapshot, which is
-    immune to the window by construction. One linear write of the
-    narrow table (node-sorted, so point lookups prune on parquet
-    min/max stats); run it on whatever cadence the consumers need.
-    Returns the row count. Strict read: refuses a mid-mutation
-    clustering rather than snapshotting a half-merged one."""
+    """Publish the RESOLVED assignments under ``out_path`` — the
+    always-on serving answer the module docstring prescribes: merges
+    mutate ``path`` behind the dark window, while readers point at the
+    last snapshot. Returns the row count. Strict read: refuses a
+    mid-mutation clustering rather than snapshotting a half-merged one.
+
+    ATOMIC publish via the generation/CURRENT-pointer layout (the same
+    discipline as the ANN serving root — a plain
+    ``write.mode("overwrite")`` deletes the old table before the new
+    commit lands, so the one artifact built FOR always-on readers
+    would itself have a reader dark window): the new snapshot lands
+    complete in ``out_path/gen-<id>/``, is count-verified against the
+    source, and only then does the tiny ``CURRENT`` pointer swap.
+    A reader planned against the PREVIOUS generation keeps streaming
+    its own files untouched (one-generation grace: older generations
+    are swept here, the previous one survives until the next
+    snapshot). Read through ``read_cluster_snapshot``; a crash
+    anywhere OUTSIDE the two-metadata-op pointer swap leaves
+    ``CURRENT`` on the last complete generation, with at worst one
+    orphaned (never-pointed-at) generation dir that the next
+    successful snapshot sweeps. A crash INSIDE the swap (pointer
+    deleted, rename pending — sub-millisecond) makes readers fail
+    loudly after their retry budget rather than see partial data;
+    re-running the snapshot repairs it."""
     resolved = resolve_cluster_assignments(spark, path)
     n_rows = resolved.count()
     if target_files is None:
         target_files = max(1, (n_rows + 3_999_999) // 4_000_000)
+    root = out_path.rstrip("/")
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
     resolved.repartitionByRange(target_files, "node").sortWithinPartitions(
         "node"
-    ).write.mode(mode).parquet(out_path)
+    ).write.parquet(f"{root}/{gen}")
+    staged_n = spark.read.parquet(f"{root}/{gen}").count()
+    if staged_n != n_rows:
+        fs_delete(spark, f"{root}/{gen}")
+        raise RuntimeError(
+            "snapshot_cluster_assignments: staged generation row count "
+            f"({staged_n}) != source resolution ({n_rows}) — refusing "
+            "to publish; CURRENT is untouched"
+        )
+    prev = fs_read_text(spark, f"{root}/CURRENT")
+    tmp = f"{root}/.CURRENT.next"
+    fs_write_text(spark, tmp, gen)
+    fs_delete(spark, f"{root}/CURRENT")
+    fs_rename(spark, tmp, f"{root}/CURRENT")
+    keep = {gen, (prev or "").strip()}
+    for name in fs_list_names(spark, root):
+        if _SNAP_GEN_RE.match(name) and name not in keep:
+            fs_delete(spark, f"{root}/{name}")
     return n_rows
+
+
+def read_cluster_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the live snapshot generation: resolve ``CURRENT`` (with a
+    brief retry covering the sub-millisecond pointer-swap gap, same as
+    the index resolver) and read that generation's parquet. Falls back
+    to reading ``out_path`` as a plain table when no pointer and no
+    generation dirs exist (a pre-generation snapshot or any plain
+    parquet table a deployment already points dashboards at)."""
+    root = out_path.rstrip("/")
+    for _ in range(40):
+        gen = fs_read_text(spark, f"{root}/CURRENT")
+        if gen is not None:
+            gen = gen.strip()
+            gen_path = f"{root}/{gen}"
+            if _SNAP_GEN_RE.match(gen) and fs_exists(spark, gen_path):
+                return spark.read.parquet(gen_path)
+        elif not any(
+            _SNAP_GEN_RE.match(n) for n in fs_list_names(spark, root)
+        ):
+            return spark.read.parquet(root)
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"cluster snapshot at {out_path}: CURRENT pointer missing or "
+        "naming an absent generation after retries — a pointer swap "
+        "crashed mid-flight; re-run snapshot_cluster_assignments (it "
+        "publishes a fresh generation and restores the pointer)"
+    )

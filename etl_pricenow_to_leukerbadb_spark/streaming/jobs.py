@@ -938,6 +938,7 @@ def stream_dedup_cluster_job(
     index_path: str,
     clusters_path: str,
     allow_short: bool = False,
+    compact_log_threshold: int | None = None,
 ) -> None:
     """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
     each micro-batch is appended to the near-dup index, then probed
@@ -951,8 +952,22 @@ def stream_dedup_cluster_job(
     FULL batch and before the epoch marker, so every crash window
     replays it; the merge's own idempotency (replayed pairs contract
     to self-edges, replayed inserts anti-join out) is what makes
-    at-least-once delivery exactly-once in effect."""
-    from ..operators.cluster_index import merge_cluster_delta
+    at-least-once delivery exactly-once in effect.
+
+    A long-running stream on merge-heavy data is exactly the caller
+    that walks the remap log past broadcast size with nobody watching,
+    so the loop compacts it in place whenever a batch's merge leaves
+    the log at or past ``compact_log_threshold`` rows (default: the
+    module-level ``LOG_COMPACT_THRESHOLD`` broadcast budget; ``None``
+    here means "use that default" — pass an explicit row count to
+    retune it). The compaction is itself idempotent and runs BEFORE
+    the epoch marker, so a crash inside it replays through the same
+    recovery path as the merge."""
+    from ..operators.cluster_index import (
+        LOG_COMPACT_THRESHOLD,
+        _compact_if_log_large,
+        merge_cluster_delta,
+    )
     from ..operators.dedup_index import (
         append_to_dedup_index,
         load_dedup_index,
@@ -967,14 +982,21 @@ def stream_dedup_cluster_job(
             fresh, index_path, text_col=text_col, allow_short=allow_short
         )
 
+    threshold = (
+        LOG_COMPACT_THRESHOLD
+        if compact_log_threshold is None
+        else compact_log_threshold
+    )
+
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
         pairs = query_dedup_candidates(
             ss, index_path, batch_df, text_col=text_col
         )
-        merge_cluster_delta(
+        stats = merge_cluster_delta(
             ss, clusters_path, pairs, src_col="probe_id", dst_col="corpus_id"
         )
+        _compact_if_log_large(ss, clusters_path, stats, threshold)
 
     _stream_bucket_ingest(
         spark,

@@ -142,18 +142,35 @@ def test_uncommitted_state_refuses_reads_but_retries_merges(spark, tmp_path):
     )
 
 
-def test_crashed_log_swap_is_restored_on_load(spark, tmp_path):
-    """Simulate the swap's dark window: the new log staged, the live
-    log deleted, crash before rename. Load must adopt the stage (it is
-    complete by construction) rather than resolving against nothing."""
+def test_crashed_log_swap_restored_by_mutator_not_by_strict_read(
+    spark, tmp_path
+):
+    """Simulate the swap's dark window as the real code leaves it
+    (marker off, new log staged, live log deleted, crash before
+    rename). A STRICT read must refuse loudly AND stay side-effect-
+    free — a reader that adopted the stage could steal it out from
+    under a live writer mid-swap — while retrying the merge (the
+    mutator, which holds the single-writer role) adopts the stage and
+    completes the recovery."""
+    import os
     import shutil
 
     path = str(tmp_path / "cl")
     _build_from_pairs(spark, [(1, 2), (3, 4)], path)
-    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    delta = _pairs_df(spark, [(2, 3)])
+    merge_cluster_delta(spark, path, delta)
     want = _resolved_set(spark, path)
     shutil.copytree(f"{path}/remap", f"{path}/.remap_stage")
     shutil.rmtree(f"{path}/remap")
+    shutil.rmtree(f"{path}/commit")  # the swap runs inside the window
+    with pytest.raises(ValueError, match="no matching commit marker"):
+        resolve_cluster_assignments(spark, path)
+    # the strict read performed no repair: the stage is untouched and
+    # the live log still absent
+    assert os.path.isdir(f"{path}/.remap_stage")
+    assert not os.path.isdir(f"{path}/remap")
+    # the mutator's replay adopts the stage and restores the marker
+    merge_cluster_delta(spark, path, delta)
     assert _resolved_set(spark, path) == want
 
 
@@ -357,6 +374,164 @@ def test_noop_merge_replay_restores_a_crashed_marker(spark, tmp_path):
     assert stats["merged_labels"] == 0 and stats["new_nodes"] == 0
     # the replay restored the marker; strict reads work again
     assert _resolved_set(spark, path) == want
+
+
+def test_pending_token_refuses_a_foreign_mutation_over_crash_residue(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r10 medium: a merge of delta A that crashes after
+    its base append but before its remap-log swap leaves a
+    half-merged state that fsck cannot see (both halves anchored, no
+    dup rows) — and before the pending-operation token, the NEXT
+    mutation's marker rewrite silently COMMITTED it. Now: merge B and
+    compaction both refuse while A's token is pending, only A's own
+    replay recovers, and afterwards B proceeds to the full-recompute
+    answer."""
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    path = str(tmp_path / "cl")
+    initial = [(1, 2), (3, 4), (10, 11)]
+    _build_from_pairs(spark, initial, path)
+    delta_a = _pairs_df(spark, [(2, 3)])
+    delta_b = _pairs_df(spark, [(4, 10)])
+
+    # crash merge A inside its mutation window: base appended, remap
+    # swap never lands (the first _swap_staged call in the merge)
+    real_swap = ci._swap_staged
+    def crash_swap(spark_, p, live, stage):
+        raise RuntimeError("injected crash before the remap swap")
+
+    monkeypatch.setattr(ci, "_swap_staged", crash_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_cluster_delta(spark, path, delta_a)
+    monkeypatch.setattr(ci, "_swap_staged", real_swap)
+
+    # a DIFFERENT merge refuses to commit A's residue
+    with pytest.raises(RuntimeError, match="different operation"):
+        merge_cluster_delta(spark, path, delta_b)
+    # so does a compaction (folding the old log over A's half-landed
+    # base would bless the half-merged state)
+    with pytest.raises(RuntimeError, match="different operation"):
+        compact_cluster_assignments(spark, path)
+
+    # A's own replay (same edge-set fingerprint) recovers...
+    merge_cluster_delta(spark, path, delta_a)
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, initial + [(2, 3)])
+    )
+    # ...and B then proceeds to the full-recompute answer
+    merge_cluster_delta(spark, path, delta_b)
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, initial + [(2, 3), (4, 10)])
+    )
+
+
+def test_merge_proceeds_through_a_crashed_compaction_token(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed COMPACTION's residue is consistent for merges (a
+    stale folded log matches no rows), so the unattended streaming
+    loop must not wedge on its own auto-compaction's crash: the next
+    merge passes the token guard and lands the right labels."""
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    path = str(tmp_path / "cl")
+    initial = [(5, 6), (8, 9)]
+    _build_from_pairs(spark, initial, path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(6, 8)]))
+
+    # crash the compaction inside its window (first swap = base swap)
+    real_swap = ci._swap_staged
+    monkeypatch.setattr(
+        ci,
+        "_swap_staged",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_cluster_assignments(spark, path)
+    monkeypatch.setattr(ci, "_swap_staged", real_swap)
+
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(9, 12)]))
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, initial + [(6, 8), (9, 12)])
+    )
+
+
+def test_stale_pending_token_after_a_committed_state_is_cleared(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the marker rewrite and the token delete: the
+    state is committed-consistent, so the token is debris — the next
+    mutation clears it and proceeds."""
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2)], path)
+    delta = _pairs_df(spark, [(2, 3)])
+    real_delete = ci._fs_delete
+    def skip_token_delete(spark_, p):
+        if p.endswith("/pending"):
+            return  # simulate the crash: token never deleted
+        return real_delete(spark_, p)
+
+    monkeypatch.setattr(ci, "_fs_delete", skip_token_delete)
+    merge_cluster_delta(spark, path, delta)
+    monkeypatch.undo()
+    assert ci._read_pending(spark, path) is not None
+    # committed marker + stale token: the next mutation clears it
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(3, 4)]))
+    assert ci._read_pending(spark, path) is None
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
+    )
+
+
+def test_ingest_loop_auto_compacts_past_the_log_threshold(
+    spark, sf_small, tmp_path
+):
+    """The r10 ask: the continuous loops fold the remap log themselves
+    when a merge leaves it past the threshold — results unchanged, log
+    gone — instead of trusting an operator to schedule
+    compact_cluster_assignments."""
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    build_dedup_index(old, index_path, **GEOM)
+    old_sigs = minhash_signatures(old, "doc_id", "text", 3, 8)
+    old_pairs = lsh_candidate_pairs(old_sigs, "doc_id", 8, 4)
+    labels = connected_components(old_pairs)
+    build_cluster_assignments(labels, clusters_path)
+
+    # put a real entry in the remap log: bridge two distinct existing
+    # clusters (the synthetic corpus' own deltas only ADD nodes, they
+    # never merge old labels, so the log would stay empty)
+    by_comp: dict = {}
+    for r in labels.collect():
+        by_comp.setdefault(r.component, r.node)
+    reps = sorted(by_comp.values())
+    assert len(reps) >= 2, "fixture needs two clusters to bridge"
+    bridge = (reps[0], reps[1])
+    stats = merge_cluster_delta(spark, clusters_path, _pairs_df(spark, [bridge]))
+    assert stats["log_entries"] > 0
+
+    # threshold=1: the loop folds the log right after its merge
+    stats = ingest_and_update_clusters(
+        delta, index_path, clusters_path, compact_log_threshold=1
+    )
+    assert stats["log_compacted"] and stats["log_entries"] == 0
+    _, log, _ = load_cluster_assignments(spark, clusters_path)
+    assert log.isEmpty()
+
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    full_pairs = lsh_candidate_pairs(full_sigs, "doc_id", 8, 4)
+    want = _cc_set(
+        full_pairs.unionByName(_pairs_df(spark, [bridge]).toDF("id_a", "id_b"))
+    )
+    assert _resolved_set(spark, clusters_path) == want
 
 
 def test_compact_retries_across_its_own_crash_marker(spark, tmp_path):
@@ -725,6 +900,17 @@ def test_streaming_cluster_job_recovers_from_mid_batch_crash(
     )
 
 
+def _snap_set(spark, out):
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        read_cluster_snapshot,
+    )
+
+    return {
+        (r.node, r.component)
+        for r in read_cluster_snapshot(spark, out).collect()
+    }
+
+
 def test_snapshot_is_resolution_immune_to_the_mutation_window(spark, tmp_path):
     """The serving answer: a snapshot equals the resolution at write
     time, stays readable while a later mutation holds the dark window,
@@ -742,13 +928,70 @@ def test_snapshot_is_resolution_immune_to_the_mutation_window(spark, tmp_path):
     want = _resolved_set(spark, path)
     n = snapshot_cluster_assignments(spark, path, out)
     assert n == 4
-    got = {(r.node, r.component) for r in spark.read.parquet(out).collect()}
-    assert got == want
+    assert _snap_set(spark, out) == want
     # simulate a mutation in flight: marker off -> snapshot refuses,
     # but the EXISTING snapshot keeps serving
     shutil.rmtree(f"{path}/commit")
     with pytest.raises(ValueError, match="no matching commit marker"):
         snapshot_cluster_assignments(spark, path, str(tmp_path / "snap2"))
-    assert {
-        (r.node, r.component) for r in spark.read.parquet(out).collect()
-    } == want
+    assert _snap_set(spark, out) == want
+
+
+def test_snapshot_publish_is_atomic_under_crash_and_concurrent_reads(
+    spark, tmp_path, monkeypatch
+):
+    """The r9 design nit, closed: the snapshot was the one serving
+    artifact with a non-atomic publish (plain overwrite deletes the
+    old table before the new commit lands). Under the generation
+    layout a reader that lands at ANY point of a re-snapshot — before
+    the pointer swap, or after a crash that interrupted the publish —
+    sees a COMPLETE old or new table, never a partial listing."""
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    assert ci.snapshot_cluster_assignments(spark, path, out) == 4
+    old = _snap_set(spark, out)
+
+    # mutate the clustering, then crash the NEXT snapshot right before
+    # its pointer swap (the staged generation is fully written)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    real_delete = ci.fs_delete
+    def crash_on_pointer(spark_, p):
+        if p.endswith("/CURRENT"):
+            raise RuntimeError("injected crash before the pointer swap")
+        return real_delete(spark_, p)
+
+    monkeypatch.setattr(ci, "fs_delete", crash_on_pointer)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ci.snapshot_cluster_assignments(spark, path, out)
+    monkeypatch.undo()
+    # mid-crash state: readers still see the complete OLD snapshot
+    assert _snap_set(spark, out) == old
+    # the retried publish lands the new resolution atomically and
+    # sweeps the orphaned generation (one-generation grace: the
+    # previous LIVE generation survives for in-flight readers)
+    want = _resolved_set(spark, path)
+    ci.snapshot_cluster_assignments(spark, path, out)
+    assert _snap_set(spark, out) == want
+    import os
+
+    gens = [n for n in os.listdir(out) if n.startswith("gen-")]
+    assert len(gens) <= 2
+
+
+def test_read_cluster_snapshot_falls_back_to_a_plain_table(spark, tmp_path):
+    """A pre-generation snapshot (or any plain parquet table a
+    deployment already points readers at) stays readable through the
+    same entry point."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        read_cluster_snapshot,
+    )
+
+    out = str(tmp_path / "plain")
+    _pairs_df(spark, [(1, 1), (2, 1)]).toDF("node", "component").write.parquet(
+        out
+    )
+    got = {(r.node, r.component) for r in read_cluster_snapshot(spark, out).collect()}
+    assert got == {(1, 1), (2, 1)}
