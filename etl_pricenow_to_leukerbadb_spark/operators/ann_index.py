@@ -64,6 +64,7 @@ from ..fs import (
 )
 from ..session import tiny_local_df
 from .similarity import (
+    _RESIDUAL_LUT_ROW_BUDGET,
     _pq_codebook,
     ivf_list_assign,
     ivf_pq_search,
@@ -454,6 +455,24 @@ def _root_report(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def _fs_now_ms(spark: SparkSession, root: str) -> float:
+    """The filesystem's own notion of "now": the mtime of a probe file
+    written under ``root`` this instant. GC ages its candidates by
+    comparing THEIR mtimes against this reference instead of the
+    driver's ``time.time()`` — on HDFS/S3 a driver/store clock skew
+    silently shrinks (or inflates) the ``min_age_sec`` margin that
+    protects a concurrently-staging compaction, while a same-store
+    probe keeps both sides of the age comparison on one clock. The
+    probe is deleted immediately; its dotted name is invisible to the
+    generation regex either way."""
+    probe = f"{root}/.gc_clock_probe"
+    fs_write_text(spark, probe, "clock probe — safe to delete")
+    try:
+        return float(fs_mtime(spark, probe))
+    finally:
+        fs_delete(spark, probe)
+
+
 def gc_serving_root(
     spark: SparkSession,
     path: str,
@@ -484,7 +503,10 @@ def gc_serving_root(
       and an age gate is what keeps a scheduler mishap (gc and
       compaction overlapping) from sweeping a build mid-flight. Run
       GC from the same single-writer maintenance schedule as
-      compaction; the age gate is the belt to that suspender.
+      compaction; the age gate is the belt to that suspender. Ages
+      against the FILESYSTEM'S clock (``_fs_now_ms`` probe-file
+      mtime), not the driver's — driver/store clock skew on HDFS/S3
+      would silently shrink this margin.
 
     Returns ``{"deleted": [...], "retained_young": [...],
     "kept_current": name, "kept_grace": name | None}``. Works on any
@@ -503,7 +525,7 @@ def gc_serving_root(
     sweepable = list(report.get("generation_debris", [])) + list(
         report.get("orphaned_generations", [])
     )
-    now_ms = time.time() * 1000
+    now_ms = _fs_now_ms(spark, p)
     deleted, retained_young = [], []
     for n in sweepable:
         if (now_ms - fs_mtime(spark, f"{p}/{n}")) / 1000 >= min_age_sec:
@@ -1681,12 +1703,16 @@ def search_ivfpq_index(
     n_probe: int = 4,
     k: int = 5,
     rerank_factor: int = 20,
+    lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
 ) -> DataFrame:
     """Top-k IVFADC over a persisted index: coarse-probe the persisted
     centroid table, ADC-scan only the probed lists of the persisted
     code table, exact-re-rank the shortlist against ``corpus`` raw
     vectors. Bit-identical to ``ivf_pq_topk`` run from scratch with
-    the build's parameters (pytest-gated)."""
+    the build's parameters (pytest-gated). ``lut_row_budget`` bounds a
+    residual layout's per-probed-list query LUT broadcast — see
+    ``ivf_pq_search`` for the |Q| x n_probe x m x k sizing and the
+    exact query-chunking recipe the guard prints."""
     path = _resolve_index_root(spark, path)
     codes, codebook, params = load_pq_index(spark, path)
     # the IVF geometry is immutable within a generation; piggyback on
@@ -1729,4 +1755,5 @@ def search_ivfpq_index(
         # meta-stamped at build time: codes must be scored in the
         # coordinate frame they were encoded in (legacy meta → raw)
         residual=bool(params.get("residual") or False),
+        lut_row_budget=lut_row_budget,
     )

@@ -79,6 +79,7 @@ from ..fs import (
     fs_delete,
     fs_exists,
     fs_list_names,
+    fs_mtime,
     fs_read_text,
     fs_rename,
     fs_write_text,
@@ -791,6 +792,64 @@ def fsck_cluster_assignments(
             "(always recomputable from the corpus + near-dup index)"
         )
     return report
+
+
+def gc_cluster_debris(
+    spark: SparkSession, path: str, min_age_sec: float = 3600.0
+) -> dict:
+    """Sweep a clustering's crash debris — the ``gc_serving_root``
+    counterpart for the fourth persisted structure:
+
+    - staged swap dirs (``.base_stage``/``.remap_stage``) whose LIVE
+      twin exists: leftovers of a mutation that re-staged after a
+      crash, or of a crashed compaction a later merge proceeded
+      through. A stage with a MISSING live twin is the intended next
+      state (crash between delete and rename) and is adopted by the
+      next mutator's ``_restore_if_crashed`` — never deleted here;
+    - a pending-operation token beside a VALID commit marker (crash
+      after the marker rewrite but before the token delete — a
+      committed, consistent state; the token is debris the next
+      mutation would clear anyway).
+
+    Age-gated on the FILESYSTEM's own clock (``_fs_now_ms`` probe-file
+    mtime — driver/store skew must not shrink the margin) so a
+    mid-flight mutation's fresh stage survives a scheduler mishap; run
+    from the same single-writer maintenance schedule as compaction."""
+    from .ann_index import _fs_now_ms
+
+    p = path.rstrip("/")
+    now_ms = _fs_now_ms(spark, p)
+    deleted, retained_young = [], []
+
+    def _aged(sub: str) -> bool:
+        return (now_ms - fs_mtime(spark, f"{p}/{sub}")) / 1000 >= min_age_sec
+
+    for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
+        if fs_exists(spark, f"{p}/{stage}") and fs_exists(spark, f"{p}/{live}"):
+            if _aged(stage):
+                fs_delete(spark, f"{p}/{stage}")
+                deleted.append(stage)
+            else:
+                retained_young.append(stage)
+    if fs_exists(spark, f"{p}/pending"):
+        meta = _try_read_parquet(spark, f"{p}/meta")
+        commit = _try_read_parquet(spark, f"{p}/commit")
+        meta_rows = meta.collect() if meta is not None else []
+        commit_rows = commit.collect() if commit is not None else []
+        committed = (
+            len(meta_rows) == 1
+            and len(commit_rows) == 1
+            and commit_rows[0]["build_id"] == meta_rows[0]["build_id"]
+        )
+        if committed and _aged("pending"):
+            fs_delete(spark, f"{p}/pending")
+            deleted.append("pending")
+        elif committed:
+            retained_young.append("pending")
+        # an UNcommitted pending token is the crash-recovery signal
+        # itself (fsck reports it; the named operation must be
+        # retried) — never debris
+    return {"deleted": deleted, "retained_young": retained_young}
 
 
 def canonical_keep_table(

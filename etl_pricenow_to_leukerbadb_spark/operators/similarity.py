@@ -23,6 +23,11 @@ from ..functions.vector import cosine, cosine_prenormed, norm_sq
 from ..session import tiny_local_df
 from ..sources.tables import fan_out
 
+# Row budget for the residual IVFADC query LUT broadcast (|Q| x
+# n_probe x n_subspaces x n_codes rows, ~100 B/row as a JVM broadcast
+# hash relation => ~100 MB at the default). See ivf_pq_search.
+_RESIDUAL_LUT_ROW_BUDGET = 1_000_000
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -654,6 +659,7 @@ def ivf_pq_topk(
     k: int = 5,
     rerank_factor: int = 20,
     residual: bool = False,
+    lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
 ) -> DataFrame:
     """Full IVF-PQ search: coarse probe + ADC over the probed lists
     only + exact re-rank — the composition of ``ivf_list_assign`` (the
@@ -667,9 +673,11 @@ def ivf_pq_topk(
     derived from and applied to ``vector - assigned centroid``, and at
     search time the per-query ADC lookup tables are computed per
     PROBED LIST from the query's residual against that list's centroid
-    (|Q| x n_probe x n_subspaces x n_codes LUT rows — still broadcast-
-    sized). Same code bytes per vector, measurably higher recall
-    (pytest-gated >= the raw-vector form's floor).
+    (|Q| x n_probe x n_subspaces x n_codes LUT rows — |Q|-linear, so
+    ``lut_row_budget`` refuses an oversized query batch loudly with
+    the exact chunk size that fits; see ``ivf_pq_search``). Same code
+    bytes per vector, measurably higher recall (pytest-gated >= the
+    raw-vector form's floor).
 
     Dataflow, sized for 100 TB of vectors:
 
@@ -717,6 +725,7 @@ def ivf_pq_topk(
     return ivf_pq_search(
         index, cents, cb, queries, corpus, id_col, vec_col,
         n_subspaces, sub_dim, n_probe, k, rerank_factor, residual=residual,
+        lut_row_budget=lut_row_budget,
     )
 
 
@@ -734,6 +743,7 @@ def ivf_pq_search(
     k: int = 5,
     rerank_factor: int = 20,
     residual: bool = False,
+    lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
 ) -> DataFrame:
     """The IVFADC search core over materialized index structures —
     shared by ``ivf_pq_topk`` (structures derived in-memory) and
@@ -752,7 +762,19 @@ def ivf_pq_search(
     (query_id, cent_id) — the query's residual against each PROBED
     centroid — and the ADC join picks the LUT row matching the code
     row's own list, so a corpus vector is always compared in the
-    coordinate frame it was encoded in."""
+    coordinate frame it was encoded in.
+
+    Residual LUT scale bound: the per-probed-list LUT is
+    ``|Q| x n_probe x n_subspaces x n_codes`` BROADCAST rows (the raw
+    path's is ``n_probe``x smaller) — |Q|-linear, so a production
+    batch of 1e5 queries at n_probe=8, m=16, k=256 is 3.3e9 rows, far
+    past any broadcast. ``lut_row_budget`` (default 1M rows, ~100 MB
+    as a JVM broadcast hash relation at ~100 B/row) makes that
+    failure LOUD before the broadcast is attempted: oversized batches
+    raise with the chunk size that fits — top-k per query is
+    independent across query chunks, so slicing the batch and
+    unioning results is exact, not approximate. ``None`` overrides
+    for callers that have sized their executors for a bigger LUT."""
     cents = F.broadcast(
         centroids.select(
             "cent_id",
@@ -788,6 +810,25 @@ def ivf_pq_search(
     checked = _require_query_dim(
         queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"
     )
+    if residual and lut_row_budget is not None:
+        # two cheap counts (queries are a probe batch, the codebook is
+        # broadcast-sized by construction) buy a loud failure instead
+        # of a silently degrading — or OOMing — oversized broadcast
+        n_q = queries.count()
+        cb_rows = codebook.count()
+        lut_rows = n_q * n_probe * cb_rows
+        if lut_rows > lut_row_budget:
+            max_q = max(1, lut_row_budget // (n_probe * max(cb_rows, 1)))
+            raise ValueError(
+                f"ivf_pq_search: residual LUT would be {lut_rows} broadcast "
+                f"rows (|Q|={n_q} x n_probe={n_probe} x codebook={cb_rows}) "
+                f"> lut_row_budget={lut_row_budget} (~100 B/row as a "
+                "broadcast hash relation). Chunk the query batch: search "
+                f"slices of <= {max_q} queries and union the results "
+                "(top-k per query is independent across chunks, so "
+                "chunking is exact), or lower n_probe; pass "
+                "lut_row_budget=None to override deliberately"
+            )
     if residual:
         # per-(query, probed list) LUT: the query's RESIDUAL against
         # each probed centroid, scored against the (residual-trained)

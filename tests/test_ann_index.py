@@ -679,6 +679,73 @@ def test_trained_ivfpq_index_searches_and_appends(spark, corpus, tmp_path, resid
     assert recall >= 0.8, f"trained IVFADC recall {recall:.2f} too low"
 
 
+def test_residual_lut_budget_fails_loudly_and_chunking_is_exact(
+    spark, corpus, tmp_path
+):
+    """The r10 ask: the residual path's per-probed-list LUT is
+    |Q| x n_probe x m x k BROADCAST rows — |Q|-linear — and nothing
+    guarded the query-batch bound the way max_partials guards the
+    prefix scan. Now an oversized batch fails loudly with the chunk
+    size that fits (both the in-memory scorer and the persisted
+    search path), and the advice it prints is exact: per-chunk
+    results union to the full-batch answer."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    q10 = corpus.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="residual LUT would be .* Chunk"):
+        ivf_pq_topk(
+            corpus, q10, n_centroids=16, residual=True, lut_row_budget=100,
+            **PARAMS,
+        ).collect()
+
+    # the persisted search path honors the same budget (meta says
+    # residual, so the guard applies without the caller asking)
+    path = str(tmp_path / "res_idx")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    with pytest.raises(ValueError, match="residual LUT would be"):
+        search_ivfpq_index(
+            spark, path, q10, corpus, n_probe=4, k=5, lut_row_budget=100
+        ).collect()
+
+    # the printed recovery is exact, not approximate: top-k per query
+    # is independent, so chunked searches union to the full batch
+    full = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, q10, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    chunked = sorted(
+        tuple(r)
+        for lo, hi in [(0, 5), (5, 10)]
+        for r in search_ivfpq_index(
+            spark,
+            path,
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            corpus,
+            n_probe=4,
+            k=5,
+        ).collect()
+    )
+    assert chunked == full
+
+    # the raw (non-residual) path never consults the budget: its LUT
+    # is n_probe-times smaller and was already documented
+    assert (
+        ivf_pq_topk(
+            corpus, q10, n_centroids=16, residual=False, lut_row_budget=1,
+            **PARAMS,
+        ).count()
+        == 50
+    )
+
+
 def test_stream_index_ingest_matches_rebuild_and_is_idempotent(
     spark, corpus, queries, tmp_path
 ):

@@ -692,6 +692,75 @@ def test_vec_ingest_loop_threshold_matches_full_recompute(
     )
 
 
+def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """The ops entry point (tools/fsck_index.py) knows about the
+    fourth persisted structure: --clusters routes the sweep to
+    fsck_cluster_assignments, --compact folds the remap log, --gc
+    sweeps aged staged-dir debris (live twin present) and never the
+    restore-material stage (live twin missing); a crashed-mutation
+    state exits 1."""
+    import json
+    import os
+    import shutil
+    import sys
+    import time as _t
+
+    from etl_pricenow_to_leukerbadb_spark import session as sess
+    from tools import fsck_index as cli
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def stop(self):  # the CLI stops its session; ours is shared
+            pass
+
+    monkeypatch.setattr(
+        sess, "get_spark", lambda app_name=None: _NoStop(spark)
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    # aged debris: a stage whose live twin exists
+    shutil.copytree(f"{path}/remap", f"{path}/.remap_stage")
+    old = _t.time() - 7200
+    os.utime(f"{path}/.remap_stage", (old, old))
+
+    def run(*argv):
+        monkeypatch.setattr(sys, "argv", ["fsck_index", path, *argv])
+        rc = cli.main()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    rc, rep = run("--clusters", "--gc")
+    assert rc == 0 and not rep["uncommitted"]
+    assert rep["gc"]["deleted"] == [".remap_stage"]
+    assert not os.path.isdir(f"{path}/.remap_stage")
+
+    rc, rep = run("--clusters", "--compact")
+    assert rc == 0
+    assert rep["compact"]["log_entries_folded"] > 0
+
+    # a stage with a MISSING live twin is restore material, never
+    # debris: the maintenance-role load ADOPTS it (rename to live),
+    # the crashed state exits 1 and gc is skipped
+    shutil.copytree(f"{path}/remap", f"{path}/.remap_stage")
+    os.utime(f"{path}/.remap_stage", (old, old))
+    shutil.rmtree(f"{path}/remap")
+    shutil.rmtree(f"{path}/commit")  # the real crash window shape
+    rc, rep = run("--clusters", "--gc")
+    assert rc == 1 and rep["uncommitted"]
+    assert rep["gc"] == "skipped: sweep found violations"
+    assert os.path.isdir(f"{path}/remap")
+    assert not os.path.isdir(f"{path}/.remap_stage")
+
+
 def test_canonical_keep_table_matches_from_scratch_entry(
     spark, sf_small, tmp_path
 ):

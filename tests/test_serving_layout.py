@@ -17,7 +17,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_pricenow_to_leukerbadb_spark.fs import fs_exists, fs_list_names, fs_read_text
+from etl_pricenow_to_leukerbadb_spark.fs import (
+    fs_exists,
+    fs_list_names,
+    fs_mtime,
+    fs_read_text,
+)
 from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
     _GEN_RE,
     append_to_pq_index,
@@ -281,6 +286,50 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
     build_pq_index(corpus, flat, **PARAMS)
     with pytest.raises(ValueError, match="not a serving-layout root"):
         gc_serving_root(spark, flat)
+
+
+def test_gc_ages_against_the_filesystem_clock_not_the_driver(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """The ADVICE r10 item: gc must derive 'now' from the store's own
+    clock (probe-file mtime), not the driver wall clock — on HDFS/S3 a
+    driver/store skew silently shrinks the min_age_sec margin that
+    protects a concurrently-staging compaction. Proven by skewing the
+    driver clock a full day each way: the sweep decision is
+    unchanged, because time.time() is no longer consulted."""
+    import os
+    import shutil
+    import time as _t
+
+    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+
+    path = str(tmp_path / "idx")
+    _build_fragmented(spark, corpus, path)
+    migrate_index_to_serving(spark, path)
+    report = compact_index_serving(spark, path)
+    grace = report["generation"]["previous"]
+    # a FRESH orphan (newer than CURRENT — the mid-staging shape the
+    # age gate exists to protect)
+    orphan = "gen-" + "f" * 12
+    shutil.copytree(f"{path}/{grace}", f"{path}/{orphan}")
+    fresh = fs_mtime(spark, f"{path}/{report['generation']['current']}") / 1000 + 1
+    os.utime(f"{path}/{orphan}", (fresh, fresh))
+
+    # driver clock a day in the FUTURE: a wall-clock gc would see the
+    # fresh dir as ancient and sweep a possibly-mid-staging build
+    real_time = _t.time
+    monkeypatch.setattr(ai.time, "time", lambda: real_time() + 86400)
+    out = ai.gc_serving_root(spark, path, min_age_sec=3600)
+    assert out["deleted"] == [] and out["retained_young"] == [orphan]
+
+    # driver clock a day in the PAST: a wall-clock gc would never age
+    # anything out; the fs-clock sweep still collects genuinely old
+    # dirs (now aged past the gate, it reclassifies as debris)
+    monkeypatch.setattr(ai.time, "time", lambda: real_time() - 86400)
+    old = real_time() - 7200
+    os.utime(f"{path}/{orphan}", (old, old))
+    out = ai.gc_serving_root(spark, path, min_age_sec=3600)
+    assert out["deleted"] == [orphan]
 
 
 def test_gc_works_on_dedup_serving_roots(spark, sf_small, tmp_path):

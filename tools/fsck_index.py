@@ -2,8 +2,8 @@
 (ANN and near-dup indexes).
 
 ``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
-[--dedup | --vec-dedup] [--compact [TARGET_FILES]] [--serving]
-[--gc [MIN_AGE_SEC]]``
+[--dedup | --vec-dedup | --clusters] [--compact [TARGET_FILES]]
+[--serving] [--gc [MIN_AGE_SEC]]``
 
 ``append_to_pq_index`` (and the bucket-index appends) verify only the
 ids each append writes (flat cost per micro-batch — the right scope
@@ -26,8 +26,18 @@ newer-than-CURRENT orphans from crashed compactions — never CURRENT,
 never the one-generation reader grace, never anything younger than
 MIN_AGE_SEC (default 3600; the age gate protects a concurrently
 staging compaction), refused under a live ingest claim unless
---force. Exit code 0 = consistent (or --lenient), 1 = violations
-found.
+--force. ``--clusters`` routes the whole pipeline at the FOURTH
+persisted structure, the cluster-assignments layout
+(operators/cluster_index.py): the sweep is
+``fsck_cluster_assignments`` (dup base rows, log chains/dup keys,
+unanchored labels, crashed-mutation markers + the pending-operation
+token naming what to retry), ``--compact`` folds the remap log into
+base, and ``--gc`` sweeps aged ``.base_stage``/``.remap_stage``
+debris whose live twin exists plus stale pending tokens beside a
+valid marker (``gc_cluster_debris`` — a stage with a missing twin is
+restore material, never debris). ``--repair``/``--serving`` do not
+apply to clusterings. Exit code 0 = consistent (or --lenient), 1 =
+violations found.
 """
 
 from __future__ import annotations
@@ -66,6 +76,12 @@ def main() -> int:
         action="store_true",
         help="the path is a VECTOR near-dup (sign-LSH) index "
         "(operators/dedup_index.py) instead of an ANN index",
+    )
+    ap.add_argument(
+        "--clusters",
+        action="store_true",
+        help="the path is a persisted cluster-assignments layout "
+        "(operators/cluster_index.py) instead of an ANN index",
     )
     ap.add_argument(
         "--serving",
@@ -107,8 +123,19 @@ def main() -> int:
         "variant leaves the marker for manual cleanup",
     )
     args = ap.parse_args()
-    if args.dedup and args.vec_dedup:
-        ap.error("--dedup and --vec-dedup are mutually exclusive")
+    if sum([args.dedup, args.vec_dedup, args.clusters]) > 1:
+        ap.error("--dedup, --vec-dedup and --clusters are mutually exclusive")
+    if args.clusters and args.repair:
+        ap.error(
+            "--repair does not apply to clusterings: retry the crashed "
+            "mutation fsck names (merges and compactions are idempotent) "
+            "or rebuild from a fresh connected_components run"
+        )
+    if args.clusters and args.serving:
+        ap.error(
+            "--serving does not apply to clusterings (no pointer-swap "
+            "layout; always-on readers use snapshot_cluster_assignments)"
+        )
     # -1 is the "size from the row count" sentinel (bare --compact);
     # any other non-positive value would reach repartitionByRange and
     # die mid-staging with an opaque IllegalArgumentException, leaving
@@ -129,6 +156,11 @@ def main() -> int:
         fsck_dedup_index,
         fsck_vec_dedup_index,
     )
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        compact_cluster_assignments,
+        fsck_cluster_assignments,
+        gc_cluster_debris,
+    )
     from etl_pricenow_to_leukerbadb_spark.session import get_spark
 
     if args.dedup:
@@ -143,34 +175,61 @@ def main() -> int:
             if args.serving
             else compact_vec_dedup_index
         )
+    elif args.clusters:
+        fsck = None  # clusterings take the dedicated branch below
+        compact = None
     else:
         fsck = fsck_index
         compact = compact_index_serving if args.serving else compact_index
     spark = get_spark(app_name="fsck-index")
     try:
-        report = fsck(spark, args.index_path, strict=False, repair=args.repair)
-        if args.dedup or args.vec_dedup:
-            bad = report["dup_rows"] or report["partial_ids"]
+        if args.clusters:
+            report = fsck_cluster_assignments(
+                spark, args.index_path, strict=False
+            )
+            bad = (
+                report["uncommitted"]
+                or report["dup_node_rows"]
+                or report["log_chain_entries"]
+                or report["log_dup_keys"]
+                or report["unanchored_components"]
+            )
         else:
-            bad = report["partial_code_ids"] or report.get(
-                "dup_list_rows"
-            ) or report.get("codes_lists_id_mismatch")
+            report = fsck(
+                spark, args.index_path, strict=False, repair=args.repair
+            )
+            if args.dedup or args.vec_dedup:
+                bad = report["dup_rows"] or report["partial_ids"]
+            else:
+                bad = report["partial_code_ids"] or report.get(
+                    "dup_list_rows"
+                ) or report.get("codes_lists_id_mismatch")
         clean = ("post_repair" in report) or not bad
         if args.compact is not None and clean:
             target = None if args.compact == -1 else args.compact
-            report["compact"] = compact(
-                spark, args.index_path, target, force=args.force
-            )
+            if args.clusters:
+                report["compact"] = compact_cluster_assignments(
+                    spark, args.index_path, target
+                )
+            else:
+                report["compact"] = compact(
+                    spark, args.index_path, target, force=args.force
+                )
         elif args.compact is not None:
             report["compact"] = "skipped: sweep found violations"
         if args.gc is not None and clean:
-            from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
-                gc_serving_root,
-            )
+            if args.clusters:
+                report["gc"] = gc_cluster_debris(
+                    spark, args.index_path, min_age_sec=args.gc
+                )
+            else:
+                from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+                    gc_serving_root,
+                )
 
-            report["gc"] = gc_serving_root(
-                spark, args.index_path, min_age_sec=args.gc, force=args.force
-            )
+                report["gc"] = gc_serving_root(
+                    spark, args.index_path, min_age_sec=args.gc, force=args.force
+                )
         elif args.gc is not None:
             report["gc"] = "skipped: sweep found violations"
     finally:
