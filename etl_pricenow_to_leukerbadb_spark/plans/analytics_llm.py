@@ -1988,6 +1988,98 @@ def dd_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_dedup_candidates(spark, path, delta)
 
 
+@register("dd_cluster_merge", headline=True, multi_action=True, tags=("DD",))
+def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(delta) persisted-cluster curation loop as a benched
+    headline (the ``dd_index_probe`` precedent, extended to cluster
+    state): a standing near-dup index + persisted cluster assignments
+    over ~52% of the corpus are built ONCE per bench session into a
+    non-wiped cache dir — the untimed warm-up run pays it — and each
+    invocation ingests the NEXT ~2% id-slice through
+    ``ingest_and_update_clusters`` (index append → candidate probe →
+    incremental merge), so every TIMED run measures a REAL delta merge
+    against a standing corpus, not a replay; after the 24 slices run
+    out, the last slice replays (an idempotent no-op by the merge's
+    crash contract — still exercising the pruned endpoint resolve and
+    the probe). This is the path a daily-ingest deployment pays per
+    batch, and the piece of r9's probe_r9 flat-incremental-cost story
+    that previously had no round-over-round record: a regression in
+    the merge path (e.g. broken min/max base pruning) now shows in
+    BENCH_r{N} instead of waiting for someone to re-run the probe.
+
+    No SQL oracle by design (and never pinned into the driver
+    window): merge ≡ from-scratch pairs+components recompute over the
+    union is pytest-pinned (tests/test_cluster_index.py, incl. the
+    bridge-two-clusters case and a hypothesis property pin against a
+    union-find reference), and the constituent structures are
+    oracle-paired (``dd_minhash_lsh``, ``dd_cluster_components``).
+    Returns the merge stats as one row (slice id + merge counters).
+    Cites reference scripts/pricenow_etl.py:329-358 (incremental
+    update-vs-existing contract)."""
+    from ..fs import fs_read_text, fs_write_text, try_read_parquet
+    from ..operators.cluster_index import (
+        build_cluster_assignments,
+        ingest_and_update_clusters,
+    )
+    from ..operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..operators.dedup_index import build_dedup_index
+    from ..session import session_cache_dir, tiny_local_df
+
+    n_slices = 24
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = session_cache_dir(spark, f"dd_cluster_merge_{sf_tag}")
+    idx, cl = f"{root}/idx", f"{root}/cl"
+    meta = fs_read_text(spark, f"{root}/meta.txt")
+    if meta is None or try_read_parquet(spark, f"{cl}/meta") is None:
+        # once per bench session: standing index + clustering over the
+        # base ~52% (same geometry as dd_index_probe; max_id cached so
+        # timed runs never rescan the corpus for slicing)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        base = docs.filter(F.col("doc_id") <= F.lit(max_id * 52 // 100))
+        build_dedup_index(
+            base,
+            idx,
+            k_shingle=3,
+            n_hashes=8,
+            bands=4,
+            allow_short=True,
+            bucket_prefix_len=2,
+        )
+        sigs = minhash_signatures(base, "doc_id", "text", 3, 8)
+        pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 4)
+        build_cluster_assignments(
+            connected_components(pairs), cl, overwrite=True
+        )
+        fs_write_text(spark, f"{root}/meta.txt", str(max_id))
+        max_id = int(max_id)
+    else:
+        max_id = int(meta.strip())
+    counter = fs_read_text(spark, f"{root}/counter.txt")
+    slice_idx = min(int(counter.strip()) if counter else 0, n_slices - 1)
+    fs_write_text(spark, f"{root}/counter.txt", str(slice_idx + 1))
+    lo = max_id * (52 + 2 * slice_idx) // 100
+    hi = max_id if slice_idx == n_slices - 1 else max_id * (54 + 2 * slice_idx) // 100
+    delta = docs.filter((F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi)))
+    stats = ingest_and_update_clusters(delta, idx, cl, allow_short=True)
+    return tiny_local_df(
+        spark,
+        [
+            (
+                slice_idx,
+                stats["merged_labels"],
+                stats["new_nodes"],
+                stats["log_entries"],
+            )
+        ],
+        "slice_idx long, merged_labels long, new_nodes long, log_entries long",
+    )
+
+
 @register(
     "tx_dedup_keep_best",
     tags=("DD",),

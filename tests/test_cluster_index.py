@@ -761,6 +761,56 @@ def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
     assert not os.path.isdir(f"{path}/.remap_stage")
 
 
+def test_dd_cluster_merge_headline_builds_once_merges_fresh_and_is_exact(
+    spark, sf_small
+):
+    """The r10 benched headline's contract: the standing index +
+    clustering build ONCE per session (repeated bench runs measure the
+    O(delta) loop, not a rebuild), every invocation advances to a
+    FRESH delta slice (a timed run is a real merge, not a replay), and
+    the standing clustering stays EQUAL to a from-scratch
+    pairs+components recompute over everything ingested so far —
+    the same equivalence the rest of this file pins, composed through
+    the headline's own plumbing."""
+    import os
+    import tempfile
+
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.plans import REGISTRY
+
+    spec = REGISTRY["dd_cluster_merge"]
+    assert spec.oracle is None and spec.headline and spec.multi_action
+    r1 = spec.fn(spark, sf_small).collect()[0]
+    tag = f"dd_cluster_merge_{os.path.basename(sf_small.rstrip('/'))}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        spark.sparkContext.applicationId,
+        tag,
+    )
+    build_id = spark.read.parquet(f"{root}/cl/meta").first()["build_id"]
+    r2 = spec.fn(spark, sf_small).collect()[0]
+    assert r2.slice_idx == r1.slice_idx + 1  # fresh slice per run
+    assert (
+        spark.read.parquet(f"{root}/cl/meta").first()["build_id"] == build_id
+    ), "repeat invocations must not rebuild the standing clustering"
+
+    # exactness: resolved persisted clusters == from-scratch recompute
+    # over base + every slice ingested so far (same geometry)
+    max_id = int(fs_read_text(spark, f"{root}/meta.txt").strip())
+    hi = (
+        max_id
+        if r2.slice_idx == 23
+        else max_id * (54 + 2 * r2.slice_idx) // 100
+    )
+    ingested = load_table(spark, sf_small, "documents").filter(
+        F.col("doc_id") <= F.lit(hi)
+    )
+    sigs = minhash_signatures(ingested, "doc_id", "text", 3, 8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 4)
+    assert _resolved_set(spark, f"{root}/cl") == _cc_set(pairs)
+
+
 def test_canonical_keep_table_matches_from_scratch_entry(
     spark, sf_small, tmp_path
 ):

@@ -50,7 +50,7 @@ def test_driver_window_pins_resolve_and_fill_window():
 
 def test_no_oracle_paired_entry_goes_stale():
     """Explicit staleness policy for the 50-slot driver window over a
-    117-entry registry: under the CURRENT pin list, no oracle-paired
+    124-entry registry: under the CURRENT pin list, no oracle-paired
     entry may end the upcoming round more than STALENESS_BUDGET (3)
     rounds since its last green driver row. Catches both a pin list
     that forgets an aging entry and a new registration that never gets
