@@ -410,9 +410,11 @@ def merge_cluster_delta(
         rows = commit.collect() if commit is not None else []
         if len(rows) != 1 or rows[0]["build_id"] != params["build_id"]:
             _write_commit(spark, path, params["build_id"])
-            # any pending token still present here is OURS (foreign
-            # ones were refused at entry) — the crash it recorded is
-            # now recovered, so clear it with the marker restored
+            # any pending token still present here is OURS or a
+            # compatible crashed compaction's (foreign merges were
+            # refused at entry; compaction residue is consistent under
+            # the marker we just restored) — the crash it recorded is
+            # recovered either way, so clear it with the marker
             _fs_delete(spark, f"{path}/pending")
 
     stats = endpoints.agg(
