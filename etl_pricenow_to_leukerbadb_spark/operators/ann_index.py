@@ -1704,6 +1704,7 @@ def search_ivfpq_index(
     k: int = 5,
     rerank_factor: int = 20,
     lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
+    chunk_oversized: bool = False,
 ) -> DataFrame:
     """Top-k IVFADC over a persisted index: coarse-probe the persisted
     centroid table, ADC-scan only the probed lists of the persisted
@@ -1712,7 +1713,8 @@ def search_ivfpq_index(
     the build's parameters (pytest-gated). ``lut_row_budget`` bounds a
     residual layout's per-probed-list query LUT broadcast — see
     ``ivf_pq_search`` for the |Q| x n_probe x m x k sizing and the
-    exact query-chunking recipe the guard prints."""
+    exact query-chunking recipe the guard prints (or pass
+    ``chunk_oversized=True`` to run that recipe automatically)."""
     path = _resolve_index_root(spark, path)
     codes, codebook, params = load_pq_index(spark, path)
     # the IVF geometry is immutable within a generation; piggyback on
@@ -1756,4 +1758,5 @@ def search_ivfpq_index(
         # coordinate frame they were encoded in (legacy meta → raw)
         residual=bool(params.get("residual") or False),
         lut_row_budget=lut_row_budget,
+        chunk_oversized=chunk_oversized,
     )

@@ -83,6 +83,7 @@ from ..fs import (
     fs_read_text,
     fs_rename,
     fs_write_text,
+    fs_write_text_exclusive,
 )
 from ..session import tiny_local_df
 from .ann_index import (
@@ -136,6 +137,85 @@ def _restore_if_crashed(spark: SparkSession, path: str) -> None:
 def _swap_staged(spark: SparkSession, path: str, live: str, stage: str) -> None:
     _fs_delete(spark, f"{path}/{live}")
     _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
+
+
+_WRITER_ACTIVE = ".WRITER_ACTIVE"
+
+
+def claim_cluster_writer(spark: SparkSession, path: str, tag: str) -> None:
+    """Exclusively claim the clustering at ``path`` for a writer (a
+    streaming loop or a long batch job) — the same loud single-writer
+    tripwire the indexes carry (`.INGEST_ACTIVE`): the maintenance
+    contract has always been one writer per clustering, but a contract
+    that fails silently is a trap — two interleaving merges would race
+    each other's marker dance and staged swaps. Raises when another
+    claim is live; the marker records tag + UTC timestamp so a refused
+    run can judge staleness from the error alone."""
+    import datetime as _dt
+
+    stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
+    marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
+    try:
+        fs_write_text_exclusive(spark, marker, f"{tag} claimed_at={stamp}")
+    except FileExistsError:
+        holder = fs_read_text(spark, marker)
+        if holder is None:
+            raise RuntimeError(
+                f"clustering at {path} was claimed by a concurrent "
+                "writer whose claim was released while this one was "
+                "being refused — retry the claim"
+            ) from None
+        raise RuntimeError(
+            f"clustering at {path} is already claimed by a writer "
+            f"({holder}); if that job was killed without cleanup, "
+            f"delete {marker} to release the claim"
+        ) from None
+
+
+def release_cluster_writer(
+    spark: SparkSession, path: str, owner_tag: str | None = None
+) -> None:
+    """Release the claim. With ``owner_tag``, delete only a claim that
+    tag owns — an unconditional delete from a finally block would
+    remove a SUCCESSOR's claim when this job's own marker was
+    force-cleaned and another writer claimed in between."""
+    marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
+    if owner_tag is not None:
+        cur = fs_read_text(spark, marker)
+        if cur is None or not cur.startswith(f"{owner_tag} claimed_at="):
+            return
+    fs_delete(spark, marker)
+
+
+def _refuse_if_foreign_writer(
+    spark: SparkSession,
+    path: str,
+    what: str,
+    writer_tag: str | None,
+    force: bool = False,
+) -> str | None:
+    """Refuse a mutation under a live claim this caller does not own
+    (``writer_tag=None`` owns nothing; claims are OPTIONAL — with no
+    claim live, the single-writer contract stays the caller's honor,
+    unchanged). ``force`` bypasses without deleting the marker: if the
+    operator's "nothing is running" judgement was wrong, deleting a
+    LIVE claim would let a second writer claim and run concurrently,
+    voiding the exclusivity. Returns the observed claim content."""
+    marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
+    holder = fs_read_text(spark, marker)
+    if holder is None:
+        return None
+    if writer_tag is not None and holder.startswith(f"{writer_tag} claimed_at="):
+        return holder
+    if not force:
+        raise RuntimeError(
+            f"{what}: clustering at {path} is claimed by a live writer "
+            f"({holder}) — mutating now would interleave with its "
+            f"marker dance and staged swaps. Wait for it to drain, or "
+            f"if it was killed without cleanup delete {marker} (or "
+            "pass force=True)"
+        )
+    return holder
 
 
 def _read_pending(spark: SparkSession, path: str) -> str | None:
@@ -332,6 +412,7 @@ def merge_cluster_delta(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     reliable_checkpoints: bool = False,
+    writer_tag: str | None = None,
 ) -> dict:
     """Merge a delta's candidate pairs into the persisted clustering in
     O(delta + log) — no pass over the standing corpus or its graph.
@@ -367,6 +448,7 @@ def merge_cluster_delta(
     ``log_entries`` is the flattened log's post-merge size — one row
     per label ever merged away since the last compaction; schedule
     ``compact_cluster_assignments`` to keep it broadcast-sized."""
+    _refuse_if_foreign_writer(spark, path, "merge_cluster_delta", writer_tag)
     base, log, params = load_cluster_assignments(
         spark, path, _allow_uncommitted=True
     )
@@ -524,7 +606,11 @@ def merge_cluster_delta(
 
 
 def compact_cluster_assignments(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    writer_tag: str | None = None,
+    force: bool = False,
 ) -> dict:
     """Fold the remap log into base (one linear rewrite of the narrow
     node-sorted table) and clear it — the amortized step that keeps
@@ -536,6 +622,9 @@ def compact_cluster_assignments(
     ANY later compaction, while a crashed MERGE's residue refuses a
     compaction (folding the old log over the merge's half-landed base
     would commit the half-merged state)."""
+    _refuse_if_foreign_writer(
+        spark, path, "compact_cluster_assignments", writer_tag, force
+    )
     base, log, params = load_cluster_assignments(
         spark, path, _allow_uncommitted=True
     )
@@ -575,6 +664,7 @@ def _compact_if_log_large(
     clusters_path: str,
     stats: dict,
     threshold: int | None,
+    writer_tag: str | None = None,
 ) -> dict:
     """Auto-compaction hook for the continuous loops: when a merge
     leaves the flattened remap log past ``threshold`` rows, fold it
@@ -589,7 +679,9 @@ def _compact_if_log_large(
     stats = dict(stats)
     stats["log_compacted"] = False
     if threshold is not None and stats.get("log_entries", 0) >= threshold:
-        folded = compact_cluster_assignments(spark, clusters_path)
+        folded = compact_cluster_assignments(
+            spark, clusters_path, writer_tag=writer_tag
+        )
         stats["log_compacted"] = True
         stats["log_entries_folded"] = folded["log_entries_folded"]
         stats["log_entries"] = 0
@@ -604,6 +696,7 @@ def ingest_and_update_clusters(
     allow_short: bool = False,
     reliable_checkpoints: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    writer_tag: str | None = None,
 ) -> dict:
     """The daily near-dup loop, end to end in O(delta): append the
     delta to the persisted near-dup index, probe it for ALL pairs the
@@ -631,9 +724,10 @@ def ingest_and_update_clusters(
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
+        writer_tag=writer_tag,
     )
     return _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold
+        spark, clusters_path, stats, compact_log_threshold, writer_tag
     )
 
 
@@ -645,6 +739,7 @@ def ingest_and_update_clusters_vec(
     threshold: float | None = None,
     reliable_checkpoints: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    writer_tag: str | None = None,
 ) -> dict:
     """The embedding-side daily loop — the vector twin of
     ``ingest_and_update_clusters``: append the delta to the persisted
@@ -707,9 +802,10 @@ def ingest_and_update_clusters_vec(
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
+        writer_tag=writer_tag,
     )
     return _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold
+        spark, clusters_path, stats, compact_log_threshold, writer_tag
     )
 
 
@@ -797,7 +893,10 @@ def fsck_cluster_assignments(
 
 
 def gc_cluster_debris(
-    spark: SparkSession, path: str, min_age_sec: float = 3600.0
+    spark: SparkSession,
+    path: str,
+    min_age_sec: float = 3600.0,
+    force: bool = False,
 ) -> dict:
     """Sweep a clustering's crash debris — the ``gc_serving_root``
     counterpart for the fourth persisted structure:
@@ -820,6 +919,9 @@ def gc_cluster_debris(
     from .ann_index import _fs_now_ms
 
     p = path.rstrip("/")
+    entry_claim = _refuse_if_foreign_writer(
+        spark, p, "gc_cluster_debris", None, force
+    )
     now_ms = _fs_now_ms(spark, p)
     deleted, retained_young = [], []
 
@@ -851,7 +953,10 @@ def gc_cluster_debris(
         # an UNcommitted pending token is the crash-recovery signal
         # itself (fsck reports it; the named operation must be
         # retried) — never debris
-    return {"deleted": deleted, "retained_young": retained_young}
+    out = {"deleted": deleted, "retained_young": retained_young}
+    if entry_claim is not None:
+        out["bypassed_claim"] = entry_claim
+    return out
 
 
 def canonical_keep_table(

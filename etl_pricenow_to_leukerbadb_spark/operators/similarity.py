@@ -660,6 +660,7 @@ def ivf_pq_topk(
     rerank_factor: int = 20,
     residual: bool = False,
     lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
+    chunk_oversized: bool = False,
 ) -> DataFrame:
     """Full IVF-PQ search: coarse probe + ADC over the probed lists
     only + exact re-rank — the composition of ``ivf_list_assign`` (the
@@ -725,7 +726,7 @@ def ivf_pq_topk(
     return ivf_pq_search(
         index, cents, cb, queries, corpus, id_col, vec_col,
         n_subspaces, sub_dim, n_probe, k, rerank_factor, residual=residual,
-        lut_row_budget=lut_row_budget,
+        lut_row_budget=lut_row_budget, chunk_oversized=chunk_oversized,
     )
 
 
@@ -744,6 +745,7 @@ def ivf_pq_search(
     rerank_factor: int = 20,
     residual: bool = False,
     lut_row_budget: int | None = _RESIDUAL_LUT_ROW_BUDGET,
+    chunk_oversized: bool = False,
 ) -> DataFrame:
     """The IVFADC search core over materialized index structures —
     shared by ``ivf_pq_topk`` (structures derived in-memory) and
@@ -774,7 +776,16 @@ def ivf_pq_search(
     raise with the chunk size that fits — top-k per query is
     independent across query chunks, so slicing the batch and
     unioning results is exact, not approximate. ``None`` overrides
-    for callers that have sized their executors for a bigger LUT."""
+    for callers that have sized their executors for a bigger LUT.
+    ``chunk_oversized=True`` turns the advice into behavior: an
+    oversized batch is hash-split into the minimum number of chunks
+    whose LUTs fit the budget and the per-chunk results are unioned —
+    exact by the independence argument, memory bounded by
+    construction (an uneven chunk that still exceeds re-splits
+    itself). The honest cost: each chunk re-runs the probed-list code
+    SCAN, so wall time is ~n_chunks x the scan — the dial a
+    deployment turns when one batch's LUT cannot fit, as opposed to
+    raising the budget on bigger executors."""
     cents = F.broadcast(
         centroids.select(
             "cent_id",
@@ -818,6 +829,24 @@ def ivf_pq_search(
         cb_rows = codebook.count()
         lut_rows = n_q * n_probe * cb_rows
         if lut_rows > lut_row_budget:
+            if chunk_oversized and n_q > 1:
+                # minimum chunk count whose per-chunk LUT fits; hash-
+                # split is near-even, and a straggler chunk that still
+                # exceeds the budget re-splits itself on recursion
+                # (n_q=1 floor guarantees termination)
+                n_chunks = -(-lut_rows // lut_row_budget)
+                qh = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+                out = None
+                for i in range(int(n_chunks)):
+                    part = ivf_pq_search(
+                        index, centroids, codebook,
+                        queries.filter(qh == i), corpus, id_col, vec_col,
+                        n_subspaces, sub_dim, n_probe, k, rerank_factor,
+                        residual=True, lut_row_budget=lut_row_budget,
+                        chunk_oversized=True,
+                    )
+                    out = part if out is None else out.unionByName(part)
+                return out
             max_q = max(1, lut_row_budget // (n_probe * max(cb_rows, 1)))
             raise ValueError(
                 f"ivf_pq_search: residual LUT would be {lut_rows} broadcast "
@@ -826,8 +855,9 @@ def ivf_pq_search(
                 "broadcast hash relation). Chunk the query batch: search "
                 f"slices of <= {max_q} queries and union the results "
                 "(top-k per query is independent across chunks, so "
-                "chunking is exact), or lower n_probe; pass "
-                "lut_row_budget=None to override deliberately"
+                "chunking is exact — or pass chunk_oversized=True to "
+                "have the search do exactly that), or lower n_probe; "
+                "lut_row_budget=None overrides deliberately"
             )
     if residual:
         # per-(query, probed list) LUT: the query's RESIDUAL against

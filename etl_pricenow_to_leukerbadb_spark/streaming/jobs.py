@@ -966,7 +966,9 @@ def stream_dedup_cluster_job(
     from ..operators.cluster_index import (
         LOG_COMPACT_THRESHOLD,
         _compact_if_log_large,
+        claim_cluster_writer,
         merge_cluster_delta,
+        release_cluster_writer,
     )
     from ..operators.dedup_index import (
         append_to_dedup_index,
@@ -987,6 +989,12 @@ def stream_dedup_cluster_job(
         if compact_log_threshold is None
         else compact_log_threshold
     )
+    # this job is the clustering's writer for its whole run: the
+    # exclusive `.WRITER_ACTIVE` claim makes a concurrent manual
+    # compaction (or a second stream on the same clustering) refuse
+    # loudly instead of interleaving with the per-batch marker dance —
+    # the same enforced single-writer contract the index ingests carry
+    tag = f"stream_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
@@ -994,23 +1002,32 @@ def stream_dedup_cluster_job(
             ss, index_path, batch_df, text_col=text_col
         )
         stats = merge_cluster_delta(
-            ss, clusters_path, pairs, src_col="probe_id", dst_col="corpus_id"
+            ss,
+            clusters_path,
+            pairs,
+            src_col="probe_id",
+            dst_col="corpus_id",
+            writer_tag=tag,
         )
-        _compact_if_log_large(ss, clusters_path, stats, threshold)
+        _compact_if_log_large(ss, clusters_path, stats, threshold, tag)
 
-    _stream_bucket_ingest(
-        spark,
-        docs_path,
-        index_path,
-        f"{params['id_col']} {params['id_type']}, {text_col} string",
-        params["id_col"],
-        int(params["bands"]),
-        params["build_id"],
-        _append,
-        "stream_dedup_cluster_job",
-        "fsck_dedup_index",
-        post_batch=_cluster,
-    )
+    claim_cluster_writer(spark, clusters_path, tag)
+    try:
+        _stream_bucket_ingest(
+            spark,
+            docs_path,
+            index_path,
+            f"{params['id_col']} {params['id_type']}, {text_col} string",
+            params["id_col"],
+            int(params["bands"]),
+            params["build_id"],
+            _append,
+            "stream_dedup_cluster_job",
+            "fsck_dedup_index",
+            post_batch=_cluster,
+        )
+    finally:
+        release_cluster_writer(spark, clusters_path, owner_tag=tag)
 
 
 def stream_vec_dedup_ingest_job(

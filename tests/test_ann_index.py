@@ -735,6 +735,18 @@ def test_residual_lut_budget_fails_loudly_and_chunking_is_exact(
     )
     assert chunked == full
 
+    # chunk_oversized=True runs the printed recipe automatically: the
+    # oversized batch hash-splits into budget-fitting chunks and the
+    # union equals the unchunked answer exactly
+    auto_chunked = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, q10, corpus, n_probe=4, k=5,
+            lut_row_budget=400, chunk_oversized=True,
+        ).collect()
+    )
+    assert auto_chunked == full
+
     # the raw (non-residual) path never consults the budget: its LUT
     # is n_probe-times smaller and was already documented
     assert (

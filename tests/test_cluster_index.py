@@ -692,6 +692,53 @@ def test_vec_ingest_loop_threshold_matches_full_recompute(
     )
 
 
+def test_cluster_writer_claim_enforces_single_writer(spark, tmp_path):
+    """The clusters layout gets the same loud single-writer tripwire
+    the indexes carry: under a live claim, an unclaimed merge or
+    compaction refuses, the owner proceeds, force bypasses WITHOUT
+    deleting the marker (reported), gc refuses too, and release is
+    owner-scoped (a stranger's release is a no-op)."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        claim_cluster_writer,
+        compact_cluster_assignments,
+        gc_cluster_debris,
+        release_cluster_writer,
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    claim_cluster_writer(spark, path, "job-a")
+    with pytest.raises(RuntimeError, match="claimed by a live writer"):
+        merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    with pytest.raises(RuntimeError, match="claimed by a live writer"):
+        compact_cluster_assignments(spark, path)
+    with pytest.raises(RuntimeError, match="claimed by a live writer"):
+        gc_cluster_debris(spark, path)
+    # a second claim refuses, naming the holder
+    with pytest.raises(RuntimeError, match="already claimed.*job-a"):
+        claim_cluster_writer(spark, path, "job-b")
+    # the owner proceeds through its own claim
+    merge_cluster_delta(
+        spark, path, _pairs_df(spark, [(2, 3)]), writer_tag="job-a"
+    )
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
+    )
+    # force bypasses but leaves the marker (reported by gc)
+    out = gc_cluster_debris(spark, path, force=True)
+    assert out["bypassed_claim"].startswith("job-a claimed_at=")
+    compact_cluster_assignments(spark, path, force=True)
+    # a stranger's release is a no-op; the owner's clears it
+    release_cluster_writer(spark, path, owner_tag="job-b")
+    with pytest.raises(RuntimeError, match="claimed by a live writer"):
+        compact_cluster_assignments(spark, path)
+    release_cluster_writer(spark, path, owner_tag="job-a")
+    compact_cluster_assignments(spark, path)
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
+    )
+
+
 def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
     spark, tmp_path, monkeypatch, capsys
 ):

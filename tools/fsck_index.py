@@ -35,8 +35,9 @@ token naming what to retry), ``--compact`` folds the remap log into
 base, and ``--gc`` sweeps aged ``.base_stage``/``.remap_stage``
 debris whose live twin exists plus stale pending tokens beside a
 valid marker (``gc_cluster_debris`` — a stage with a missing twin is
-restore material, never debris). ``--repair``/``--serving`` do not
-apply to clusterings. Exit code 0 = consistent (or --lenient), 1 =
+restore material, never debris); both refuse under a live
+``.WRITER_ACTIVE`` claim (a running stream_dedup_cluster_job) unless
+--force. ``--repair``/``--serving`` do not apply to clusterings. Exit code 0 = consistent (or --lenient), 1 =
 violations found.
 """
 
@@ -209,7 +210,7 @@ def main() -> int:
             target = None if args.compact == -1 else args.compact
             if args.clusters:
                 report["compact"] = compact_cluster_assignments(
-                    spark, args.index_path, target
+                    spark, args.index_path, target, force=args.force
                 )
             else:
                 report["compact"] = compact(
@@ -220,7 +221,7 @@ def main() -> int:
         if args.gc is not None and clean:
             if args.clusters:
                 report["gc"] = gc_cluster_debris(
-                    spark, args.index_path, min_age_sec=args.gc
+                    spark, args.index_path, min_age_sec=args.gc, force=args.force
                 )
             else:
                 from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
