@@ -1062,3 +1062,89 @@ def stream_vec_dedup_ingest_job(
         "stream_vec_dedup_ingest_job",
         "fsck_vec_dedup_index",
     )
+
+
+def stream_vec_dedup_cluster_job(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+    clusters_path: str,
+    compact_log_threshold: int | None = None,
+) -> None:
+    """``stream_vec_dedup_ingest_job`` plus persisted-cluster
+    maintenance — the embedding twin of ``stream_dedup_cluster_job``,
+    completing the symmetry: each micro-batch of vectors is sign-LSH
+    appended to the persisted index, probed for the CANDIDATE pairs it
+    introduces (shared-bucket semantics — the blocked structure a
+    from-scratch bucket-join + components over the union computes,
+    which is the pytest-pinned equivalence), and merged into the
+    persisted clustering in O(batch). Same crash contract as the text
+    job: the merge runs through the ``post_batch`` hook with the full
+    batch BEFORE the epoch marker, so every crash window replays into
+    the idempotent merge.
+
+    Exact-threshold semantics (``dd_embedding_near_dup``'s verified
+    cosine) are deliberately NOT offered here: the verify needs the
+    raw-vector corpus covering every candidate endpoint, and a
+    streaming job cannot hold a static snapshot of a corpus it is
+    itself growing — run the batch loop
+    (``ingest_and_update_clusters_vec(corpus=..., threshold=...)``)
+    when verified-pair clusters are required. Candidate clusters are
+    a superset partition (every verified pair is a candidate pair),
+    so downstream keep-best over them is conservative, never lossy.
+
+    Holds the clustering's ``.WRITER_ACTIVE`` claim for the run and
+    auto-compacts the remap log past ``compact_log_threshold``
+    (default: the module-level broadcast budget), like the text job."""
+    from ..operators.cluster_index import (
+        LOG_COMPACT_THRESHOLD,
+        _compact_if_log_large,
+        claim_cluster_writer,
+        merge_cluster_delta,
+        release_cluster_writer,
+    )
+    from ..operators.dedup_index import (
+        append_to_vec_dedup_index,
+        load_vec_dedup_index,
+        query_vec_dedup_candidates,
+    )
+
+    _, params = load_vec_dedup_index(spark, index_path)
+    threshold = (
+        LOG_COMPACT_THRESHOLD
+        if compact_log_threshold is None
+        else compact_log_threshold
+    )
+    tag = f"stream_vec_dedup_cluster_job:{clusters_path.rstrip('/')}"
+
+    def _cluster(batch_df: DataFrame) -> None:
+        ss = batch_df.sparkSession
+        pairs = query_vec_dedup_candidates(ss, index_path, batch_df)
+        stats = merge_cluster_delta(
+            ss,
+            clusters_path,
+            pairs,
+            src_col="probe_id",
+            dst_col="corpus_id",
+            writer_tag=tag,
+        )
+        _compact_if_log_large(ss, clusters_path, stats, threshold, tag)
+
+    claim_cluster_writer(spark, clusters_path, tag)
+    try:
+        _stream_bucket_ingest(
+            spark,
+            vectors_path,
+            index_path,
+            f"{params['id_col']} {params['id_type']}, "
+            f"{params['vec_col']} array<{params['vec_elem_type']}>",
+            params["id_col"],
+            int(params["n_tables"]),
+            params["build_id"],
+            lambda fresh: append_to_vec_dedup_index(fresh, index_path),
+            "stream_vec_dedup_cluster_job",
+            "fsck_vec_dedup_index",
+            post_batch=_cluster,
+        )
+    finally:
+        release_cluster_writer(spark, clusters_path, owner_tag=tag)

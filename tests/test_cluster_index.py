@@ -309,6 +309,74 @@ def test_streaming_cluster_job_matches_full_recompute(spark, sf_small, tmp_path)
     assert _resolved_set(spark, clusters_path) == want
 
 
+def test_streaming_vec_cluster_job_matches_full_recompute(
+    spark, sf_small, tmp_path
+):
+    """The embedding-side streaming curation loop (r10 symmetry with
+    the text job): vectors arrive as parquet waves through one
+    checkpointed lineage; each micro-batch extends the sign-LSH index
+    AND the persisted clustering. After all waves, resolved
+    assignments must equal components over the union's full
+    bucket-join candidate graph, and a full-stream replay against a
+    fresh checkpoint must change nothing."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments as _build,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_vec_dedup_cluster_job,
+    )
+
+    geom = dict(n_planes=12, n_tables=8, dim=64)
+
+    def candidate_pairs(vecs_df):
+        b = sign_lsh_buckets_long(vecs_df, "vec_id", "embedding", **geom)
+        return (
+            b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+            .join(
+                b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    vecs = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    base = vecs.filter(F.col("vec_id") < 350)
+    waves = [
+        vecs.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 430)),
+        vecs.filter(F.col("vec_id") >= 430),
+    ]
+    index_path = str(tmp_path / "vddx")
+    clusters_path = str(tmp_path / "vcl")
+    stream_dir = str(tmp_path / "vec_stream")
+    build_vec_dedup_index(base, index_path, **geom)
+    _build(connected_components(candidate_pairs(base)), clusters_path)
+
+    for wave in waves:
+        wave.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream_vec_dedup_cluster_job(
+            spark, stream_dir, index_path, clusters_path
+        )
+
+    want = _cc_set(candidate_pairs(vecs))
+    assert _resolved_set(spark, clusters_path) == want
+
+    import shutil
+
+    shutil.rmtree(index_path + "_ingest_ckpt")
+    stream_vec_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    assert _resolved_set(spark, clusters_path) == want
+
+
 def test_fsck_clusters_clean_and_detects_corruption(spark, tmp_path):
     """fsck passes a healthy clustering (merged, with a live log) and
     catches each corruption class: a missing marker, duplicated base
