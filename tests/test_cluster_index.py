@@ -1134,6 +1134,128 @@ def test_streaming_cluster_job_recovers_from_mid_batch_crash(
     )
 
 
+def test_streaming_vec_cluster_job_recovers_from_mid_batch_crash(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The vec twin of the mid-batch crash pin: a crash inside the
+    post-batch merge (after the sign-LSH append, before the epoch
+    marker) releases the writer claim on the way out, the retry
+    re-claims and replays the FULL batch into the idempotent merge —
+    landing exactly where an uninterrupted run lands."""
+    import etl_pricenow_to_leukerbadb_spark.operators.cluster_index as ci
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        sign_lsh_buckets_long,
+    )
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_vec_dedup_cluster_job,
+    )
+
+    geom = dict(n_planes=12, n_tables=8, dim=64)
+
+    def candidate_pairs(vecs_df):
+        b = sign_lsh_buckets_long(vecs_df, "vec_id", "embedding", **geom)
+        return (
+            b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+            .join(
+                b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    vecs = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    base = vecs.filter(F.col("vec_id") < 400)
+    wave = vecs.filter(F.col("vec_id") >= 400)
+    index_path = str(tmp_path / "vddx")
+    clusters_path = str(tmp_path / "vcl")
+    stream_dir = str(tmp_path / "vec_stream")
+    build_vec_dedup_index(base, index_path, **geom)
+    build_cluster_assignments(
+        connected_components(candidate_pairs(base)), clusters_path
+    )
+    wave.coalesce(1).write.parquet(stream_dir)
+
+    real_merge = ci.merge_cluster_delta
+    calls = {"n": 0}
+
+    def crash_once(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash inside the cluster merge")
+        return real_merge(*args, **kwargs)
+
+    monkeypatch.setattr(ci, "merge_cluster_delta", crash_once)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_vec_dedup_cluster_job(
+            spark, stream_dir, index_path, clusters_path
+        )
+    stream_vec_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    monkeypatch.undo()
+    assert _resolved_set(spark, clusters_path) == _cc_set(
+        candidate_pairs(vecs)
+    )
+
+
+def test_streaming_cluster_job_auto_compacts_mid_stream(
+    spark, sf_small, tmp_path
+):
+    """The r10 #3 ask, verbatim through the STREAM: micro-batches whose
+    merges leave the remap log past the threshold trigger the in-loop
+    fold — log empty after the run, results unchanged vs the full
+    recompute (plus the bridge that seeded the log)."""
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_dedup_cluster_job,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= mid)
+    wave = docs.filter(F.col("doc_id") > mid)
+
+    index_path = str(tmp_path / "ddx")
+    clusters_path = str(tmp_path / "cl")
+    stream_dir = str(tmp_path / "docs_stream")
+    build_dedup_index(base, index_path, **GEOM)
+    labels = connected_components(
+        lsh_candidate_pairs(minhash_signatures(base, "doc_id", "text", 3, 8), "doc_id", 8, 4)
+    )
+    build_cluster_assignments(labels, clusters_path)
+    # seed the log: bridge two existing clusters so the stream's merge
+    # sees a non-empty log and the threshold=1 hook must fire
+    by_comp: dict = {}
+    for r in labels.collect():
+        by_comp.setdefault(r.component, r.node)
+    reps = sorted(by_comp.values())
+    bridge = (reps[0], reps[1])
+    assert (
+        merge_cluster_delta(spark, clusters_path, _pairs_df(spark, [bridge]))[
+            "log_entries"
+        ]
+        > 0
+    )
+
+    wave.select("doc_id", "text").coalesce(1).write.parquet(stream_dir)
+    stream_dedup_cluster_job(
+        spark, stream_dir, index_path, clusters_path, compact_log_threshold=1
+    )
+    _, log, _ = load_cluster_assignments(spark, clusters_path)
+    assert log.isEmpty(), "the stream's in-loop fold must have fired"
+    full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
+    want = _cc_set(
+        lsh_candidate_pairs(full_sigs, "doc_id", 8, 4).unionByName(
+            _pairs_df(spark, [bridge]).toDF("id_a", "id_b")
+        )
+    )
+    assert _resolved_set(spark, clusters_path) == want
+
+
 def _snap_set(spark, out):
     from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
         read_cluster_snapshot,
