@@ -1029,7 +1029,10 @@ def snapshot_cluster_assignments(
     deleted, rename pending — sub-millisecond) makes readers fail
     loudly after their retry budget rather than see partial data;
     re-running the snapshot repairs it."""
-    resolved = resolve_cluster_assignments(spark, path)
+    import json as _json
+
+    base, log, params = load_cluster_assignments(spark, path)
+    resolved = _resolved(base, log)
     n_rows = resolved.count()
     if target_files is None:
         target_files = max(1, (n_rows + 3_999_999) // 4_000_000)
@@ -1038,6 +1041,24 @@ def snapshot_cluster_assignments(
     resolved.repartitionByRange(target_files, "node").sortWithinPartitions(
         "node"
     ).write.parquet(f"{root}/{gen}")
+    # provenance rides INSIDE the generation (underscore-prefixed, so
+    # parquet scans ignore it): which clustering build this snapshot
+    # captured and how many rows — the staleness answer an always-on
+    # reader otherwise has no way to ask (mtimes lie across stores).
+    # Written before the count-verify, so a published generation always
+    # carries it.
+    fs_write_text(
+        spark,
+        f"{root}/{gen}/_PROVENANCE.json",
+        _json.dumps(
+            {
+                "source_path": path,
+                "source_build_id": params["build_id"],
+                "n_rows": n_rows,
+                "id_col": params["id_col"],
+            }
+        ),
+    )
     staged_n = spark.read.parquet(f"{root}/{gen}").count()
     if staged_n != n_rows:
         fs_delete(spark, f"{root}/{gen}")
@@ -1084,3 +1105,32 @@ def read_cluster_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
         "crashed mid-flight; re-run snapshot_cluster_assignments (it "
         "publishes a fresh generation and restores the pointer)"
     )
+
+
+def snapshot_provenance(spark: SparkSession, out_path: str) -> dict:
+    """What the live snapshot generation captured: the source
+    clustering path, the ``build_id`` it resolved, and the row count —
+    the staleness/lineage answer for dashboards and fsck runbooks
+    (compare ``source_build_id`` against the live clustering's meta to
+    see whether a re-snapshot is due). Raises on a plain-table
+    (pre-generation) snapshot, which carries no provenance."""
+    import json as _json
+
+    root = out_path.rstrip("/")
+    gen = fs_read_text(spark, f"{root}/CURRENT")
+    if gen is None:
+        raise ValueError(
+            f"snapshot_provenance: {out_path} has no CURRENT pointer — "
+            "a plain-table snapshot carries no provenance; re-publish "
+            "with snapshot_cluster_assignments"
+        )
+    text = fs_read_text(spark, f"{root}/{gen.strip()}/_PROVENANCE.json")
+    if text is None:
+        raise ValueError(
+            f"snapshot_provenance: generation {gen.strip()} at "
+            f"{out_path} has no _PROVENANCE.json (published before the "
+            "provenance was added) — re-publish to stamp it"
+        )
+    out = _json.loads(text)
+    out["generation"] = gen.strip()
+    return out

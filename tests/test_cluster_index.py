@@ -1337,6 +1337,33 @@ def test_snapshot_publish_is_atomic_under_crash_and_concurrent_reads(
     assert len(gens) <= 2
 
 
+def test_snapshot_provenance_names_the_captured_build(spark, tmp_path):
+    """Each published generation carries which clustering build it
+    resolved and the row count (underscore file — invisible to the
+    parquet scan), so an always-on reader can answer 'how stale am I'
+    by comparing against the live clustering's meta."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        snapshot_cluster_assignments,
+        snapshot_provenance,
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    build_id = _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    n = snapshot_cluster_assignments(spark, path, out)
+    prov = snapshot_provenance(spark, out)
+    assert prov["source_build_id"] == build_id
+    assert prov["n_rows"] == n == 4
+    assert prov["source_path"] == path
+    # the provenance file is invisible to readers of the data
+    assert _snap_set(spark, out) == _resolved_set(spark, path)
+    # a plain-table snapshot has none — loud, not silent
+    plain = str(tmp_path / "plain")
+    _pairs_df(spark, [(1, 1)]).toDF("node", "component").write.parquet(plain)
+    with pytest.raises(ValueError, match="no CURRENT pointer"):
+        snapshot_provenance(spark, plain)
+
+
 def test_read_cluster_snapshot_falls_back_to_a_plain_table(spark, tmp_path):
     """A pre-generation snapshot (or any plain parquet table a
     deployment already points readers at) stays readable through the
