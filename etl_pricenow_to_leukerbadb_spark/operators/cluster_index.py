@@ -462,16 +462,23 @@ def merge_cluster_delta(
         # endpoint lookup, the contraction, and the stats below
         .localCheckpoint()
     )
-    # Operation fingerprint: order-independent over the canonical
-    # distinct edge set (bit_xor of per-edge xxhash64 — XOR is safe
-    # because the set is distinct, and it cannot overflow under ANSI
-    # the way a sum can — plus the count), so a replay of the SAME
-    # delta — the documented crash recovery — fingerprints
-    # identically, while any other delta does not. One tiny agg over
-    # the already-checkpointed delta frame.
+    # ONE agg job over the already-checkpointed delta frame computes
+    # both the operation fingerprint and the endpoint id range:
+    # - fingerprint: order-independent over the canonical distinct
+    #   edge set (bit_xor of per-edge xxhash64 — XOR is safe because
+    #   the set is distinct, and it cannot overflow under ANSI the way
+    #   a sum can — plus the count), so a replay of the SAME delta —
+    #   the documented crash recovery — fingerprints identically,
+    #   while any other delta does not;
+    # - range: edges are canonicalized u = least, v = greatest, so
+    #   min(u) / max(v) ARE the endpoint set's global [lo, hi] — no
+    #   separate pass over the endpoints frame (a merge runs per
+    #   micro-batch; every fused driver job is cadence headroom).
     fp_row = edges.agg(
         F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         F.count(F.lit(1)).alias("n"),
+        F.min("u").alias("lo"),
+        F.max("v").alias("hi"),
     ).collect()[0]
     op_fp = f"merge:{fp_row['n']}:{fp_row['h']}"
     _guard_pending(spark, path, op_fp, params, compatible=("compact",))
@@ -499,9 +506,7 @@ def merge_cluster_delta(
             # recovered either way, so clear it with the marker
             _fs_delete(spark, f"{path}/pending")
 
-    stats = endpoints.agg(
-        F.min("node").alias("lo"), F.max("node").alias("hi")
-    ).collect()[0]
+    stats = fp_row
     if stats["lo"] is None:
         _restore_marker_if_missing()
         return {"merged_labels": 0, "new_nodes": 0, "log_entries": log.count()}
@@ -1105,6 +1110,93 @@ def read_cluster_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
         "crashed mid-flight; re-run snapshot_cluster_assignments (it "
         "publishes a fresh generation and restores the pointer)"
     )
+
+
+def fsck_cluster_snapshot(
+    spark: SparkSession,
+    out_path: str,
+    source_path: str | None = None,
+    strict: bool = True,
+) -> dict:
+    """Consistency sweep for a snapshot serving root — the scheduled
+    check for the artifact always-on readers actually point at:
+
+    - ``current_resolves``: the ``CURRENT`` pointer names an existing
+      generation (False = a pointer swap crashed mid-flight; re-run
+      the snapshot). A plain-table root reports ``layout="plain"``
+      with its row count and nothing else to check.
+    - ``provenance_rows_match``: the generation's row count equals
+      what its ``_PROVENANCE.json`` recorded at publish (False = the
+      generation lost or gained files after commit — corruption).
+    - ``extra_generations``: generation dirs beyond CURRENT + the
+      one-generation grace — repeated-crash debris the next
+      successful publish sweeps (informational).
+    - with ``source_path``: ``source_rebuilt`` (the live clustering's
+      build_id differs from the one the snapshot captured — a rebuild
+      happened, the snapshot is definitely stale) and
+      ``rows_behind_source`` (live resolution row count minus the
+      snapshot's — incremental drift since the publish; merges only
+      add nodes, so this is the freshness gap a re-snapshot closes).
+      Both informational: staleness is a cadence decision, not
+      corruption.
+
+    ``strict=True`` raises only on the corruption classes
+    (``current_resolves`` False, ``provenance_rows_match`` False)."""
+    import json as _json
+
+    root = out_path.rstrip("/")
+    report: dict = {}
+    gen = fs_read_text(spark, f"{root}/CURRENT")
+    if gen is None:
+        if not any(_SNAP_GEN_RE.match(n) for n in fs_list_names(spark, root)):
+            report["layout"] = "plain"
+            report["n_rows"] = spark.read.parquet(root).count()
+            return report
+        report["layout"] = "generation"
+        report["current_resolves"] = False
+    else:
+        report["layout"] = "generation"
+        gen = gen.strip()
+        report["current_resolves"] = bool(
+            _SNAP_GEN_RE.match(gen) and fs_exists(spark, f"{root}/{gen}")
+        )
+    if report["current_resolves"]:
+        report["generation"] = gen
+        n = spark.read.parquet(f"{root}/{gen}").count()
+        report["n_rows"] = n
+        text = fs_read_text(spark, f"{root}/{gen}/_PROVENANCE.json")
+        if text is not None:
+            prov = _json.loads(text)
+            report["provenance_rows_match"] = prov["n_rows"] == n
+            if source_path is not None:
+                meta = _try_read_parquet(spark, f"{source_path}/meta")
+                rows = meta.collect() if meta is not None else []
+                if len(rows) == 1:
+                    report["source_rebuilt"] = (
+                        rows[0]["build_id"] != prov["source_build_id"]
+                    )
+                    live_n = resolve_cluster_assignments(
+                        spark, source_path
+                    ).count()
+                    report["rows_behind_source"] = live_n - n
+        others = [
+            x
+            for x in fs_list_names(spark, root)
+            if _SNAP_GEN_RE.match(x) and x != gen
+        ]
+        if len(others) > 1:
+            report["extra_generations"] = sorted(others)
+    violations = not report.get("current_resolves", True) or (
+        report.get("provenance_rows_match") is False
+    )
+    if strict and violations:
+        raise RuntimeError(
+            f"fsck_cluster_snapshot: snapshot at {out_path} is "
+            f"inconsistent — {report}. Re-run "
+            "snapshot_cluster_assignments (it publishes a fresh "
+            "generation and restores the pointer)"
+        )
+    return report
 
 
 def snapshot_provenance(spark: SparkSession, out_path: str) -> dict:

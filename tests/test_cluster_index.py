@@ -1364,6 +1364,53 @@ def test_snapshot_provenance_names_the_captured_build(spark, tmp_path):
         snapshot_provenance(spark, plain)
 
 
+def test_fsck_cluster_snapshot_checks_pointer_rows_and_staleness(
+    spark, tmp_path
+):
+    """The snapshot root's scheduled sweep: clean on a fresh publish,
+    reports incremental drift vs the source (informational), flags a
+    broken pointer and a rows/provenance mismatch as corruption, and
+    reads a plain-table root as layout=plain."""
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        fsck_cluster_snapshot,
+        snapshot_cluster_assignments,
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    snapshot_cluster_assignments(spark, path, out)
+    rep = fsck_cluster_snapshot(spark, out, source_path=path)
+    assert rep["current_resolves"] and rep["provenance_rows_match"]
+    assert rep["source_rebuilt"] is False and rep["rows_behind_source"] == 0
+
+    # the source moves on: drift is reported, not a violation
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(5, 6)]))
+    rep = fsck_cluster_snapshot(spark, out, source_path=path)
+    assert rep["rows_behind_source"] == 2 and rep["source_rebuilt"] is False
+
+    # corruption: pointer naming an absent generation raises
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_write_text
+
+    fs_write_text(spark, f"{out}/CURRENT", "gen-" + "0" * 12)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        fsck_cluster_snapshot(spark, out)
+    assert fsck_cluster_snapshot(spark, out, strict=False)[
+        "current_resolves"
+    ] is False
+    # repair is the documented one-liner: re-publish
+    snapshot_cluster_assignments(spark, path, out)
+    assert fsck_cluster_snapshot(spark, out)["current_resolves"]
+
+    # plain-table roots read as layout=plain, nothing to check
+    plain = str(tmp_path / "plain")
+    _pairs_df(spark, [(1, 1)]).toDF("node", "component").write.parquet(plain)
+    rep = fsck_cluster_snapshot(spark, plain)
+    assert rep["layout"] == "plain" and rep["n_rows"] == 1
+
+
 def test_read_cluster_snapshot_falls_back_to_a_plain_table(spark, tmp_path):
     """A pre-generation snapshot (or any plain parquet table a
     deployment already points readers at) stays readable through the
