@@ -528,7 +528,10 @@ def gc_serving_root(
     now_ms = _fs_now_ms(spark, p)
     deleted, retained_young = [], []
     for n in sweepable:
-        if (now_ms - fs_mtime(spark, f"{p}/{n}")) / 1000 >= min_age_sec:
+        # mtime 0 = a synthesized directory status (object-store
+        # prefixes) — unknown age is RETAINED, never "infinitely aged"
+        m = fs_mtime(spark, f"{p}/{n}")
+        if m > 0 and (now_ms - m) / 1000 >= min_age_sec:
             fs_delete(spark, f"{p}/{n}")
             deleted.append(n)
         else:

@@ -341,7 +341,10 @@ def build_cluster_assignments(
 
 
 def load_cluster_assignments(
-    spark: SparkSession, path: str, _allow_uncommitted: bool = False
+    spark: SparkSession,
+    path: str,
+    _allow_uncommitted: bool = False,
+    _repair_staged: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """(base, remap_log, params), validating the commit marker — a
     crashed merge/compaction reads as "incomplete, retry the
@@ -356,8 +359,12 @@ def load_cluster_assignments(
     DIFFERENT operation from committing over the residue). Read paths
     stay strict AND side-effect-free: crash-restore renames run only
     under the mutator flag, so a reader can never steal a live
-    writer's staged swap (see ``_restore_if_crashed``)."""
-    if _allow_uncommitted:
+    writer's staged swap (see ``_restore_if_crashed``).
+    ``_repair_staged=False`` additionally suppresses the restore for
+    maintenance callers that hold NO writer role (fsck under a live
+    claim): they may read uncommitted state but must not rename the
+    claimed writer's stage out from under it."""
+    if _allow_uncommitted and _repair_staged:
         _restore_if_crashed(spark, path)
     meta = _try_read_parquet(spark, f"{path}/meta")
     meta_rows = meta.collect() if meta is not None else []
@@ -840,9 +847,17 @@ def fsck_cluster_assignments(
     ``strict=True`` raises on any violation, naming the recovery
     (retry the crashed mutation; rebuild from a fresh
     ``connected_components`` run otherwise — the pair graph is always
-    recomputable from the corpus + near-dup index)."""
+    recomputable from the corpus + near-dup index).
+
+    Under a LIVE writer claim the sweep stays strictly read-only: the
+    crash-restore rename is suppressed (a scheduled fsck racing the
+    claimed writer's own ``_swap_staged`` window must not adopt its
+    stage — that would fail the writer's rename and abort a healthy
+    mutation), and the claim is surfaced in the report. With no claim
+    the sweep keeps its maintenance role and restores crashed swaps."""
+    claim = fs_read_text(spark, f"{path.rstrip('/')}/{_WRITER_ACTIVE}")
     base, log, params = load_cluster_assignments(
-        spark, path, _allow_uncommitted=True
+        spark, path, _allow_uncommitted=True, _repair_staged=claim is None
     )
     commit = _try_read_parquet(spark, f"{path}/commit")
     commit_rows = commit.collect() if commit is not None else []
@@ -857,6 +872,7 @@ def fsck_cluster_assignments(
     # sweep's operator knows what to retry; an uncommitted state
     # already flags as a violation above
     report["pending_op"] = _read_pending(spark, path)
+    report["writer_claim"] = claim
     report["n_nodes"] = base.select("node").distinct().count()
     report["dup_node_rows"] = base.count() - report["n_nodes"]
     log_rows = log.count()
@@ -931,7 +947,12 @@ def gc_cluster_debris(
     deleted, retained_young = [], []
 
     def _aged(sub: str) -> bool:
-        return (now_ms - fs_mtime(spark, f"{p}/{sub}")) / 1000 >= min_age_sec
+        # some object stores synthesize directory statuses with mtime
+        # 0 — that would read as "infinitely aged" and void the gate
+        # on exactly the stores the fs-clock probe targets; unknown
+        # age is RETAINED, never swept
+        m = fs_mtime(spark, f"{p}/{sub}")
+        return m > 0 and (now_ms - m) / 1000 >= min_age_sec
 
     for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
         if fs_exists(spark, f"{p}/{stage}") and fs_exists(spark, f"{p}/{live}"):
@@ -1077,10 +1098,17 @@ def snapshot_cluster_assignments(
     fs_write_text(spark, tmp, gen)
     fs_delete(spark, f"{root}/CURRENT")
     fs_rename(spark, tmp, f"{root}/CURRENT")
-    keep = {gen, (prev or "").strip()}
-    for name in fs_list_names(spark, root):
-        if _SNAP_GEN_RE.match(name) and name not in keep:
-            fs_delete(spark, f"{root}/{name}")
+    if prev is not None:
+        keep = {gen, prev.strip()}
+        for name in fs_list_names(spark, root):
+            if _SNAP_GEN_RE.match(name) and name not in keep:
+                fs_delete(spark, f"{root}/{name}")
+    # prev None = first publish (nothing to sweep) OR the recovery of
+    # a crashed pointer swap — in the second case WHICH generation
+    # in-flight readers are still streaming is unknowable (the old
+    # CURRENT content died with the crash), so sweep NOTHING this
+    # publish rather than delete a generation mid-scan; the next
+    # successful publish sees a valid CURRENT and sweeps normally.
     return n_rows
 
 

@@ -829,12 +829,28 @@ def ivf_pq_search(
         cb_rows = codebook.count()
         lut_rows = n_q * n_probe * cb_rows
         if lut_rows > lut_row_budget:
-            if chunk_oversized and n_q > 1:
-                # minimum chunk count whose per-chunk LUT fits; hash-
-                # split is near-even, and a straggler chunk that still
-                # exceeds the budget re-splits itself on recursion
-                # (n_q=1 floor guarantees termination)
-                n_chunks = -(-lut_rows // lut_row_budget)
+            per_q = n_probe * cb_rows
+            if per_q > lut_row_budget:
+                # chunking splits QUERIES; one query's own LUT over
+                # the budget cannot be split further — a distinct loud
+                # message, or chunk_oversized would loop to this same
+                # dead end one query at a time
+                raise ValueError(
+                    "ivf_pq_search: a SINGLE query's residual LUT is "
+                    f"{per_q} broadcast rows (n_probe={n_probe} x "
+                    f"codebook={cb_rows}) > lut_row_budget="
+                    f"{lut_row_budget} — query chunking cannot help; "
+                    "lower n_probe, or raise lut_row_budget "
+                    "deliberately for executors sized to hold it"
+                )
+            if chunk_oversized:
+                # minimum chunk count whose per-chunk LUT fits, capped
+                # at the query count; hash-split is near-even, and a
+                # straggler chunk that still exceeds the budget
+                # re-splits itself on recursion (per_q <= budget above
+                # guarantees single-query chunks always fit, so the
+                # recursion terminates in a result, never an error)
+                n_chunks = min(-(-lut_rows // lut_row_budget), n_q)
                 qh = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
                 out = None
                 for i in range(int(n_chunks)):

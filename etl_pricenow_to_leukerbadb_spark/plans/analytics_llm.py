@@ -2041,6 +2041,10 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # timed runs never rescan the corpus for slicing)
         max_id = docs.agg(F.max("doc_id")).collect()[0][0]
         base = docs.filter(F.col("doc_id") <= F.lit(max_id * 52 // 100))
+        # overwrite=True: a crash between this build and the meta.txt
+        # write leaves a half-built idx in the NEVER-WIPED session cache
+        # dir; without it every later invocation would wedge on
+        # path-already-exists instead of rebuilding
         build_dedup_index(
             base,
             idx,
@@ -2049,6 +2053,7 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=4,
             allow_short=True,
             bucket_prefix_len=2,
+            overwrite=True,
         )
         sigs = minhash_signatures(base, "doc_id", "text", 3, 8)
         pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 4)

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cluster_index import LOG_COMPACT_THRESHOLD
 from ..session import tiny_local_df
 from ..sinks.upsert import merge_upsert_parquet, replace_dir
 
@@ -938,7 +939,7 @@ def stream_dedup_cluster_job(
     index_path: str,
     clusters_path: str,
     allow_short: bool = False,
-    compact_log_threshold: int | None = None,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
 ) -> None:
     """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
     each micro-batch is appended to the near-dup index, then probed
@@ -959,12 +960,12 @@ def stream_dedup_cluster_job(
     so the loop compacts it in place whenever a batch's merge leaves
     the log at or past ``compact_log_threshold`` rows (default: the
     module-level ``LOG_COMPACT_THRESHOLD`` broadcast budget; ``None``
-    here means "use that default" — pass an explicit row count to
-    retune it). The compaction is itself idempotent and runs BEFORE
+    DISABLES the hook — the same semantics as the batch loops — for a
+    deployment that schedules compact_cluster_assignments itself).
+    The compaction is itself idempotent and runs BEFORE
     the epoch marker, so a crash inside it replays through the same
     recovery path as the merge."""
     from ..operators.cluster_index import (
-        LOG_COMPACT_THRESHOLD,
         _compact_if_log_large,
         claim_cluster_writer,
         merge_cluster_delta,
@@ -984,11 +985,7 @@ def stream_dedup_cluster_job(
             fresh, index_path, text_col=text_col, allow_short=allow_short
         )
 
-    threshold = (
-        LOG_COMPACT_THRESHOLD
-        if compact_log_threshold is None
-        else compact_log_threshold
-    )
+    threshold = compact_log_threshold
     # this job is the clustering's writer for its whole run: the
     # exclusive `.WRITER_ACTIVE` claim makes a concurrent manual
     # compaction (or a second stream on the same clustering) refuse
@@ -1069,7 +1066,7 @@ def stream_vec_dedup_cluster_job(
     vectors_path: str,
     index_path: str,
     clusters_path: str,
-    compact_log_threshold: int | None = None,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
 ) -> None:
     """``stream_vec_dedup_ingest_job`` plus persisted-cluster
     maintenance — the embedding twin of ``stream_dedup_cluster_job``,
@@ -1095,9 +1092,9 @@ def stream_vec_dedup_cluster_job(
 
     Holds the clustering's ``.WRITER_ACTIVE`` claim for the run and
     auto-compacts the remap log past ``compact_log_threshold``
-    (default: the module-level broadcast budget), like the text job."""
+    (default: the module-level broadcast budget; ``None`` disables —
+    the same semantics as the batch loops), like the text job."""
     from ..operators.cluster_index import (
-        LOG_COMPACT_THRESHOLD,
         _compact_if_log_large,
         claim_cluster_writer,
         merge_cluster_delta,
@@ -1110,11 +1107,7 @@ def stream_vec_dedup_cluster_job(
     )
 
     _, params = load_vec_dedup_index(spark, index_path)
-    threshold = (
-        LOG_COMPACT_THRESHOLD
-        if compact_log_threshold is None
-        else compact_log_threshold
-    )
+    threshold = compact_log_threshold
     tag = f"stream_vec_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
     def _cluster(batch_df: DataFrame) -> None:

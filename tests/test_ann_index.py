@@ -698,10 +698,19 @@ def test_residual_lut_budget_fails_loudly_and_chunking_is_exact(
     )
 
     q10 = corpus.filter(F.col("vec_id") < 10)
+    # batch over budget, single query within it: the chunkable case
+    # (per-query LUT = n_probe 4 x codebook 32 = 128 rows <= 200)
     with pytest.raises(ValueError, match="residual LUT would be .* Chunk"):
         ivf_pq_topk(
-            corpus, q10, n_centroids=16, residual=True, lut_row_budget=100,
+            corpus, q10, n_centroids=16, residual=True, lut_row_budget=200,
             **PARAMS,
+        ).collect()
+    # a SINGLE query's LUT over the budget: chunking cannot help, and
+    # the message must say so instead of advising it
+    with pytest.raises(ValueError, match="SINGLE query.*chunking cannot help"):
+        ivf_pq_topk(
+            corpus, q10, n_centroids=16, residual=True, lut_row_budget=100,
+            chunk_oversized=True, **PARAMS,
         ).collect()
 
     # the persisted search path honors the same budget (meta says
@@ -710,7 +719,7 @@ def test_residual_lut_budget_fails_loudly_and_chunking_is_exact(
     build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
     with pytest.raises(ValueError, match="residual LUT would be"):
         search_ivfpq_index(
-            spark, path, q10, corpus, n_probe=4, k=5, lut_row_budget=100
+            spark, path, q10, corpus, n_probe=4, k=5, lut_row_budget=200
         ).collect()
 
     # the printed recovery is exact, not approximate: top-k per query
