@@ -309,20 +309,28 @@ def _write_current(spark: SparkSession, path: str, gen_name: str) -> None:
 _INGEST_ACTIVE = ".INGEST_ACTIVE"
 
 
-def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
+def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> str:
     """Exclusively claim ``path`` (logical root) for a streaming
     ingest. Raises when another claim is live — a concurrent ingest,
     or a stale claim from a hard-killed job (delete the marker or
     pass the compactor ``force=True`` after confirming nothing runs).
-    The marker records the claim's UTC timestamp alongside the tag so
-    a refused maintenance run can judge staleness from the error
-    alone (a claim hours older than the ingest cadence is a corpse)."""
+    The marker records the claim's UTC timestamp and a per-run nonce
+    alongside the tag so a refused maintenance run can judge staleness
+    from the error alone (a claim hours older than the ingest cadence
+    is a corpse). Returns the full claim TOKEN; pass it to
+    ``release_index_ingest_claim(owner_token=...)`` — ownership is the
+    exact token, not the tag, because tags are deterministic (job name
+    + path): after a force-clean + same-job restart, a tag match could
+    not tell the hung predecessor from its live successor, and the
+    predecessor's finally-block release would delete the successor's
+    claim."""
     import datetime as _dt
 
     stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
     marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
+    token = f"{tag} nonce={uuid.uuid4().hex[:12]} claimed_at={stamp}"
     try:
-        fs_write_text_exclusive(spark, marker, f"{tag} claimed_at={stamp}")
+        fs_write_text_exclusive(spark, marker, token)
     except FileExistsError:
         # read the competing marker ONCE; if it was released in the
         # race window the message must not tell the operator to delete
@@ -339,20 +347,23 @@ def claim_index_for_ingest(spark: SparkSession, path: str, tag: str) -> None:
             f"({holder}); if that job was killed "
             f"without cleanup, delete {marker} to release the claim"
         ) from None
+    return token
 
 
 def release_index_ingest_claim(
-    spark: SparkSession, path: str, owner_tag: str | None = None
+    spark: SparkSession, path: str, owner_token: str | None = None
 ) -> None:
-    """Release the claim. With ``owner_tag`` (the tag passed to
-    ``claim_index_for_ingest``), delete only a claim that tag owns —
-    an unconditional delete from a job's finally block would remove a
-    SUCCESSOR's claim when this job's own marker was force-cleaned and
-    another ingest claimed in between."""
+    """Release the claim. With ``owner_token`` (the exact token
+    ``claim_index_for_ingest`` returned), delete only the claim this
+    job wrote — an unconditional delete from a job's finally block
+    would remove a SUCCESSOR's claim when this job's own marker was
+    force-cleaned and another ingest (possibly the same job restarted,
+    with the same deterministic tag) claimed in between; a tag-prefix
+    match could not tell those apart."""
     marker = f"{path.rstrip('/')}/{_INGEST_ACTIVE}"
-    if owner_tag is not None:
+    if owner_token is not None:
         cur = fs_read_text(spark, marker)
-        if cur is None or not cur.startswith(f"{owner_tag} claimed_at="):
+        if cur != owner_token:
             return
     fs_delete(spark, marker)
 

@@ -69,8 +69,6 @@ standing state without recomputing it), applied to cluster state.
 
 from __future__ import annotations
 
-import re
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -87,10 +85,14 @@ from ..fs import (
 )
 from ..session import tiny_local_df
 from .ann_index import (
+    _GEN_RE,
     _fs_delete,
+    _fs_now_ms,
     _fs_rename,
+    _resolve_index_root,
     _try_read_parquet,
     _write_commit,
+    _write_current,
 )
 from .dedup import connected_components_twophase
 
@@ -111,7 +113,9 @@ _CLUSTER_META_COLS = ("id_col", "id_type", "build_id")
 LOG_COMPACT_THRESHOLD = 500_000
 
 
-def _restore_if_crashed(spark: SparkSession, path: str) -> None:
+def _restore_if_crashed(
+    spark: SparkSession, path: str, min_stage_age_sec: float = 0.0
+) -> None:
     """Adopt a staged table whose swap crashed between delete and
     rename: a stage is only written complete (parquet job committed)
     before its live twin is deleted, so live-missing + stage-present
@@ -125,12 +129,28 @@ def _restore_if_crashed(spark: SparkSession, path: str) -> None:
     stage present for a moment) and adopt the stage out from under it,
     failing the writer's own rename and aborting a healthy mutation —
     so the read path stays side-effect-free and repairs belong to the
-    writer."""
+    writer.
+
+    ``min_stage_age_sec`` is the maintenance caller's protection
+    (``fsck_cluster_assignments``): fsck holds no writer role, and the
+    batch loops hold no claim it could observe, so a scheduled sweep
+    can land inside an UNCLAIMED live writer's swap window. A live
+    swap's stage is milliseconds old; a crashed one is as old as the
+    crash — an age gate (filesystem clock) tells them apart. Mutators
+    pass 0: they ARE the single writer, and the only stage they can
+    see is their own predecessor's crash residue."""
+    now_ms = None
     for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
         if (
             _try_read_parquet(spark, f"{path}/{live}") is None
             and _try_read_parquet(spark, f"{path}/{stage}") is not None
         ):
+            if min_stage_age_sec > 0:
+                if now_ms is None:
+                    now_ms = _fs_now_ms(spark, path)
+                age = (now_ms - fs_mtime(spark, f"{path}/{stage}")) / 1000.0
+                if age < min_stage_age_sec:
+                    continue
             _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
 
 
@@ -142,21 +162,29 @@ def _swap_staged(spark: SparkSession, path: str, live: str, stage: str) -> None:
 _WRITER_ACTIVE = ".WRITER_ACTIVE"
 
 
-def claim_cluster_writer(spark: SparkSession, path: str, tag: str) -> None:
+def claim_cluster_writer(spark: SparkSession, path: str, tag: str) -> str:
     """Exclusively claim the clustering at ``path`` for a writer (a
     streaming loop or a long batch job) — the same loud single-writer
     tripwire the indexes carry (`.INGEST_ACTIVE`): the maintenance
     contract has always been one writer per clustering, but a contract
     that fails silently is a trap — two interleaving merges would race
     each other's marker dance and staged swaps. Raises when another
-    claim is live; the marker records tag + UTC timestamp so a refused
-    run can judge staleness from the error alone."""
+    claim is live; the marker records tag + a per-run nonce + UTC
+    timestamp so a refused run can judge staleness from the error
+    alone. Returns the full claim TOKEN — ownership is the exact
+    token, not the tag: tags are deterministic (job name + path), so a
+    tag-prefix match could not tell a hung predecessor from its
+    force-cleaned successor, and the predecessor unwedging would both
+    mutate through the successor's claim and delete it on exit. Pass
+    the token as ``writer_token=`` to the mutators and
+    ``owner_token=`` to ``release_cluster_writer``."""
     import datetime as _dt
 
     stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
     marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
+    token = f"{tag} nonce={uuid.uuid4().hex[:12]} claimed_at={stamp}"
     try:
-        fs_write_text_exclusive(spark, marker, f"{tag} claimed_at={stamp}")
+        fs_write_text_exclusive(spark, marker, token)
     except FileExistsError:
         holder = fs_read_text(spark, marker)
         if holder is None:
@@ -170,19 +198,22 @@ def claim_cluster_writer(spark: SparkSession, path: str, tag: str) -> None:
             f"({holder}); if that job was killed without cleanup, "
             f"delete {marker} to release the claim"
         ) from None
+    return token
 
 
 def release_cluster_writer(
-    spark: SparkSession, path: str, owner_tag: str | None = None
+    spark: SparkSession, path: str, owner_token: str | None = None
 ) -> None:
-    """Release the claim. With ``owner_tag``, delete only a claim that
-    tag owns — an unconditional delete from a finally block would
+    """Release the claim. With ``owner_token`` (the exact token
+    ``claim_cluster_writer`` returned), delete only the claim this
+    writer wrote — an unconditional delete from a finally block would
     remove a SUCCESSOR's claim when this job's own marker was
-    force-cleaned and another writer claimed in between."""
+    force-cleaned and another writer (possibly the same job restarted,
+    with the same deterministic tag) claimed in between."""
     marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
-    if owner_tag is not None:
+    if owner_token is not None:
         cur = fs_read_text(spark, marker)
-        if cur is None or not cur.startswith(f"{owner_tag} claimed_at="):
+        if cur != owner_token:
             return
     fs_delete(spark, marker)
 
@@ -191,21 +222,25 @@ def _refuse_if_foreign_writer(
     spark: SparkSession,
     path: str,
     what: str,
-    writer_tag: str | None,
+    writer_token: str | None,
     force: bool = False,
 ) -> str | None:
     """Refuse a mutation under a live claim this caller does not own
-    (``writer_tag=None`` owns nothing; claims are OPTIONAL — with no
+    (``writer_token=None`` owns nothing; claims are OPTIONAL — with no
     claim live, the single-writer contract stays the caller's honor,
-    unchanged). ``force`` bypasses without deleting the marker: if the
-    operator's "nothing is running" judgement was wrong, deleting a
-    LIVE claim would let a second writer claim and run concurrently,
-    voiding the exclusivity. Returns the observed claim content."""
+    unchanged). Ownership is the EXACT claim token returned by
+    ``claim_cluster_writer`` — a prefix match on the deterministic tag
+    would let a hung predecessor mutate through its force-cleaned
+    successor's claim. ``force`` bypasses without deleting the marker:
+    if the operator's "nothing is running" judgement was wrong,
+    deleting a LIVE claim would let a second writer claim and run
+    concurrently, voiding the exclusivity. Returns the observed claim
+    content."""
     marker = f"{path.rstrip('/')}/{_WRITER_ACTIVE}"
     holder = fs_read_text(spark, marker)
     if holder is None:
         return None
-    if writer_tag is not None and holder.startswith(f"{writer_tag} claimed_at="):
+    if writer_token is not None and holder == writer_token:
         return holder
     if not force:
         raise RuntimeError(
@@ -345,6 +380,7 @@ def load_cluster_assignments(
     path: str,
     _allow_uncommitted: bool = False,
     _repair_staged: bool = True,
+    _repair_stage_min_age: float = 0.0,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """(base, remap_log, params), validating the commit marker — a
     crashed merge/compaction reads as "incomplete, retry the
@@ -363,9 +399,32 @@ def load_cluster_assignments(
     ``_repair_staged=False`` additionally suppresses the restore for
     maintenance callers that hold NO writer role (fsck under a live
     claim): they may read uncommitted state but must not rename the
-    claimed writer's stage out from under it."""
+    claimed writer's stage out from under it.
+    ``_repair_stage_min_age`` (seconds, filesystem clock) further
+    restricts the restore to stages at least that old — the fsck path
+    uses it because an UNCLAIMED live writer (the batch loops never
+    claim) is invisible to the claim check, but its in-flight swap's
+    stage is always fresh."""
     if _allow_uncommitted and _repair_staged:
-        _restore_if_crashed(spark, path)
+        _restore_if_crashed(spark, path, _repair_stage_min_age)
+    if _allow_uncommitted:
+        # a live table still missing with its stage present means the
+        # restore was suppressed (live claim) or age-gated (fresh
+        # stage, possibly an unclaimed writer mid-swap): fail with the
+        # recovery instead of a bare path-not-found from the read below
+        for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
+            if (
+                _try_read_parquet(spark, f"{path}/{live}") is None
+                and _try_read_parquet(spark, f"{path}/{stage}") is not None
+            ):
+                raise RuntimeError(
+                    f"clustering at {path} is mid-swap ({live} missing, "
+                    f"{stage} present): either a writer is swapping "
+                    "right now — retry shortly — or a crashed "
+                    "mutation's stage is younger than the repair age "
+                    "gate; retrying the crashed mutation adopts it "
+                    "immediately"
+                )
     meta = _try_read_parquet(spark, f"{path}/meta")
     meta_rows = meta.collect() if meta is not None else []
     if len(meta_rows) != 1 or set(_CLUSTER_META_COLS) - set(
@@ -419,7 +478,7 @@ def merge_cluster_delta(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     reliable_checkpoints: bool = False,
-    writer_tag: str | None = None,
+    writer_token: str | None = None,
 ) -> dict:
     """Merge a delta's candidate pairs into the persisted clustering in
     O(delta + log) — no pass over the standing corpus or its graph.
@@ -455,7 +514,7 @@ def merge_cluster_delta(
     ``log_entries`` is the flattened log's post-merge size — one row
     per label ever merged away since the last compaction; schedule
     ``compact_cluster_assignments`` to keep it broadcast-sized."""
-    _refuse_if_foreign_writer(spark, path, "merge_cluster_delta", writer_tag)
+    _refuse_if_foreign_writer(spark, path, "merge_cluster_delta", writer_token)
     base, log, params = load_cluster_assignments(
         spark, path, _allow_uncommitted=True
     )
@@ -621,7 +680,7 @@ def compact_cluster_assignments(
     spark: SparkSession,
     path: str,
     target_files: int | None = None,
-    writer_tag: str | None = None,
+    writer_token: str | None = None,
     force: bool = False,
 ) -> dict:
     """Fold the remap log into base (one linear rewrite of the narrow
@@ -635,7 +694,7 @@ def compact_cluster_assignments(
     compaction (folding the old log over the merge's half-landed base
     would commit the half-merged state)."""
     _refuse_if_foreign_writer(
-        spark, path, "compact_cluster_assignments", writer_tag, force
+        spark, path, "compact_cluster_assignments", writer_token, force
     )
     base, log, params = load_cluster_assignments(
         spark, path, _allow_uncommitted=True
@@ -676,7 +735,7 @@ def _compact_if_log_large(
     clusters_path: str,
     stats: dict,
     threshold: int | None,
-    writer_tag: str | None = None,
+    writer_token: str | None = None,
 ) -> dict:
     """Auto-compaction hook for the continuous loops: when a merge
     leaves the flattened remap log past ``threshold`` rows, fold it
@@ -692,7 +751,7 @@ def _compact_if_log_large(
     stats["log_compacted"] = False
     if threshold is not None and stats.get("log_entries", 0) >= threshold:
         folded = compact_cluster_assignments(
-            spark, clusters_path, writer_tag=writer_tag
+            spark, clusters_path, writer_token=writer_token
         )
         stats["log_compacted"] = True
         stats["log_entries_folded"] = folded["log_entries_folded"]
@@ -708,7 +767,7 @@ def ingest_and_update_clusters(
     allow_short: bool = False,
     reliable_checkpoints: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
-    writer_tag: str | None = None,
+    writer_token: str | None = None,
 ) -> dict:
     """The daily near-dup loop, end to end in O(delta): append the
     delta to the persisted near-dup index, probe it for ALL pairs the
@@ -736,10 +795,10 @@ def ingest_and_update_clusters(
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
-        writer_tag=writer_tag,
+        writer_token=writer_token,
     )
     return _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold, writer_tag
+        spark, clusters_path, stats, compact_log_threshold, writer_token
     )
 
 
@@ -751,7 +810,7 @@ def ingest_and_update_clusters_vec(
     threshold: float | None = None,
     reliable_checkpoints: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
-    writer_tag: str | None = None,
+    writer_token: str | None = None,
 ) -> dict:
     """The embedding-side daily loop — the vector twin of
     ``ingest_and_update_clusters``: append the delta to the persisted
@@ -814,15 +873,18 @@ def ingest_and_update_clusters_vec(
         src_col="probe_id",
         dst_col="corpus_id",
         reliable_checkpoints=reliable_checkpoints,
-        writer_tag=writer_tag,
+        writer_token=writer_token,
     )
     return _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold, writer_tag
+        spark, clusters_path, stats, compact_log_threshold, writer_token
     )
 
 
 def fsck_cluster_assignments(
-    spark: SparkSession, path: str, strict: bool = True
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+    stage_repair_min_age_sec: float = 60.0,
 ) -> dict:
     """Whole-clustering consistency sweep — the scheduled-maintenance
     counterpart of the merge's per-delta guards, mirroring
@@ -854,10 +916,22 @@ def fsck_cluster_assignments(
     claimed writer's own ``_swap_staged`` window must not adopt its
     stage — that would fail the writer's rename and abort a healthy
     mutation), and the claim is surfaced in the report. With no claim
-    the sweep keeps its maintenance role and restores crashed swaps."""
+    the sweep keeps its maintenance role and restores crashed swaps —
+    but only stages at least ``stage_repair_min_age_sec`` old
+    (filesystem clock): the batch loops (``ingest_and_update_clusters``
+    and friends) hold NO claim, so the only way to tell their
+    in-flight swap (stage milliseconds old) from genuine crash residue
+    (stage as old as the crash) is age. A crashed swap younger than
+    the gate is simply picked up by the next sweep, or immediately by
+    retrying the crashed mutation (mutators repair their own residue
+    regardless of age)."""
     claim = fs_read_text(spark, f"{path.rstrip('/')}/{_WRITER_ACTIVE}")
     base, log, params = load_cluster_assignments(
-        spark, path, _allow_uncommitted=True, _repair_staged=claim is None
+        spark,
+        path,
+        _allow_uncommitted=True,
+        _repair_staged=claim is None,
+        _repair_stage_min_age=stage_repair_min_age_sec,
     )
     commit = _try_read_parquet(spark, f"{path}/commit")
     commit_rows = commit.collect() if commit is not None else []
@@ -937,8 +1011,6 @@ def gc_cluster_debris(
     mtime — driver/store skew must not shrink the margin) so a
     mid-flight mutation's fresh stage survives a scheduler mishap; run
     from the same single-writer maintenance schedule as compaction."""
-    from .ann_index import _fs_now_ms
-
     p = path.rstrip("/")
     entry_claim = _refuse_if_foreign_writer(
         spark, p, "gc_cluster_debris", None, force
@@ -1022,7 +1094,13 @@ def canonical_keep_table(
     return keep_best_per_component(labeled, id_col, score_col)
 
 
-_SNAP_GEN_RE = re.compile(r"^gen-[0-9a-f]{12}$")
+# The snapshot's generation layout IS the ANN serving-root protocol
+# (gen-dirs + CURRENT pointer + staged pointer swap) — one protocol,
+# one implementation: the regex, the pointer swap, and the resolve
+# retry are imported from ann_index rather than re-implemented, so a
+# future fix to the swap discipline lands in every persisted structure
+# at once.
+_SNAP_GEN_RE = _GEN_RE
 
 
 def snapshot_cluster_assignments(
@@ -1030,6 +1108,7 @@ def snapshot_cluster_assignments(
     path: str,
     out_path: str,
     target_files: int | None = None,
+    min_age_sec: float = 3600.0,
 ) -> int:
     """Publish the RESOLVED assignments under ``out_path`` — the
     always-on serving answer the module docstring prescribes: merges
@@ -1047,11 +1126,16 @@ def snapshot_cluster_assignments(
     A reader planned against the PREVIOUS generation keeps streaming
     its own files untouched (one-generation grace: older generations
     are swept here, the previous one survives until the next
-    snapshot). Read through ``read_cluster_snapshot``; a crash
+    snapshot). The sweep is additionally AGE-GATED (``min_age_sec``,
+    filesystem clock): a young non-current generation may be a
+    concurrently overlapping publish's staged-but-not-yet-pointed
+    output, and deleting it would strand that publish's pointer swap
+    on a missing directory — the same protection ``gc_serving_root``
+    gives the index roots. Read through ``read_cluster_snapshot``; a crash
     anywhere OUTSIDE the two-metadata-op pointer swap leaves
     ``CURRENT`` on the last complete generation, with at worst one
-    orphaned (never-pointed-at) generation dir that the next
-    successful snapshot sweeps. A crash INSIDE the swap (pointer
+    orphaned (never-pointed-at) generation dir that a later successful
+    snapshot sweeps once it ages past ``min_age_sec``. A crash INSIDE the swap (pointer
     deleted, rename pending — sub-millisecond) makes readers fail
     loudly after their retry budget rather than see partial data;
     re-running the snapshot repairs it."""
@@ -1094,14 +1178,27 @@ def snapshot_cluster_assignments(
             "to publish; CURRENT is untouched"
         )
     prev = fs_read_text(spark, f"{root}/CURRENT")
-    tmp = f"{root}/.CURRENT.next"
-    fs_write_text(spark, tmp, gen)
-    fs_delete(spark, f"{root}/CURRENT")
-    fs_rename(spark, tmp, f"{root}/CURRENT")
+    _write_current(spark, root, gen)
     if prev is not None:
         keep = {gen, prev.strip()}
+        # age-gate the sweep the way gc_serving_root does: a non-keep
+        # generation YOUNGER than min_age_sec may be a concurrent
+        # publish's staged-but-not-yet-pointed generation (the exact
+        # scheduler mishap two overlapping crons produce) — deleting
+        # it would leave that publish swapping CURRENT onto a deleted
+        # directory, taking the serving root down until the next
+        # publish. Aged by the FILESYSTEM's clock (driver/store skew
+        # must not shrink the margin). Old aged debris is still swept
+        # every publish, so storage stays bounded at CURRENT + grace
+        # + (transient) in-flight publishes.
+        now_ms = _fs_now_ms(spark, root)
         for name in fs_list_names(spark, root):
-            if _SNAP_GEN_RE.match(name) and name not in keep:
+            if (
+                _SNAP_GEN_RE.match(name)
+                and name not in keep
+                and (now_ms - fs_mtime(spark, f"{root}/{name}")) / 1000.0
+                >= min_age_sec
+            ):
                 fs_delete(spark, f"{root}/{name}")
     # prev None = first publish (nothing to sweep) OR the recovery of
     # a crashed pointer swap — in the second case WHICH generation
@@ -1120,24 +1217,20 @@ def read_cluster_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
     generation dirs exist (a pre-generation snapshot or any plain
     parquet table a deployment already points dashboards at)."""
     root = out_path.rstrip("/")
-    for _ in range(40):
-        gen = fs_read_text(spark, f"{root}/CURRENT")
-        if gen is not None:
-            gen = gen.strip()
-            gen_path = f"{root}/{gen}"
-            if _SNAP_GEN_RE.match(gen) and fs_exists(spark, gen_path):
-                return spark.read.parquet(gen_path)
-        elif not any(
-            _SNAP_GEN_RE.match(n) for n in fs_list_names(spark, root)
-        ):
-            return spark.read.parquet(root)
-        time.sleep(0.05)
-    raise RuntimeError(
-        f"cluster snapshot at {out_path}: CURRENT pointer missing or "
-        "naming an absent generation after retries — a pointer swap "
-        "crashed mid-flight; re-run snapshot_cluster_assignments (it "
-        "publishes a fresh generation and restores the pointer)"
-    )
+    try:
+        # the shared serving-root resolver: live generation when a
+        # CURRENT pointer exists (retrying across the sub-ms swap
+        # gap), the root itself when neither pointer nor generation
+        # dirs do (plain-table fallback)
+        return spark.read.parquet(_resolve_index_root(spark, root))
+    except RuntimeError:
+        raise RuntimeError(
+            f"cluster snapshot at {out_path}: CURRENT pointer missing "
+            "or naming an absent generation after retries — a pointer "
+            "swap crashed mid-flight; re-run "
+            "snapshot_cluster_assignments (it publishes a fresh "
+            "generation and restores the pointer)"
+        ) from None
 
 
 def fsck_cluster_snapshot(
@@ -1157,8 +1250,13 @@ def fsck_cluster_snapshot(
       what its ``_PROVENANCE.json`` recorded at publish (False = the
       generation lost or gained files after commit — corruption).
     - ``extra_generations``: generation dirs beyond CURRENT + the
-      one-generation grace — repeated-crash debris the next
-      successful publish sweeps (informational).
+      one-generation grace — repeated-crash debris a later successful
+      publish sweeps once aged (informational). The grace (the
+      newest non-current dir not newer than CURRENT itself, by
+      filesystem mtime) is EXCLUDED from the list: an operator acting
+      on the report must never be told to delete the generation an
+      in-flight reader may still be streaming. Dirs newer than
+      CURRENT are crash orphans and always listed.
     - with ``source_path``: ``source_rebuilt`` (the live clustering's
       build_id differs from the one the snapshot captured — a rebuild
       happened, the snapshot is definitely stale) and
@@ -1212,8 +1310,24 @@ def fsck_cluster_snapshot(
             for x in fs_list_names(spark, root)
             if _SNAP_GEN_RE.match(x) and x != gen
         ]
-        if len(others) > 1:
-            report["extra_generations"] = sorted(others)
+        if others:
+            # exclude the one-generation reader grace from the debris
+            # list: the grace is the generation CURRENT pointed at
+            # before this one — the newest non-current dir that is NOT
+            # newer than CURRENT itself (a dir staged AFTER the
+            # current publish is a crash orphan, not the grace; same
+            # mtime-anchored classification as gc_serving_root). An
+            # operator acting on extra_generations must never be told
+            # to delete the grace out from under an in-flight reader.
+            cur_m = fs_mtime(spark, f"{root}/{gen}")
+            stamped = sorted(
+                (fs_mtime(spark, f"{root}/{x}"), x) for x in others
+            )
+            older = [x for m, x in stamped if m <= cur_m]
+            grace = older[-1] if older else None
+            extra = sorted(x for x in others if x != grace)
+            if extra:
+                report["extra_generations"] = extra
     violations = not report.get("current_resolves", True) or (
         report.get("provenance_rows_match") is False
     )

@@ -778,11 +778,13 @@ def ivf_pq_search(
     unioning results is exact, not approximate. ``None`` overrides
     for callers that have sized their executors for a bigger LUT.
     ``chunk_oversized=True`` turns the advice into behavior: an
-    oversized batch is hash-split into the minimum number of chunks
-    whose LUTs fit the budget and the per-chunk results are unioned —
-    exact by the independence argument, memory bounded by
-    construction (an uneven chunk that still exceeds re-splits
-    itself). The honest cost: each chunk re-runs the probed-list code
+    oversized batch is split by query row number into the minimum
+    number of chunks whose LUTs fit the budget and the per-chunk
+    results are unioned — exact by the independence argument, memory
+    bounded by construction (chunks are row-count-even, so every
+    chunk's LUT lands within one query of the budget; a straggler
+    that still exceeds re-splits itself, and the row-number split
+    strictly shrinks each level, so the recursion terminates). The honest cost: each chunk re-runs the probed-list code
     SCAN, so wall time is ~n_chunks x the scan — the dial a
     deployment turns when one batch's LUT cannot fit, as opposed to
     raising the budget on bigger executors."""
@@ -845,18 +847,34 @@ def ivf_pq_search(
                 )
             if chunk_oversized:
                 # minimum chunk count whose per-chunk LUT fits, capped
-                # at the query count; hash-split is near-even, and a
-                # straggler chunk that still exceeds the budget
-                # re-splits itself on recursion (per_q <= budget above
-                # guarantees single-query chunks always fit, so the
-                # recursion terminates in a result, never an error)
+                # at the query count. The split is by ROW NUMBER, not
+                # id hash: a hash split makes no progress when every id
+                # in a chunk shares the same residue (two even-hash
+                # queries re-split 2-ways land in the same chunk again,
+                # forever — the recursion would never reach the
+                # single-query base case). row_number mod n_chunks
+                # bounds every chunk at ceil(n_q / n_chunks) < n_q for
+                # n_chunks >= 2, so each recursion level strictly
+                # shrinks and (per_q <= budget above) terminates at
+                # chunks that fit. The global orderBy window is one
+                # single-task sort of |Q| rows — query batches are
+                # driver-collected-shortlist-sized, and this path only
+                # runs once the batch is already over budget.
                 n_chunks = min(-(-lut_rows // lut_row_budget), n_q)
-                qh = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+                chunked = queries.withColumn(
+                    "__chunk",
+                    F.pmod(
+                        F.row_number().over(Window.orderBy(F.col(id_col)))
+                        - 1,
+                        F.lit(int(n_chunks)),
+                    ),
+                )
                 out = None
                 for i in range(int(n_chunks)):
                     part = ivf_pq_search(
                         index, centroids, codebook,
-                        queries.filter(qh == i), corpus, id_col, vec_col,
+                        chunked.filter(F.col("__chunk") == i).drop("__chunk"),
+                        corpus, id_col, vec_col,
                         n_subspaces, sub_dim, n_probe, k, rerank_factor,
                         residual=True, lut_row_budget=lut_row_budget,
                         chunk_oversized=True,

@@ -1999,9 +1999,14 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ingest_and_update_clusters`` (index append → candidate probe →
     incremental merge), so every TIMED run measures a REAL delta merge
     against a standing corpus, not a replay; after the 24 slices run
-    out, the last slice replays (an idempotent no-op by the merge's
-    crash contract — still exercising the pruned endpoint resolve and
-    the probe). This is the path a daily-ingest deployment pays per
+    out, the last slice replays through the already-appended fallback
+    (probe + idempotent merge, no re-append — still exercising the
+    pruned endpoint resolve and the probe). The slice counter advances
+    only AFTER a successful merge, and a replayed slice takes the same
+    fallback, so a timed run that crashes mid-merge leaves the
+    headline self-healing: the retry re-runs the SAME slice, whose
+    pending-operation token (its own pair fingerprint) permits exactly
+    that replay. This is the path a daily-ingest deployment pays per
     batch, and the piece of r9's probe_r9 flat-incremental-cost story
     that previously had no round-over-round record: a regression in
     the merge path (e.g. broken min/max base pruning) now shows in
@@ -2020,6 +2025,7 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster_index import (
         build_cluster_assignments,
         ingest_and_update_clusters,
+        merge_cluster_delta,
     )
     from ..operators.dedup import (
         connected_components,
@@ -2066,11 +2072,32 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_id = int(meta.strip())
     counter = fs_read_text(spark, f"{root}/counter.txt")
     slice_idx = min(int(counter.strip()) if counter else 0, n_slices - 1)
-    fs_write_text(spark, f"{root}/counter.txt", str(slice_idx + 1))
     lo = max_id * (52 + 2 * slice_idx) // 100
     hi = max_id if slice_idx == n_slices - 1 else max_id * (54 + 2 * slice_idx) // 100
     delta = docs.filter((F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi)))
-    stats = ingest_and_update_clusters(delta, idx, cl, allow_short=True)
+    try:
+        stats = ingest_and_update_clusters(delta, idx, cl, allow_short=True)
+    except ValueError as exc:
+        if "already exist" not in str(exc):
+            raise
+        # this slice's index append already landed — a prior timed run
+        # crashed after the append (its pending token, if any, names
+        # THIS slice's pairs and only this replay can re-commit), or
+        # the slices ran out and the last one is replaying. Either
+        # way the loop's tail is the documented recovery: probe +
+        # idempotent merge, no re-append.
+        from ..operators.dedup_index import query_dedup_candidates
+
+        pairs = query_dedup_candidates(spark, idx, delta, text_col="text")
+        stats = merge_cluster_delta(
+            spark, cl, pairs, src_col="probe_id", dst_col="corpus_id"
+        )
+    # the counter advances only AFTER the merge committed: advancing
+    # first meant a crash mid-merge left the NEXT invocation appending
+    # slice k+1 onto an index whose pending token names slice k —
+    # every later run would append yet another slice and refuse,
+    # wedging the headline until someone wiped the session cache
+    fs_write_text(spark, f"{root}/counter.txt", str(slice_idx + 1))
     return tiny_local_df(
         spark,
         [

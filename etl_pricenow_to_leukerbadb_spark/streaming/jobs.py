@@ -619,11 +619,11 @@ def stream_index_ingest_job(
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
     logical_path = index_path.rstrip("/")
     tag = f"stream_index_ingest:{ckpt_path}"
-    claim_index_for_ingest(spark, logical_path, tag)
+    token = claim_index_for_ingest(spark, logical_path, tag)
     try:
         _stream_index_ingest(spark, vectors_path, logical_path, ckpt_path)
     finally:
-        release_index_ingest_claim(spark, logical_path, owner_tag=tag)
+        release_index_ingest_claim(spark, logical_path, owner_token=token)
 
 
 def _stream_index_ingest(
@@ -784,14 +784,14 @@ def _stream_bucket_ingest(
     ckpt_path = index_path.rstrip("/") + "_ingest_ckpt"
     logical_path = index_path.rstrip("/")
     tag = f"{name}:{ckpt_path}"
-    claim_index_for_ingest(spark, logical_path, tag)
+    token = claim_index_for_ingest(spark, logical_path, tag)
     try:
         _run_bucket_ingest(
             spark, src_path, logical_path, ckpt_path, schema, id_col,
             rows_per_id, build_id, append, name, fsck_name, post_batch,
         )
     finally:
-        release_index_ingest_claim(spark, logical_path, owner_tag=tag)
+        release_index_ingest_claim(spark, logical_path, owner_token=token)
 
 
 def _run_bucket_ingest(
@@ -993,6 +993,8 @@ def stream_dedup_cluster_job(
     # the same enforced single-writer contract the index ingests carry
     tag = f"stream_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
+    token = claim_cluster_writer(spark, clusters_path, tag)
+
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
         pairs = query_dedup_candidates(
@@ -1004,11 +1006,10 @@ def stream_dedup_cluster_job(
             pairs,
             src_col="probe_id",
             dst_col="corpus_id",
-            writer_tag=tag,
+            writer_token=token,
         )
-        _compact_if_log_large(ss, clusters_path, stats, threshold, tag)
+        _compact_if_log_large(ss, clusters_path, stats, threshold, token)
 
-    claim_cluster_writer(spark, clusters_path, tag)
     try:
         _stream_bucket_ingest(
             spark,
@@ -1024,7 +1025,7 @@ def stream_dedup_cluster_job(
             post_batch=_cluster,
         )
     finally:
-        release_cluster_writer(spark, clusters_path, owner_tag=tag)
+        release_cluster_writer(spark, clusters_path, owner_token=token)
 
 
 def stream_vec_dedup_ingest_job(
@@ -1110,6 +1111,8 @@ def stream_vec_dedup_cluster_job(
     threshold = compact_log_threshold
     tag = f"stream_vec_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
+    token = claim_cluster_writer(spark, clusters_path, tag)
+
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
         pairs = query_vec_dedup_candidates(ss, index_path, batch_df)
@@ -1119,11 +1122,10 @@ def stream_vec_dedup_cluster_job(
             pairs,
             src_col="probe_id",
             dst_col="corpus_id",
-            writer_tag=tag,
+            writer_token=token,
         )
-        _compact_if_log_large(ss, clusters_path, stats, threshold, tag)
+        _compact_if_log_large(ss, clusters_path, stats, threshold, token)
 
-    claim_cluster_writer(spark, clusters_path, tag)
     try:
         _stream_bucket_ingest(
             spark,
@@ -1140,4 +1142,4 @@ def stream_vec_dedup_cluster_job(
             post_batch=_cluster,
         )
     finally:
-        release_cluster_writer(spark, clusters_path, owner_tag=tag)
+        release_cluster_writer(spark, clusters_path, owner_token=token)

@@ -767,6 +767,56 @@ def test_residual_lut_budget_fails_loudly_and_chunking_is_exact(
     )
 
 
+def test_chunked_residual_search_progresses_on_hash_colliding_ids(
+    spark, corpus, tmp_path
+):
+    """Regression: the auto-chunk split used to be
+    pmod(xxhash64(id), n_chunks) — two over-budget queries whose
+    hashes share a residue re-split into the SAME chunk at every
+    level (the recursive call recomputes the identical n_chunks and
+    the identical partition), so the recursion never reached the
+    single-query base case: infinite recursion, each level burning a
+    queries.count() + codebook.count(). The split is now by row
+    number, which strictly shrinks every level. This test picks the
+    adversarial same-residue pair explicitly and must return the
+    exact unchunked answer."""
+    from etl_pricenow_to_leukerbadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "coll_idx")
+    build_ivfpq_index(corpus, path, n_centroids=16, residual=True, **PARAMS)
+    by_residue: dict = {}
+    for r in (
+        corpus.select(
+            "vec_id",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)).alias("p"),
+        )
+        .limit(20)
+        .collect()
+    ):
+        by_residue.setdefault(r["p"], []).append(r["vec_id"])
+    pair = next(v[:2] for v in by_residue.values() if len(v) >= 2)
+    q2 = corpus.filter(F.col("vec_id").isin([int(x) for x in pair]))
+    full = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, q2, corpus, n_probe=4, k=5
+        ).collect()
+    )
+    # budget fits ONE query's LUT (n_probe 4 x codebook 32 = 128 rows)
+    # but not two (256): forces n_chunks=2 on a same-residue pair
+    chunked = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, q2, corpus, n_probe=4, k=5,
+            lut_row_budget=200, chunk_oversized=True,
+        ).collect()
+    )
+    assert chunked == full
+
+
 def test_stream_index_ingest_matches_rebuild_and_is_idempotent(
     spark, corpus, queries, tmp_path
 ):

@@ -775,7 +775,7 @@ def test_cluster_writer_claim_enforces_single_writer(spark, tmp_path):
 
     path = str(tmp_path / "cl")
     _build_from_pairs(spark, [(1, 2), (3, 4)], path)
-    claim_cluster_writer(spark, path, "job-a")
+    token_a = claim_cluster_writer(spark, path, "job-a")
     with pytest.raises(RuntimeError, match="claimed by a live writer"):
         merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
     with pytest.raises(RuntimeError, match="claimed by a live writer"):
@@ -785,26 +785,109 @@ def test_cluster_writer_claim_enforces_single_writer(spark, tmp_path):
     # a second claim refuses, naming the holder
     with pytest.raises(RuntimeError, match="already claimed.*job-a"):
         claim_cluster_writer(spark, path, "job-b")
-    # the owner proceeds through its own claim
+    # the owner proceeds through its own claim token
     merge_cluster_delta(
-        spark, path, _pairs_df(spark, [(2, 3)]), writer_tag="job-a"
+        spark, path, _pairs_df(spark, [(2, 3)]), writer_token=token_a
     )
     assert _resolved_set(spark, path) == _cc_set(
         _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
     )
     # force bypasses but leaves the marker (reported by gc)
     out = gc_cluster_debris(spark, path, force=True)
-    assert out["bypassed_claim"].startswith("job-a claimed_at=")
+    assert out["bypassed_claim"].startswith("job-a nonce=")
     compact_cluster_assignments(spark, path, force=True)
     # a stranger's release is a no-op; the owner's clears it
-    release_cluster_writer(spark, path, owner_tag="job-b")
+    release_cluster_writer(spark, path, owner_token="job-b some-other-token")
     with pytest.raises(RuntimeError, match="claimed by a live writer"):
         compact_cluster_assignments(spark, path)
-    release_cluster_writer(spark, path, owner_tag="job-a")
+    release_cluster_writer(spark, path, owner_token=token_a)
     compact_cluster_assignments(spark, path)
     assert _resolved_set(spark, path) == _cc_set(
         _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
     )
+
+
+def test_fsck_stage_adoption_is_age_gated(spark, tmp_path):
+    """fsck holds no writer role and the BATCH loops hold no claim, so
+    a scheduled sweep can land inside an unclaimed live writer's
+    _swap_staged window (live deleted, stage present for a moment).
+    Adopting that stage would fail the writer's own rename and abort a
+    healthy mutation — so the sweep's restore is age-gated: a FRESH
+    stage is left alone (loud mid-swap report instead of a repair), an
+    AGED one is genuine crash residue and is adopted."""
+    import os
+    import shutil
+    import time
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        fsck_cluster_assignments,
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    delta = _pairs_df(spark, [(2, 3)])
+    merge_cluster_delta(spark, path, delta)
+    want = _resolved_set(spark, path)
+    shutil.copytree(f"{path}/remap", f"{path}/.remap_stage")
+    shutil.rmtree(f"{path}/remap")
+    shutil.rmtree(f"{path}/commit")  # the swap-window crash shape
+    # fresh stage: an unclaimed writer may be mid-swap RIGHT NOW — the
+    # sweep must not adopt it, and the failure names the recovery
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        fsck_cluster_assignments(spark, path, strict=False)
+    assert os.path.isdir(f"{path}/.remap_stage")
+    assert not os.path.isdir(f"{path}/remap")
+    # aged past the gate: genuine crash residue — the sweep adopts it
+    # (and still reports the state uncommitted until the mutation is
+    # retried)
+    old = time.time() - 7200
+    os.utime(f"{path}/.remap_stage", (old, old))
+    rep = fsck_cluster_assignments(spark, path, strict=False)
+    assert rep["uncommitted"]
+    assert os.path.isdir(f"{path}/remap")
+    assert not os.path.isdir(f"{path}/.remap_stage")
+    # the mutator's replay completes the recovery
+    merge_cluster_delta(spark, path, delta)
+    assert _resolved_set(spark, path) == want
+
+
+def test_cluster_writer_claim_distinguishes_forced_successor(spark, tmp_path):
+    """Ownership is the exact claim TOKEN, not the deterministic tag:
+    when a hung writer's claim is force-cleaned and a replacement with
+    the SAME tag (same job name + path) claims, the unwedged
+    predecessor must neither mutate through the successor's claim nor
+    delete it on exit — a tag-prefix match allowed both, voiding
+    exactly the exclusivity the claim exists for."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_delete, fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        claim_cluster_writer,
+        release_cluster_writer,
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    tag = "stream_dedup_cluster_job:" + path
+    token_a = claim_cluster_writer(spark, path, tag)
+    # operator force-cleans the hung writer's claim, successor claims
+    fs_delete(spark, f"{path}/.WRITER_ACTIVE")
+    token_b = claim_cluster_writer(spark, path, tag)
+    assert token_a != token_b
+    # the unwedged predecessor's merge refuses: the live claim is the
+    # successor's, even though it shares the predecessor's tag
+    with pytest.raises(RuntimeError, match="claimed by a live writer"):
+        merge_cluster_delta(
+            spark, path, _pairs_df(spark, [(2, 3)]), writer_token=token_a
+        )
+    # the predecessor's finally-block release is a no-op on the
+    # successor's claim
+    release_cluster_writer(spark, path, owner_token=token_a)
+    assert fs_read_text(spark, f"{path}/.WRITER_ACTIVE") == token_b
+    # the successor keeps working and releases its own claim
+    merge_cluster_delta(
+        spark, path, _pairs_df(spark, [(2, 3)]), writer_token=token_b
+    )
+    release_cluster_writer(spark, path, owner_token=token_b)
+    assert fs_read_text(spark, f"{path}/.WRITER_ACTIVE") is None
 
 
 def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
@@ -876,6 +959,64 @@ def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
     assert not os.path.isdir(f"{path}/.remap_stage")
 
 
+def test_fsck_cli_routes_snapshot_sweep(spark, tmp_path, monkeypatch, capsys):
+    """--snapshot routes the ops entry point at the snapshot serving
+    root: clean sweep exits 0, --source adds the staleness fields, a
+    broken pointer exits 1, and the mutating flags are refused (a
+    snapshot root is repaired by re-publishing)."""
+    import json
+    import sys
+
+    from etl_pricenow_to_leukerbadb_spark import session as sess
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_write_text
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        snapshot_cluster_assignments,
+    )
+    from tools import fsck_index as cli
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        sess, "get_spark", lambda app_name=None: _NoStop(spark)
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    snapshot_cluster_assignments(spark, path, out)
+
+    def run(*argv):
+        monkeypatch.setattr(sys, "argv", ["fsck_index", out, *argv])
+        rc = cli.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(line)
+
+    rc, rep = run("--snapshot")
+    assert rc == 0 and rep["current_resolves"] and rep["provenance_rows_match"]
+    rc, rep = run("--snapshot", "--source", path)
+    assert rc == 0 and rep["source_rebuilt"] is False
+    assert rep["rows_behind_source"] == 0
+    # mutating flags are refused up front
+    with pytest.raises(SystemExit):
+        monkeypatch.setattr(sys, "argv", ["fsck_index", out, "--snapshot", "--gc"])
+        cli.main()
+    capsys.readouterr()
+    # a broken pointer is a violation: exit 1 (0 under --lenient)
+    fs_write_text(spark, f"{out}/CURRENT", "gen-" + "0" * 12)
+    rc, rep = run("--snapshot")
+    assert rc == 1 and rep["current_resolves"] is False
+    rc, _ = run("--snapshot", "--lenient")
+    assert rc == 0
+
+
 def test_dd_cluster_merge_headline_builds_once_merges_fresh_and_is_exact(
     spark, sf_small
 ):
@@ -924,6 +1065,42 @@ def test_dd_cluster_merge_headline_builds_once_merges_fresh_and_is_exact(
     sigs = minhash_signatures(ingested, "doc_id", "text", 3, 8)
     pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 4)
     assert _resolved_set(spark, f"{root}/cl") == _cc_set(pairs)
+
+    # crash contract: a timed run that dies mid-merge must NOT advance
+    # the slice counter (advancing first wedged the headline forever:
+    # the next run appended slice k+1 over slice k's pending token and
+    # every later run refused). The retry re-runs the SAME slice; its
+    # index append already landed, so the fallback (probe + idempotent
+    # merge) completes it and only THEN does the counter move.
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_write_text
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    counter_before = fs_read_text(spark, f"{root}/counter.txt").strip()
+    real_merge = ci.merge_cluster_delta
+    calls = {"n": 0}
+
+    def crash_mid_merge(*args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("injected crash inside the merge")
+
+    ci.merge_cluster_delta = crash_mid_merge
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            spec.fn(spark, sf_small).collect()
+    finally:
+        ci.merge_cluster_delta = real_merge
+    assert calls["n"] == 1
+    assert (
+        fs_read_text(spark, f"{root}/counter.txt").strip() == counter_before
+    ), "a crashed run must not advance the slice counter"
+    # the crashed slice's append landed; the retry replays it through
+    # the no-re-append fallback and the counter advances exactly once
+    r3 = spec.fn(spark, sf_small).collect()[0]
+    assert r3.slice_idx == int(counter_before)
+    assert (
+        fs_read_text(spark, f"{root}/counter.txt").strip()
+        == str(int(counter_before) + 1)
+    )
 
 
 def test_canonical_keep_table_matches_from_scratch_entry(
@@ -1311,30 +1488,101 @@ def test_snapshot_publish_is_atomic_under_crash_and_concurrent_reads(
     old = _snap_set(spark, out)
 
     # mutate the clustering, then crash the NEXT snapshot right before
-    # its pointer swap (the staged generation is fully written)
+    # its pointer swap (the staged generation is fully written). The
+    # swap is the SHARED serving-root primitive (_write_current in
+    # ann_index), so the injection patches it there.
+    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+
     merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
-    real_delete = ci.fs_delete
+    real_delete = ai.fs_delete
     def crash_on_pointer(spark_, p):
         if p.endswith("/CURRENT"):
             raise RuntimeError("injected crash before the pointer swap")
         return real_delete(spark_, p)
 
-    monkeypatch.setattr(ci, "fs_delete", crash_on_pointer)
+    monkeypatch.setattr(ai, "fs_delete", crash_on_pointer)
     with pytest.raises(RuntimeError, match="injected crash"):
         ci.snapshot_cluster_assignments(spark, path, out)
     monkeypatch.undo()
     # mid-crash state: readers still see the complete OLD snapshot
     assert _snap_set(spark, out) == old
-    # the retried publish lands the new resolution atomically and
-    # sweeps the orphaned generation (one-generation grace: the
-    # previous LIVE generation survives for in-flight readers)
+    # the retried publish lands the new resolution atomically. The
+    # crashed publish's orphan generation is YOUNG, and young
+    # non-current generations are protected by the sweep's age gate
+    # (they are indistinguishable from a concurrently overlapping
+    # publish's staged-but-not-yet-pointed output, whose deletion
+    # would strand that publish's pointer swap on a missing dir) —
+    # so it survives this publish and is swept once aged
     want = _resolved_set(spark, path)
     ci.snapshot_cluster_assignments(spark, path, out)
     assert _snap_set(spark, out) == want
     import os
 
     gens = [n for n in os.listdir(out) if n.startswith("gen-")]
+    assert len(gens) <= 3
+    # age everything, publish again: the aged debris is swept down to
+    # CURRENT + the one-generation reader grace
+    import time
+
+    old_ts = time.time() - 7200
+    for g in gens:
+        os.utime(f"{out}/{g}", (old_ts, old_ts))
+    ci.snapshot_cluster_assignments(spark, path, out)
+    assert _snap_set(spark, out) == want
+    gens = [n for n in os.listdir(out) if n.startswith("gen-")]
     assert len(gens) <= 2
+
+
+def test_snapshot_sweep_never_deletes_a_concurrent_publishs_staged_gen(
+    spark, tmp_path, monkeypatch
+):
+    """Two overlapping publishes (the scheduler mishap): slow publish X
+    stages its generation, fast publish Y completes first. Y's sweep
+    must NOT delete X's staged-but-not-yet-pointed generation — X's
+    pointer swap would otherwise land on a deleted directory and take
+    the serving root down until the next publish. The age gate is the
+    protection: X's stage is young."""
+    import os
+
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    ci.snapshot_cluster_assignments(spark, path, out)
+
+    # publish X: crash right before its pointer swap, leaving its
+    # fully-staged young generation on disk (exactly what a slower
+    # concurrent publish looks like to Y's sweep)
+    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+
+    real_delete = ai.fs_delete
+
+    def crash_on_pointer(spark_, p):
+        if p.endswith("/CURRENT"):
+            raise RuntimeError("injected crash before the pointer swap")
+        return real_delete(spark_, p)
+
+    monkeypatch.setattr(ai, "fs_delete", crash_on_pointer)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ci.snapshot_cluster_assignments(spark, path, out)
+    monkeypatch.undo()
+    staged = {
+        n
+        for n in os.listdir(out)
+        if n.startswith("gen-")
+        and n != ci.fs_read_text(spark, f"{out}/CURRENT").strip()
+    }
+    assert staged  # X's generation is on disk, unpointed
+
+    # publish Y completes: X's young generation survives the sweep
+    ci.snapshot_cluster_assignments(spark, path, out)
+    for g in staged:
+        assert os.path.isdir(f"{out}/{g}")
+    # so X's (delayed) pointer swap would land on an EXISTING dir and
+    # readers keep resolving; with min_age_sec=0 (the old behavior)
+    # the sweep would have deleted it
+    assert _snap_set(spark, out) == _resolved_set(spark, path)
 
 
 def test_snapshot_provenance_names_the_captured_build(spark, tmp_path):
@@ -1409,6 +1657,47 @@ def test_fsck_cluster_snapshot_checks_pointer_rows_and_staleness(
     _pairs_df(spark, [(1, 1)]).toDF("node", "component").write.parquet(plain)
     rep = fsck_cluster_snapshot(spark, plain)
     assert rep["layout"] == "plain" and rep["n_rows"] == 1
+
+
+def test_fsck_cluster_snapshot_excludes_the_grace_from_extras(
+    spark, tmp_path
+):
+    """extra_generations must not name the one-generation reader
+    grace: an operator acting on the report would delete the
+    generation an in-flight reader planned against is still
+    streaming — the exact dark window the grace exists to prevent.
+    Crash orphans (dirs newer than CURRENT) are always listed."""
+    import os
+    import time
+
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        fsck_cluster_snapshot,
+        snapshot_cluster_assignments,
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    snapshot_cluster_assignments(spark, path, out)
+    grace = fs_read_text(spark, f"{out}/CURRENT").strip()
+    time.sleep(0.05)
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(5, 6)]))
+    snapshot_cluster_assignments(spark, path, out)
+    current = fs_read_text(spark, f"{out}/CURRENT").strip()
+    assert grace != current
+    # only CURRENT + grace on disk: nothing to report
+    rep = fsck_cluster_snapshot(spark, out)
+    assert "extra_generations" not in rep
+    # a crash orphan (newer than CURRENT): listed — and the grace
+    # still is not
+    orphan = "gen-" + "f" * 12
+    os.makedirs(f"{out}/{orphan}")
+    future = time.time() + 60
+    os.utime(f"{out}/{orphan}", (future, future))
+    rep = fsck_cluster_snapshot(spark, out)
+    assert rep["extra_generations"] == [orphan]
+    assert grace not in rep["extra_generations"]
 
 
 def test_read_cluster_snapshot_falls_back_to_a_plain_table(spark, tmp_path):

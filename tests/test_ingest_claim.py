@@ -242,7 +242,7 @@ def test_fsck_reports_root_observations(spark, corpus, tmp_path):
     os.utime(fake_gen, (future, future))
     try:
         rep = fsck_index(spark, path)
-        assert rep["ingest_claim"].startswith("lingering-job claimed_at=")
+        assert rep["ingest_claim"].startswith("lingering-job nonce=")
         assert rep["superseded_generation"] == grace  # unchanged
         assert rep["orphaned_generations"] == ["gen-" + "0" * 12]
         assert "generation_debris" not in rep

@@ -259,13 +259,13 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
 
     # a live claim refuses the sweep (single-writer like every
     # maintenance op); force is the documented bypass and is REPORTED
-    claim_index_for_ingest(spark, path, "job-live")
+    live_token = claim_index_for_ingest(spark, path, "job-live")
     with pytest.raises(RuntimeError, match="claimed by a live ingest"):
         gc_serving_root(spark, path, min_age_sec=0)
     forced = gc_serving_root(spark, path, min_age_sec=10**9, force=True)
     assert forced["bypassed_claim"].startswith("job-live")
     assert forced["deleted"] == []  # age gate still holds under force
-    release_index_ingest_claim(spark, path, "job-live")
+    release_index_ingest_claim(spark, path, live_token)
 
     # default age gate: aged debris swept, fresh orphan retained
     out = gc_serving_root(spark, path, min_age_sec=3600)

@@ -2,8 +2,8 @@
 (ANN and near-dup indexes).
 
 ``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
-[--dedup | --vec-dedup | --clusters] [--compact [TARGET_FILES]]
-[--serving] [--gc [MIN_AGE_SEC]]``
+[--dedup | --vec-dedup | --clusters | --snapshot [--source PATH]]
+[--compact [TARGET_FILES]] [--serving] [--gc [MIN_AGE_SEC]]``
 
 ``append_to_pq_index`` (and the bucket-index appends) verify only the
 ids each append writes (flat cost per micro-batch — the right scope
@@ -37,8 +37,14 @@ debris whose live twin exists plus stale pending tokens beside a
 valid marker (``gc_cluster_debris`` — a stage with a missing twin is
 restore material, never debris); both refuse under a live
 ``.WRITER_ACTIVE`` claim (a running stream_dedup_cluster_job) unless
---force. ``--repair``/``--serving`` do not apply to clusterings. Exit code 0 = consistent (or --lenient), 1 =
-violations found.
+--force. ``--repair``/``--serving`` do not apply to clusterings.
+``--snapshot`` routes the sweep at the FIFTH persisted structure, a
+cluster-snapshot serving root (``fsck_cluster_snapshot``: pointer
+resolution, provenance row count, crash-orphan extras — the grace
+generation is never listed as debris); with ``--source`` it also
+reports staleness vs the live clustering. Sweep-only: a snapshot root
+is repaired by re-publishing, which sweeps its own aged debris. Exit
+code 0 = consistent (or --lenient), 1 = violations found.
 """
 
 from __future__ import annotations
@@ -85,6 +91,22 @@ def main() -> int:
         "(operators/cluster_index.py) instead of an ANN index",
     )
     ap.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="the path is a cluster-snapshot serving root "
+        "(snapshot_cluster_assignments' generation/CURRENT layout): "
+        "sweep = fsck_cluster_snapshot (pointer resolution, "
+        "provenance row count, crash-orphan extras). Sweep-only — "
+        "repair is re-publishing the snapshot",
+    )
+    ap.add_argument(
+        "--source",
+        default=None,
+        metavar="CLUSTERS_PATH",
+        help="with --snapshot: the live clustering to compare against "
+        "(adds source_rebuilt + rows_behind_source staleness fields)",
+    )
+    ap.add_argument(
         "--serving",
         action="store_true",
         help="compact via the zero-downtime serving layout (pointer "
@@ -124,8 +146,22 @@ def main() -> int:
         "variant leaves the marker for manual cleanup",
     )
     args = ap.parse_args()
-    if sum([args.dedup, args.vec_dedup, args.clusters]) > 1:
-        ap.error("--dedup, --vec-dedup and --clusters are mutually exclusive")
+    if sum([args.dedup, args.vec_dedup, args.clusters, args.snapshot]) > 1:
+        ap.error(
+            "--dedup, --vec-dedup, --clusters and --snapshot are "
+            "mutually exclusive"
+        )
+    if args.source and not args.snapshot:
+        ap.error("--source only applies to --snapshot")
+    if args.snapshot and (
+        args.repair or args.serving or args.compact is not None
+        or args.gc is not None
+    ):
+        ap.error(
+            "--snapshot is sweep-only: a snapshot root is repaired by "
+            "re-publishing (snapshot_cluster_assignments), which also "
+            "sweeps aged debris itself"
+        )
     if args.clusters and args.repair:
         ap.error(
             "--repair does not apply to clusterings: retry the crashed "
@@ -160,6 +196,7 @@ def main() -> int:
     from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
         compact_cluster_assignments,
         fsck_cluster_assignments,
+        fsck_cluster_snapshot,
         gc_cluster_debris,
     )
     from etl_pricenow_to_leukerbadb_spark.session import get_spark
@@ -176,15 +213,22 @@ def main() -> int:
             if args.serving
             else compact_vec_dedup_index
         )
-    elif args.clusters:
-        fsck = None  # clusterings take the dedicated branch below
+    elif args.clusters or args.snapshot:
+        fsck = None  # clusterings/snapshots take dedicated branches below
         compact = None
     else:
         fsck = fsck_index
         compact = compact_index_serving if args.serving else compact_index
     spark = get_spark(app_name="fsck-index")
     try:
-        if args.clusters:
+        if args.snapshot:
+            report = fsck_cluster_snapshot(
+                spark, args.index_path, source_path=args.source, strict=False
+            )
+            bad = not report.get("current_resolves", True) or (
+                report.get("provenance_rows_match") is False
+            )
+        elif args.clusters:
             report = fsck_cluster_assignments(
                 spark, args.index_path, strict=False
             )
