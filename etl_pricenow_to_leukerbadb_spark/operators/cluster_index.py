@@ -60,7 +60,10 @@ deployment that needs always-on reads should publish
 linear write into a fresh generation dir with an atomic
 ``CURRENT``-pointer swap (read back via ``read_cluster_snapshot``),
 so the snapshot is immune to the window by construction AND its own
-publish never exposes a half-deleted table.
+publish never exposes a half-deleted table. ``snapshot_if_stale`` is
+the cron-friendly form: it skips the rewrite entirely when the
+generation's provenance says the snapshot already matches the live
+clustering.
 
 Reference analog: the incremental update-vs-existing contract of
 ``scripts/pricenow_etl.py:329-358`` (new data integrated against
@@ -1368,3 +1371,76 @@ def snapshot_provenance(spark: SparkSession, out_path: str) -> dict:
     out = _json.loads(text)
     out["generation"] = gen.strip()
     return out
+
+
+def snapshot_if_stale(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    min_rows_behind: int = 1,
+    target_files: int | None = None,
+    min_age_sec: float = 3600.0,
+) -> dict:
+    """Publish a snapshot only when the live clustering actually
+    moved — the cron-friendly wrapper around
+    ``snapshot_cluster_assignments``. A scheduled publish of an
+    UNCHANGED clustering pays the full resolve + linear rewrite +
+    count-verify for a byte-equivalent table; this compares the live
+    state against the CURRENT generation's provenance first and skips
+    the write when it is current — the same engine-turns-the-dial
+    argument as the loops' remap-log auto-compaction.
+
+    Publishes when any of: no generation snapshot exists yet (or a
+    pre-provenance one — unknowable staleness is treated as stale),
+    the live clustering was REBUILT (build_id differs — labels may
+    have changed wholesale at identical row counts, so row deltas
+    cannot clear it), or the live resolution has at least
+    ``min_rows_behind`` more rows than the snapshot captured (merges
+    only add nodes, so the row delta IS the freshness gap).
+
+    The skip path costs one meta read + one resolved count (a linear
+    scan of the narrow base, no shuffle beyond the broadcast-log
+    join, no write); the publish path costs exactly what
+    ``snapshot_cluster_assignments`` always costs. Returns
+    ``{published, reason, n_rows, rows_behind}``."""
+    _, _, params = load_cluster_assignments(spark, path)
+    try:
+        prov = snapshot_provenance(spark, out_path)
+    except ValueError:
+        n = snapshot_cluster_assignments(
+            spark, path, out_path, target_files, min_age_sec
+        )
+        return {
+            "published": True,
+            "reason": "no provenance-stamped snapshot at out_path",
+            "n_rows": n,
+            "rows_behind": None,
+        }
+    if prov["source_build_id"] != params["build_id"]:
+        n = snapshot_cluster_assignments(
+            spark, path, out_path, target_files, min_age_sec
+        )
+        return {
+            "published": True,
+            "reason": "source clustering was rebuilt",
+            "n_rows": n,
+            "rows_behind": None,
+        }
+    live_n = resolve_cluster_assignments(spark, path).count()
+    behind = live_n - prov["n_rows"]
+    if behind >= min_rows_behind:
+        n = snapshot_cluster_assignments(
+            spark, path, out_path, target_files, min_age_sec
+        )
+        return {
+            "published": True,
+            "reason": f"snapshot {behind} rows behind the live resolution",
+            "n_rows": n,
+            "rows_behind": behind,
+        }
+    return {
+        "published": False,
+        "reason": "snapshot is current",
+        "n_rows": prov["n_rows"],
+        "rows_behind": behind,
+    }

@@ -940,6 +940,8 @@ def stream_dedup_cluster_job(
     clusters_path: str,
     allow_short: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    snapshot_path: str | None = None,
+    snapshot_rows_threshold: int = 100_000,
 ) -> None:
     """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
     each micro-batch is appended to the near-dup index, then probed
@@ -964,12 +966,31 @@ def stream_dedup_cluster_job(
     deployment that schedules compact_cluster_assignments itself).
     The compaction is itself idempotent and runs BEFORE
     the epoch marker, so a crash inside it replays through the same
-    recovery path as the merge."""
+    recovery path as the merge.
+
+    With ``snapshot_path`` the job also keeps the always-on serving
+    snapshot fresh unattended: the merge stats already report how many
+    rows each batch added (``new_nodes``), so the job accumulates them
+    and publishes ``snapshot_cluster_assignments`` once
+    ``snapshot_rows_threshold`` rows have landed since the last
+    publish — zero extra reads on the skip path, unlike polling
+    ``snapshot_if_stale`` per batch (whose currency check is a linear
+    count of the base). A final ``snapshot_if_stale`` at stream drain
+    catches the tail below the threshold (and, because it compares
+    provenance rather than the in-memory accumulator, also repairs
+    the publish debt a crash-restarted run inherited — the
+    accumulator dying with the process only ever DELAYS a mid-stream
+    publish, never loses rows). Publishing inside the job is safe by
+    construction: the snapshot is a strict read, this job holds the
+    single-writer claim, and post-batch means no mutation is in
+    flight."""
     from ..operators.cluster_index import (
         _compact_if_log_large,
         claim_cluster_writer,
         merge_cluster_delta,
         release_cluster_writer,
+        snapshot_cluster_assignments,
+        snapshot_if_stale,
     )
     from ..operators.dedup_index import (
         append_to_dedup_index,
@@ -994,6 +1015,7 @@ def stream_dedup_cluster_job(
     tag = f"stream_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
     token = claim_cluster_writer(spark, clusters_path, tag)
+    rows_since_snapshot = {"n": 0}
 
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
@@ -1009,6 +1031,11 @@ def stream_dedup_cluster_job(
             writer_token=token,
         )
         _compact_if_log_large(ss, clusters_path, stats, threshold, token)
+        if snapshot_path is not None:
+            rows_since_snapshot["n"] += stats["new_nodes"]
+            if rows_since_snapshot["n"] >= snapshot_rows_threshold:
+                snapshot_cluster_assignments(ss, clusters_path, snapshot_path)
+                rows_since_snapshot["n"] = 0
 
     try:
         _stream_bucket_ingest(
@@ -1024,6 +1051,10 @@ def stream_dedup_cluster_job(
             "fsck_dedup_index",
             post_batch=_cluster,
         )
+        if snapshot_path is not None:
+            # drain tail: whatever landed below the threshold, plus any
+            # publish debt a restarted run inherited from a crash
+            snapshot_if_stale(spark, clusters_path, snapshot_path)
     finally:
         release_cluster_writer(spark, clusters_path, owner_token=token)
 
@@ -1068,6 +1099,8 @@ def stream_vec_dedup_cluster_job(
     index_path: str,
     clusters_path: str,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    snapshot_path: str | None = None,
+    snapshot_rows_threshold: int = 100_000,
 ) -> None:
     """``stream_vec_dedup_ingest_job`` plus persisted-cluster
     maintenance — the embedding twin of ``stream_dedup_cluster_job``,
@@ -1094,12 +1127,17 @@ def stream_vec_dedup_cluster_job(
     Holds the clustering's ``.WRITER_ACTIVE`` claim for the run and
     auto-compacts the remap log past ``compact_log_threshold``
     (default: the module-level broadcast budget; ``None`` disables —
-    the same semantics as the batch loops), like the text job."""
+    the same semantics as the batch loops), like the text job; with
+    ``snapshot_path`` it also keeps the serving snapshot fresh off the
+    accumulated merge stats and drains through ``snapshot_if_stale``,
+    exactly like the text job."""
     from ..operators.cluster_index import (
         _compact_if_log_large,
         claim_cluster_writer,
         merge_cluster_delta,
         release_cluster_writer,
+        snapshot_cluster_assignments,
+        snapshot_if_stale,
     )
     from ..operators.dedup_index import (
         append_to_vec_dedup_index,
@@ -1112,6 +1150,7 @@ def stream_vec_dedup_cluster_job(
     tag = f"stream_vec_dedup_cluster_job:{clusters_path.rstrip('/')}"
 
     token = claim_cluster_writer(spark, clusters_path, tag)
+    rows_since_snapshot = {"n": 0}
 
     def _cluster(batch_df: DataFrame) -> None:
         ss = batch_df.sparkSession
@@ -1125,6 +1164,11 @@ def stream_vec_dedup_cluster_job(
             writer_token=token,
         )
         _compact_if_log_large(ss, clusters_path, stats, threshold, token)
+        if snapshot_path is not None:
+            rows_since_snapshot["n"] += stats["new_nodes"]
+            if rows_since_snapshot["n"] >= snapshot_rows_threshold:
+                snapshot_cluster_assignments(ss, clusters_path, snapshot_path)
+                rows_since_snapshot["n"] = 0
 
     try:
         _stream_bucket_ingest(
@@ -1141,5 +1185,9 @@ def stream_vec_dedup_cluster_job(
             "fsck_vec_dedup_index",
             post_batch=_cluster,
         )
+        if snapshot_path is not None:
+            # drain tail + crash-inherited publish debt, like the
+            # text job
+            snapshot_if_stale(spark, clusters_path, snapshot_path)
     finally:
         release_cluster_writer(spark, clusters_path, owner_token=token)

@@ -289,15 +289,35 @@ def test_streaming_cluster_job_matches_full_recompute(spark, sf_small, tmp_path)
         clusters_path,
     )
 
+    snapshot_path = str(tmp_path / "snap")
     for wave in waves:
         wave.select("doc_id", "text").coalesce(1).write.mode(
             "append"
         ).parquet(stream_dir)
-        stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+        stream_dedup_cluster_job(
+            spark,
+            stream_dir,
+            index_path,
+            clusters_path,
+            snapshot_path=snapshot_path,
+            snapshot_rows_threshold=1,
+        )
 
     full_sigs = minhash_signatures(docs, "doc_id", "text", 3, 8)
     want = _cc_set(lsh_candidate_pairs(full_sigs, "doc_id", 8, 4))
     assert _resolved_set(spark, clusters_path) == want
+    # the job kept the always-on serving snapshot fresh unattended:
+    # mid-stream publishes off the merge stats + the drain catch-up
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        read_cluster_snapshot,
+    )
+
+    assert {
+        (r.node, r.component)
+        for r in read_cluster_snapshot(spark, snapshot_path).collect()
+    } == want
+    gen_before = fs_read_text(spark, f"{snapshot_path}/CURRENT").strip()
 
     # replay the whole stream against a FRESH checkpoint: the epoch
     # markers are gone with it, so the marker-less replay classifier
@@ -305,8 +325,18 @@ def test_streaming_cluster_job_matches_full_recompute(spark, sf_small, tmp_path)
     import shutil
 
     shutil.rmtree(index_path + "_ingest_ckpt")
-    stream_dedup_cluster_job(spark, stream_dir, index_path, clusters_path)
+    stream_dedup_cluster_job(
+        spark,
+        stream_dir,
+        index_path,
+        clusters_path,
+        snapshot_path=snapshot_path,
+        snapshot_rows_threshold=1,
+    )
     assert _resolved_set(spark, clusters_path) == want
+    # a no-op replay adds nothing, so the drain's snapshot_if_stale
+    # SKIPS: no wasted republish of an unchanged table
+    assert fs_read_text(spark, f"{snapshot_path}/CURRENT").strip() == gen_before
 
 
 def test_streaming_vec_cluster_job_matches_full_recompute(
@@ -957,6 +987,58 @@ def test_fsck_cli_routes_clusters_sweep_compact_and_gc(
     assert rep["gc"] == "skipped: sweep found violations"
     assert os.path.isdir(f"{path}/remap")
     assert not os.path.isdir(f"{path}/.remap_stage")
+
+
+def test_snapshot_if_stale_skips_current_and_publishes_on_change(
+    spark, tmp_path
+):
+    """The cron-friendly publish: an unchanged clustering skips the
+    full resolve+rewrite (a scheduled snapshot of an unchanged table
+    is pure wasted IO); a merge that added rows publishes; a REBUILD
+    publishes even at identical row counts (labels may have changed
+    wholesale — build_id, not row delta, clears it); a missing or
+    pre-provenance snapshot is treated as stale."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_read_text
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments,
+        snapshot_if_stale,
+    )
+
+    path = str(tmp_path / "cl")
+    out = str(tmp_path / "snap")
+    _build_from_pairs(spark, [(1, 2), (3, 4)], path)
+    # no snapshot yet: publish
+    rep = snapshot_if_stale(spark, path, out)
+    assert rep["published"] and rep["n_rows"] == 4
+    gen1 = fs_read_text(spark, f"{out}/CURRENT").strip()
+    # unchanged clustering: skip (and the generation is untouched)
+    rep = snapshot_if_stale(spark, path, out)
+    assert rep == {
+        "published": False,
+        "reason": "snapshot is current",
+        "n_rows": 4,
+        "rows_behind": 0,
+    }
+    assert fs_read_text(spark, f"{out}/CURRENT").strip() == gen1
+    # a merge that added rows: publish
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(5, 6)]))
+    rep = snapshot_if_stale(spark, path, out)
+    assert rep["published"] and rep["rows_behind"] == 2 and rep["n_rows"] == 6
+    assert fs_read_text(spark, f"{out}/CURRENT").strip() != gen1
+    assert _snap_set(spark, out) == _resolved_set(spark, path)
+    # threshold: a small delta below min_rows_behind stays skipped
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(7, 8)]))
+    rep = snapshot_if_stale(spark, path, out, min_rows_behind=5)
+    assert not rep["published"] and rep["rows_behind"] == 2
+    # a rebuild at ANY row count: publish (build_id differs)
+    build_cluster_assignments(
+        connected_components(_pairs_df(spark, [(1, 2), (3, 4), (5, 6), (7, 8)])),
+        path,
+        overwrite=True,
+    )
+    rep = snapshot_if_stale(spark, path, out, min_rows_behind=10**9)
+    assert rep["published"] and rep["reason"] == "source clustering was rebuilt"
+    assert _snap_set(spark, out) == _resolved_set(spark, path)
 
 
 def test_fsck_cli_routes_snapshot_sweep(spark, tmp_path, monkeypatch, capsys):

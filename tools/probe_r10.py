@@ -136,5 +136,60 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def snapshot_probe() -> None:
+    """Cost basis for ``snapshot_if_stale``: on the same synthetic
+    clustering as the main probe, time one full snapshot publish
+    (resolve + linear rewrite + count-verify + pointer swap) against
+    the skip path (meta read + one resolved count) and against the
+    re-publish a small merge triggers. Run:
+
+        python -m tools.probe_r10 snapshot
+    """
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments,
+        merge_cluster_delta,
+        snapshot_if_stale,
+    )
+
+    spark = get_spark(app_name="probe-r10-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="probe_r10_snap_")
+    try:
+        labels = spark.range(N_NODES).select(
+            F.explode(F.array(F.col("id") * 2, F.col("id") * 2 + 1)).alias(
+                "node"
+            ),
+            (F.col("id") * 2).alias("component"),
+        )
+        path, out = f"{work}/cl", f"{work}/snap"
+        build_cluster_assignments(labels, path, target_files=8)
+        rep, t_publish = timed(lambda: snapshot_if_stale(spark, path, out))
+        assert rep["published"]
+        rep, t_skip = timed(lambda: snapshot_if_stale(spark, path, out))
+        assert not rep["published"]
+        delta = spark.createDataFrame(
+            [(4 * N_NODES, 4 * N_NODES + 1)], "id_a long, id_b long"
+        )
+        merge_cluster_delta(spark, path, delta)
+        rep, t_republish = timed(lambda: snapshot_if_stale(spark, path, out))
+        assert rep["published"] and rep["rows_behind"] == 2
+        print(
+            json.dumps(
+                {
+                    "probe": "snapshot_if_stale_cost",
+                    "n_rows": 2 * N_NODES,
+                    "publish_sec": round(t_publish, 2),
+                    "skip_sec": round(t_skip, 2),
+                    "republish_after_tiny_merge_sec": round(t_republish, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
+        snapshot_probe()
+    else:
+        main()
