@@ -410,11 +410,15 @@ def load_cluster_assignments(
     stage is always fresh."""
     if _allow_uncommitted and _repair_staged:
         _restore_if_crashed(spark, path, _repair_stage_min_age)
-    if _allow_uncommitted:
+    if _allow_uncommitted and (not _repair_staged or _repair_stage_min_age > 0):
         # a live table still missing with its stage present means the
         # restore was suppressed (live claim) or age-gated (fresh
         # stage, possibly an unclaimed writer mid-swap): fail with the
-        # recovery instead of a bare path-not-found from the read below
+        # recovery instead of a bare path-not-found from the read
+        # below. Mutator loads (repair on, age 0) skip this re-check —
+        # their restore just adopted any such stage, so the condition
+        # cannot hold and the four extra footer reads would be pure
+        # per-micro-batch overhead
         for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
             if (
                 _try_read_parquet(spark, f"{path}/{live}") is None
@@ -1157,9 +1161,15 @@ def snapshot_cluster_assignments(
     # provenance rides INSIDE the generation (underscore-prefixed, so
     # parquet scans ignore it): which clustering build this snapshot
     # captured and how many rows — the staleness answer an always-on
-    # reader otherwise has no way to ask (mtimes lie across stores).
-    # Written before the count-verify, so a published generation always
-    # carries it.
+    # reader otherwise has no way to ask (mtimes lie across stores) —
+    # plus the generation this publish supersedes (prev_generation:
+    # the one-generation reader grace), so fsck can identify the
+    # grace EXACTLY instead of guessing from mtimes (a young crash
+    # orphan between the grace and CURRENT would fool a
+    # newest-older-mtime heuristic into listing the true grace as
+    # deletable debris). Written before the count-verify, so a
+    # published generation always carries it.
+    prev = fs_read_text(spark, f"{root}/CURRENT")
     fs_write_text(
         spark,
         f"{root}/{gen}/_PROVENANCE.json",
@@ -1169,6 +1179,7 @@ def snapshot_cluster_assignments(
                 "source_build_id": params["build_id"],
                 "n_rows": n_rows,
                 "id_col": params["id_col"],
+                "prev_generation": prev.strip() if prev else None,
             }
         ),
     )
@@ -1180,7 +1191,6 @@ def snapshot_cluster_assignments(
             f"({staged_n}) != source resolution ({n_rows}) — refusing "
             "to publish; CURRENT is untouched"
         )
-    prev = fs_read_text(spark, f"{root}/CURRENT")
     _write_current(spark, root, gen)
     if prev is not None:
         keep = {gen, prev.strip()}
@@ -1241,6 +1251,7 @@ def fsck_cluster_snapshot(
     out_path: str,
     source_path: str | None = None,
     strict: bool = True,
+    min_age_sec: float = 3600.0,
 ) -> dict:
     """Consistency sweep for a snapshot serving root — the scheduled
     check for the artifact always-on readers actually point at:
@@ -1252,14 +1263,18 @@ def fsck_cluster_snapshot(
     - ``provenance_rows_match``: the generation's row count equals
       what its ``_PROVENANCE.json`` recorded at publish (False = the
       generation lost or gained files after commit — corruption).
-    - ``extra_generations``: generation dirs beyond CURRENT + the
+    - ``extra_generations``: AGED generation dirs beyond CURRENT + the
       one-generation grace — repeated-crash debris a later successful
-      publish sweeps once aged (informational). The grace (the
-      newest non-current dir not newer than CURRENT itself, by
-      filesystem mtime) is EXCLUDED from the list: an operator acting
-      on the report must never be told to delete the generation an
-      in-flight reader may still be streaming. Dirs newer than
-      CURRENT are crash orphans and always listed.
+      publish sweeps (informational). The grace is EXCLUDED: it is
+      identified exactly from the current generation's provenance
+      (``prev_generation``; mtime-heuristic fallback for pre-field
+      generations), because an operator acting on the report must
+      never be told to delete the generation an in-flight reader may
+      still be streaming. Non-current dirs YOUNGER than
+      ``min_age_sec`` (filesystem clock) are reported separately as
+      ``young_generations`` — they may be a concurrently in-flight
+      publish's staged-but-not-yet-pointed output, the same window
+      the publish sweep age-gates.
     - with ``source_path``: ``source_rebuilt`` (the live clustering's
       build_id differs from the one the snapshot captured — a rebuild
       happened, the snapshot is definitely stale) and
@@ -1294,8 +1309,8 @@ def fsck_cluster_snapshot(
         n = spark.read.parquet(f"{root}/{gen}").count()
         report["n_rows"] = n
         text = fs_read_text(spark, f"{root}/{gen}/_PROVENANCE.json")
-        if text is not None:
-            prov = _json.loads(text)
+        prov = _json.loads(text) if text is not None else None
+        if prov is not None:
             report["provenance_rows_match"] = prov["n_rows"] == n
             if source_path is not None:
                 meta = _try_read_parquet(spark, f"{source_path}/meta")
@@ -1315,22 +1330,43 @@ def fsck_cluster_snapshot(
         ]
         if others:
             # exclude the one-generation reader grace from the debris
-            # list: the grace is the generation CURRENT pointed at
-            # before this one — the newest non-current dir that is NOT
-            # newer than CURRENT itself (a dir staged AFTER the
-            # current publish is a crash orphan, not the grace; same
-            # mtime-anchored classification as gc_serving_root). An
-            # operator acting on extra_generations must never be told
-            # to delete the grace out from under an in-flight reader.
-            cur_m = fs_mtime(spark, f"{root}/{gen}")
-            stamped = sorted(
-                (fs_mtime(spark, f"{root}/{x}"), x) for x in others
-            )
-            older = [x for m, x in stamped if m <= cur_m]
-            grace = older[-1] if older else None
-            extra = sorted(x for x in others if x != grace)
-            if extra:
-                report["extra_generations"] = extra
+            # list: an operator acting on extra_generations must never
+            # be told to delete the generation an in-flight reader may
+            # still be streaming. The grace is EXACT when the current
+            # generation's provenance recorded it (prev_generation —
+            # what CURRENT pointed at when this publish swapped);
+            # pre-field generations fall back to the mtime heuristic
+            # (newest non-current dir not newer than CURRENT), which a
+            # young crash orphan sitting between the grace and CURRENT
+            # can fool — one more reason the provenance records it.
+            grace = None
+            if prov is not None and "prev_generation" in prov:
+                grace = prov["prev_generation"]
+            else:
+                cur_m = fs_mtime(spark, f"{root}/{gen}")
+                stamped = sorted(
+                    (fs_mtime(spark, f"{root}/{x}"), x) for x in others
+                )
+                older = [x for m, x in stamped if m <= cur_m]
+                grace = older[-1] if older else None
+            rest = [x for x in others if x != grace]
+            if rest:
+                # age-split what remains: an AGED non-current dir is
+                # crash debris a later publish sweeps; a YOUNG one may
+                # be a concurrently in-flight publish's
+                # staged-but-not-yet-pointed generation (the exact
+                # window the publish sweep age-gates) — report it
+                # separately so nobody deletes it out from under the
+                # publish about to point CURRENT at it
+                now_ms = _fs_now_ms(spark, root)
+                aged, young = [], []
+                for x in rest:
+                    age = (now_ms - fs_mtime(spark, f"{root}/{x}")) / 1000.0
+                    (aged if age >= min_age_sec else young).append(x)
+                if aged:
+                    report["extra_generations"] = sorted(aged)
+                if young:
+                    report["young_generations"] = sorted(young)
     violations = not report.get("current_resolves", True) or (
         report.get("provenance_rows_match") is False
     )
@@ -1403,7 +1439,7 @@ def snapshot_if_stale(
     join, no write); the publish path costs exactly what
     ``snapshot_cluster_assignments`` always costs. Returns
     ``{published, reason, n_rows, rows_behind}``."""
-    _, _, params = load_cluster_assignments(spark, path)
+    base, log, params = load_cluster_assignments(spark, path)
     try:
         prov = snapshot_provenance(spark, out_path)
     except ValueError:
@@ -1426,7 +1462,10 @@ def snapshot_if_stale(
             "n_rows": n,
             "rows_behind": None,
         }
-    live_n = resolve_cluster_assignments(spark, path).count()
+    # reuse the tables already loaded above — a second
+    # resolve_cluster_assignments would repeat the meta/commit reads
+    # on the hot skip path this function exists to make cheap
+    live_n = _resolved(base, log).count()
     behind = live_n - prov["n_rows"]
     if behind >= min_rows_behind:
         n = snapshot_cluster_assignments(

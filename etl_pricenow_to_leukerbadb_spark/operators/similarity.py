@@ -824,10 +824,26 @@ def ivf_pq_search(
         queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"
     )
     if residual and lut_row_budget is not None:
-        # two cheap counts (queries are a probe batch, the codebook is
+        # two cheap jobs (queries are a probe batch, the codebook is
         # broadcast-sized by construction) buy a loud failure instead
         # of a silently degrading — or OOMing — oversized broadcast
-        n_q = queries.count()
+        qstats = queries.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        n_q = qstats["n"]
+        if qstats["nd"] != n_q:
+            # the residual LUT is keyed by (query_id, cent_id):
+            # duplicate ids with different vectors would silently
+            # score against ONE row's residuals, and the chunk split
+            # assumes unique ids for deterministic assignment —
+            # refuse rather than return confidently wrong neighbors
+            raise ValueError(
+                f"ivf_pq_search: query batch carries duplicate ids "
+                f"({n_q} rows, {qstats['nd']} distinct {id_col}) — the "
+                "residual LUT is keyed by (query_id, cent_id), so "
+                "duplicates collide; dedup or re-key the batch"
+            )
         cb_rows = codebook.count()
         lut_rows = n_q * n_probe * cb_rows
         if lut_rows > lut_row_budget:
@@ -856,7 +872,13 @@ def ivf_pq_search(
                 # bounds every chunk at ceil(n_q / n_chunks) < n_q for
                 # n_chunks >= 2, so each recursion level strictly
                 # shrinks and (per_q <= budget above) terminates at
-                # chunks that fit. The global orderBy window is one
+                # chunks that fit. Determinism: ids are unique (the
+                # duplicate-id refusal above), so the orderBy is a
+                # total order and every filter re-evaluation assigns
+                # each row the same chunk — ties would have made
+                # row_number unstable across evaluations (rows
+                # duplicated into two chunks or dropped from all).
+                # The global orderBy window is one
                 # single-task sort of |Q| rows — query batches are
                 # driver-collected-shortlist-sized, and this path only
                 # runs once the batch is already over budget.

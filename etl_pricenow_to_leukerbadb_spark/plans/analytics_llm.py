@@ -2080,14 +2080,51 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError as exc:
         if "already exist" not in str(exc):
             raise
-        # this slice's index append already landed — a prior timed run
-        # crashed after the append (its pending token, if any, names
-        # THIS slice's pairs and only this replay can re-commit), or
-        # the slices ran out and the last one is replaying. Either
-        # way the loop's tail is the documented recovery: probe +
-        # idempotent merge, no re-append.
-        from ..operators.dedup_index import query_dedup_candidates
+        # some of this slice's ids are already in the index — a prior
+        # timed run crashed after (or inside) the append, or the
+        # slices ran out and the last one is replaying. The append
+        # guard fires on ANY overlap, so prove the WHOLE slice landed
+        # before treating this as a complete replay: a PARTIAL crashed
+        # append must go through the documented repair
+        # (fsck_dedup_index(repair=True) + re-append), not a silent
+        # probe over missing docs.
+        from ..operators.dedup_index import (
+            load_dedup_index,
+            query_dedup_candidates,
+        )
 
+        bands_df, iparams = load_dedup_index(spark, idx)
+        dstats = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()[0]
+        n_present = (
+            bands_df.filter(
+                F.col(iparams["id_col"]).between(
+                    F.lit(dstats["lo"]), F.lit(dstats["hi"])
+                )
+            )
+            .join(
+                delta.select(F.col("doc_id").alias(iparams["id_col"])),
+                iparams["id_col"],
+                "left_semi",
+            )
+            .select(iparams["id_col"])
+            .distinct()
+            .count()
+        )
+        if n_present != dstats["n"]:
+            raise RuntimeError(
+                f"dd_cluster_merge: slice {slice_idx} is PARTIALLY "
+                f"appended ({n_present}/{dstats['n']} ids in the "
+                "index) — a crashed append, not a replay; run "
+                f"fsck_dedup_index('{idx}', repair=True) and retry"
+            ) from exc
+        # complete replay: the loop's tail is the documented recovery —
+        # probe + idempotent merge, no re-append (the crashed merge's
+        # pending token, if any, names THIS slice's pairs and only
+        # this replay can re-commit it)
         pairs = query_dedup_candidates(spark, idx, delta, text_col="text")
         stats = merge_cluster_delta(
             spark, cl, pairs, src_col="probe_id", dst_col="corpus_id"

@@ -942,6 +942,7 @@ def stream_dedup_cluster_job(
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
     snapshot_path: str | None = None,
     snapshot_rows_threshold: int = 100_000,
+    snapshot_min_age_sec: float = 3600.0,
 ) -> None:
     """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
     each micro-batch is appended to the near-dup index, then probed
@@ -983,7 +984,13 @@ def stream_dedup_cluster_job(
     publish, never loses rows). Publishing inside the job is safe by
     construction: the snapshot is a strict read, this job holds the
     single-writer claim, and post-batch means no mutation is in
-    flight."""
+    flight. Storage envelope: the publish sweep only deletes
+    generations older than ``snapshot_min_age_sec`` (protection for
+    overlapping publishes), so a stream publishing every P seconds
+    holds ~max(2, snapshot_min_age_sec / P) full-table generations at
+    steady state — a fast-publishing stream should lower the age gate
+    (its own publishes are the only writers racing it) or raise the
+    row threshold."""
     from ..operators.cluster_index import (
         _compact_if_log_large,
         claim_cluster_writer,
@@ -1034,7 +1041,12 @@ def stream_dedup_cluster_job(
         if snapshot_path is not None:
             rows_since_snapshot["n"] += stats["new_nodes"]
             if rows_since_snapshot["n"] >= snapshot_rows_threshold:
-                snapshot_cluster_assignments(ss, clusters_path, snapshot_path)
+                snapshot_cluster_assignments(
+                    ss,
+                    clusters_path,
+                    snapshot_path,
+                    min_age_sec=snapshot_min_age_sec,
+                )
                 rows_since_snapshot["n"] = 0
 
     try:
@@ -1054,7 +1066,12 @@ def stream_dedup_cluster_job(
         if snapshot_path is not None:
             # drain tail: whatever landed below the threshold, plus any
             # publish debt a restarted run inherited from a crash
-            snapshot_if_stale(spark, clusters_path, snapshot_path)
+            snapshot_if_stale(
+                spark,
+                clusters_path,
+                snapshot_path,
+                min_age_sec=snapshot_min_age_sec,
+            )
     finally:
         release_cluster_writer(spark, clusters_path, owner_token=token)
 
@@ -1101,6 +1118,7 @@ def stream_vec_dedup_cluster_job(
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
     snapshot_path: str | None = None,
     snapshot_rows_threshold: int = 100_000,
+    snapshot_min_age_sec: float = 3600.0,
 ) -> None:
     """``stream_vec_dedup_ingest_job`` plus persisted-cluster
     maintenance — the embedding twin of ``stream_dedup_cluster_job``,
@@ -1167,7 +1185,12 @@ def stream_vec_dedup_cluster_job(
         if snapshot_path is not None:
             rows_since_snapshot["n"] += stats["new_nodes"]
             if rows_since_snapshot["n"] >= snapshot_rows_threshold:
-                snapshot_cluster_assignments(ss, clusters_path, snapshot_path)
+                snapshot_cluster_assignments(
+                    ss,
+                    clusters_path,
+                    snapshot_path,
+                    min_age_sec=snapshot_min_age_sec,
+                )
                 rows_since_snapshot["n"] = 0
 
     try:
@@ -1188,6 +1211,11 @@ def stream_vec_dedup_cluster_job(
         if snapshot_path is not None:
             # drain tail + crash-inherited publish debt, like the
             # text job
-            snapshot_if_stale(spark, clusters_path, snapshot_path)
+            snapshot_if_stale(
+                spark,
+                clusters_path,
+                snapshot_path,
+                min_age_sec=snapshot_min_age_sec,
+            )
     finally:
         release_cluster_writer(spark, clusters_path, owner_token=token)

@@ -816,6 +816,17 @@ def test_chunked_residual_search_progresses_on_hash_colliding_ids(
     )
     assert chunked == full
 
+    # duplicate query ids are refused up front: the residual LUT is
+    # keyed by (query_id, cent_id) so duplicates would silently score
+    # against one row's residuals, and the row-number chunk split
+    # needs a total order (ties would make a row's chunk unstable
+    # across the per-chunk filter re-evaluations)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        search_ivfpq_index(
+            spark, path, q2.unionAll(q2), corpus, n_probe=4, k=5,
+            lut_row_budget=200, chunk_oversized=True,
+        ).collect()
+
 
 def test_stream_index_ingest_matches_rebuild_and_is_idempotent(
     spark, corpus, queries, tmp_path

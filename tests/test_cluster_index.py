@@ -1748,7 +1748,12 @@ def test_fsck_cluster_snapshot_excludes_the_grace_from_extras(
     grace: an operator acting on the report would delete the
     generation an in-flight reader planned against is still
     streaming — the exact dark window the grace exists to prevent.
-    Crash orphans (dirs newer than CURRENT) are always listed."""
+    The grace is identified EXACTLY from the current generation's
+    provenance (prev_generation), so even a crash orphan whose mtime
+    sits between the grace and CURRENT — the case a newest-older-mtime
+    heuristic mislabels — never flips the true grace into the debris
+    list. Young non-current dirs (possible in-flight publishes) are
+    reported separately, never as deletable extras."""
     import os
     import time
 
@@ -1756,6 +1761,7 @@ def test_fsck_cluster_snapshot_excludes_the_grace_from_extras(
     from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
         fsck_cluster_snapshot,
         snapshot_cluster_assignments,
+        snapshot_provenance,
     )
 
     path = str(tmp_path / "cl")
@@ -1764,21 +1770,27 @@ def test_fsck_cluster_snapshot_excludes_the_grace_from_extras(
     snapshot_cluster_assignments(spark, path, out)
     grace = fs_read_text(spark, f"{out}/CURRENT").strip()
     time.sleep(0.05)
+    # a crash orphan whose mtime lands BETWEEN the grace and the next
+    # publish — the adversarial case for any mtime-only heuristic
+    orphan = "gen-" + "f" * 12
+    os.makedirs(f"{out}/{orphan}")
+    time.sleep(0.05)
     merge_cluster_delta(spark, path, _pairs_df(spark, [(5, 6)]))
     snapshot_cluster_assignments(spark, path, out)
     current = fs_read_text(spark, f"{out}/CURRENT").strip()
     assert grace != current
-    # only CURRENT + grace on disk: nothing to report
+    assert snapshot_provenance(spark, out)["prev_generation"] == grace
+    # the young orphan is reported as possibly-in-flight, NOT as
+    # deletable debris — and the grace appears in neither list
     rep = fsck_cluster_snapshot(spark, out)
+    assert rep["young_generations"] == [orphan]
     assert "extra_generations" not in rep
-    # a crash orphan (newer than CURRENT): listed — and the grace
-    # still is not
-    orphan = "gen-" + "f" * 12
-    os.makedirs(f"{out}/{orphan}")
-    future = time.time() + 60
-    os.utime(f"{out}/{orphan}", (future, future))
+    # aged past the gate it becomes debris; the grace still is not
+    old = time.time() - 7200
+    os.utime(f"{out}/{orphan}", (old, old))
     rep = fsck_cluster_snapshot(spark, out)
     assert rep["extra_generations"] == [orphan]
+    assert "young_generations" not in rep
     assert grace not in rep["extra_generations"]
 
 
