@@ -2099,7 +2099,13 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
         ).collect()[0]
-        n_present = (
+        # completeness is per-id band-ROW counts, not id presence: a
+        # crashed append can land only some of an id's `bands` rows,
+        # and an id-presence check would bless that as a replay while
+        # probes under-block it forever. Every appended id carries
+        # exactly `bands` rows by construction (band_table explodes
+        # one row per band).
+        n_complete = (
             bands_df.filter(
                 F.col(iparams["id_col"]).between(
                     F.lit(dstats["lo"]), F.lit(dstats["hi"])
@@ -2110,16 +2116,18 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 iparams["id_col"],
                 "left_semi",
             )
-            .select(iparams["id_col"])
-            .distinct()
+            .groupBy(iparams["id_col"])
+            .count()
+            .filter(F.col("count") == int(iparams["bands"]))
             .count()
         )
-        if n_present != dstats["n"]:
+        if n_complete != dstats["n"]:
             raise RuntimeError(
                 f"dd_cluster_merge: slice {slice_idx} is PARTIALLY "
-                f"appended ({n_present}/{dstats['n']} ids in the "
-                "index) — a crashed append, not a replay; run "
-                f"fsck_dedup_index('{idx}', repair=True) and retry"
+                f"appended ({n_complete}/{dstats['n']} ids fully "
+                "banded in the index) — a crashed append, not a "
+                f"replay; run fsck_dedup_index('{idx}', repair=True) "
+                "and retry"
             ) from exc
         # complete replay: the loop's tail is the documented recovery —
         # probe + idempotent merge, no re-append (the crashed merge's

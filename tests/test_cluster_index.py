@@ -1184,6 +1184,54 @@ def test_dd_cluster_merge_headline_builds_once_merges_fresh_and_is_exact(
         == str(int(counter_before) + 1)
     )
 
+    # PARTIAL-append refusal: crash again, then strip one band row of
+    # the crashed slice's first doc — the retry must refuse loudly
+    # (fsck repair + re-append is the recovery), never bless a
+    # half-banded doc as a complete replay (its probes would
+    # under-block forever). The completeness proof is per-id band-ROW
+    # counts, which is exactly what catches this.
+    import shutil as _sh
+
+    counter2 = fs_read_text(spark, f"{root}/counter.txt").strip()
+    ci.merge_cluster_delta = crash_mid_merge
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            spec.fn(spark, sf_small).collect()
+    finally:
+        ci.merge_cluster_delta = real_merge
+    lo2 = max_id * (52 + 2 * int(counter2)) // 100
+    bands = spark.read.parquet(f"{root}/idx/bands")
+    victim = (
+        bands.filter(F.col("doc_id") > lo2)
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    removed = bands.filter(
+        (F.col("doc_id") == victim) & (F.col("band") == 0)
+    ).localCheckpoint()
+    pruned = bands.filter(
+        ~((F.col("doc_id") == victim) & (F.col("band") == 0))
+    ).localCheckpoint()
+    _sh.rmtree(f"{root}/idx/bands")
+    pruned.write.partitionBy("bp").parquet(f"{root}/idx/bands")
+    with pytest.raises(RuntimeError, match="PARTIALLY appended"):
+        spec.fn(spark, sf_small).collect()
+    assert fs_read_text(spark, f"{root}/counter.txt").strip() == counter2
+    # repair (restore the missing band row — what fsck's prune +
+    # re-append accomplishes) and retry: the replay completes and the
+    # counter finally advances. This also leaves the session-cached
+    # standing index CONSISTENT for any later invocation in this
+    # session (bench runs invoke the headline repeatedly).
+    removed.write.mode("append").partitionBy("bp").parquet(
+        f"{root}/idx/bands"
+    )
+    r5 = spec.fn(spark, sf_small).collect()[0]
+    assert r5.slice_idx == int(counter2)
+    assert (
+        fs_read_text(spark, f"{root}/counter.txt").strip()
+        == str(int(counter2) + 1)
+    )
+
 
 def test_canonical_keep_table_matches_from_scratch_entry(
     spark, sf_small, tmp_path
