@@ -151,8 +151,12 @@ def _restore_if_crashed(
             if min_stage_age_sec > 0:
                 if now_ms is None:
                     now_ms = _fs_now_ms(spark, path)
-                age = (now_ms - fs_mtime(spark, f"{path}/{stage}")) / 1000.0
-                if age < min_stage_age_sec:
+                m = fs_mtime(spark, f"{path}/{stage}")
+                # mtime 0 = synthesized directory status: unknown age
+                # reads as "possibly live", never as aged — the
+                # maintenance caller skips it (a mutator's retry, age
+                # gate 0, still adopts it)
+                if m <= 0 or (now_ms - m) / 1000.0 < min_stage_age_sec:
                     continue
             _fs_rename(spark, f"{path}/{stage}", f"{path}/{live}")
 
@@ -1206,13 +1210,13 @@ def snapshot_cluster_assignments(
         # + (transient) in-flight publishes.
         now_ms = _fs_now_ms(spark, root)
         for name in fs_list_names(spark, root):
-            if (
-                _SNAP_GEN_RE.match(name)
-                and name not in keep
-                and (now_ms - fs_mtime(spark, f"{root}/{name}")) / 1000.0
-                >= min_age_sec
-            ):
-                fs_delete(spark, f"{root}/{name}")
+            if _SNAP_GEN_RE.match(name) and name not in keep:
+                m = fs_mtime(spark, f"{root}/{name}")
+                # mtime 0 = synthesized directory status (some object
+                # stores): unknown age is RETAINED, never swept —
+                # same rule as gc_serving_root/gc_cluster_debris
+                if m > 0 and (now_ms - m) / 1000.0 >= min_age_sec:
+                    fs_delete(spark, f"{root}/{name}")
     # prev None = first publish (nothing to sweep) OR the recovery of
     # a crashed pointer swap — in the second case WHICH generation
     # in-flight readers are still streaming is unknowable (the old
@@ -1340,9 +1344,16 @@ def fsck_cluster_snapshot(
             # young crash orphan sitting between the grace and CURRENT
             # can fool — one more reason the provenance records it.
             grace = None
-            if prov is not None and "prev_generation" in prov:
+            if prov is not None and prov.get("prev_generation") is not None:
                 grace = prov["prev_generation"]
             else:
+                # prev_generation null (the current generation was
+                # published as a crashed-pointer-swap recovery, where
+                # WHICH generation readers were streaming is
+                # unknowable — the publish sweep deliberately swept
+                # nothing) or a pre-field generation: fall back to
+                # the conservative mtime heuristic rather than
+                # treating "no recorded grace" as "no grace exists"
                 cur_m = fs_mtime(spark, f"{root}/{gen}")
                 stamped = sorted(
                     (fs_mtime(spark, f"{root}/{x}"), x) for x in others
@@ -1357,12 +1368,16 @@ def fsck_cluster_snapshot(
                 # staged-but-not-yet-pointed generation (the exact
                 # window the publish sweep age-gates) — report it
                 # separately so nobody deletes it out from under the
-                # publish about to point CURRENT at it
+                # publish about to point CURRENT at it. mtime 0 =
+                # a synthesized directory status (some object
+                # stores): UNKNOWN age classifies as young/retained,
+                # never as deletable — same rule as gc_serving_root
                 now_ms = _fs_now_ms(spark, root)
                 aged, young = [], []
                 for x in rest:
-                    age = (now_ms - fs_mtime(spark, f"{root}/{x}")) / 1000.0
-                    (aged if age >= min_age_sec else young).append(x)
+                    m = fs_mtime(spark, f"{root}/{x}")
+                    is_aged = m > 0 and (now_ms - m) / 1000.0 >= min_age_sec
+                    (aged if is_aged else young).append(x)
                 if aged:
                     report["extra_generations"] = sorted(aged)
                 if young:

@@ -491,6 +491,69 @@ def _guard_append_delta(
     return True
 
 
+def verify_append_complete(
+    spark: SparkSession,
+    path: str,
+    docs_delta: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """Did an earlier ``append_to_dedup_index`` of this EXACT delta
+    land completely? The replay question a caller faces after
+    ``_guard_append_delta`` refused a re-append: "already exists" on
+    ANY overlap, but a crashed append can land only SOME ids — or
+    only some of an id's band rows — and replaying a probe over that
+    state under-blocks forever.
+
+    The completeness invariant lives here, next to the append that
+    creates it: every SHINGLABLE delta doc (produces a minhash
+    signature — docs with fewer than ``k_shingle`` tokens produce
+    none, the ``allow_short=True`` case, and legitimately have zero
+    band rows) carries exactly ``bands`` rows in ``bands/``, one per
+    band by ``band_table``'s construction. The corpus-side scan is
+    range-pruned to the delta's id span, same as the append guard.
+
+    Returns ``{"n_delta", "n_expected", "n_complete", "complete"}``
+    — ``complete`` is True when every expected id is fully banded
+    (a delta of only unshinglable docs is vacuously complete)."""
+    from .ann_index import _resolve_index_root
+
+    path = _resolve_index_root(spark, path)
+    bands_df, params = load_dedup_index(spark, path)
+    id_col = params["id_col"]
+    expected = minhash_signatures(
+        docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
+    ).select(id_col)
+    estats = docs_delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+    ).collect()[0]
+    n_expected = expected.count()
+    if estats["n"] == 0 or n_expected == 0:
+        return {
+            "n_delta": int(estats["n"]),
+            "n_expected": 0,
+            "n_complete": 0,
+            "complete": True,
+        }
+    n_complete = (
+        bands_df.filter(
+            F.col(id_col).between(F.lit(estats["lo"]), F.lit(estats["hi"]))
+        )
+        .join(expected, id_col, "left_semi")
+        .groupBy(id_col)
+        .count()
+        .filter(F.col("count") == int(params["bands"]))
+        .count()
+    )
+    return {
+        "n_delta": int(estats["n"]),
+        "n_expected": int(n_expected),
+        "n_complete": int(n_complete),
+        "complete": n_complete == n_expected,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Text frontend: MinHash+LSH over shingles (dd_minhash_lsh's blocking)
 # ---------------------------------------------------------------------------

@@ -766,6 +766,11 @@ def ivf_pq_search(
     row's own list, so a corpus vector is always compared in the
     coordinate frame it was encoded in.
 
+    Query ids must be UNIQUE and non-null on every path: results and
+    LUTs are keyed by ``query_id`` (the residual path enforces this
+    loudly; the raw path shares the same contract — duplicate ids
+    would merge distinct queries' distances).
+
     Residual LUT scale bound: the per-probed-list LUT is
     ``|Q| x n_probe x n_subspaces x n_codes`` BROADCAST rows (the raw
     path's is ``n_probe``x smaller) — |Q|-linear, so a production
@@ -823,27 +828,40 @@ def ivf_pq_search(
     checked = _require_query_dim(
         queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"
     )
-    if residual and lut_row_budget is not None:
-        # two cheap jobs (queries are a probe batch, the codebook is
-        # broadcast-sized by construction) buy a loud failure instead
-        # of a silently degrading — or OOMing — oversized broadcast
+    if residual:
+        # one cheap aggregate on the probe batch buys loud failures
+        # for two silent-wrong-answer classes. This guard is about
+        # CORRECTNESS, so it runs regardless of lut_row_budget (the
+        # budget override must not also disable it): the residual LUT
+        # is keyed by (query_id, cent_id), so duplicate ids with
+        # different vectors silently score against one row's
+        # residuals, null ids silently match nothing, and unique
+        # non-null ids are also what makes the row-number chunk split
+        # deterministic across filter re-evaluations.
         qstats = queries.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(F.col(id_col)).alias("nn"),
             F.count_distinct(F.col(id_col)).alias("nd"),
         ).collect()[0]
         n_q = qstats["n"]
+        if qstats["nn"] != n_q:
+            raise ValueError(
+                f"ivf_pq_search: query batch carries "
+                f"{n_q - qstats['nn']} NULL {id_col} value(s) — the "
+                "residual LUT is keyed by (query_id, cent_id), so "
+                "null-id rows silently match nothing; key the batch"
+            )
         if qstats["nd"] != n_q:
-            # the residual LUT is keyed by (query_id, cent_id):
-            # duplicate ids with different vectors would silently
-            # score against ONE row's residuals, and the chunk split
-            # assumes unique ids for deterministic assignment —
-            # refuse rather than return confidently wrong neighbors
             raise ValueError(
                 f"ivf_pq_search: query batch carries duplicate ids "
                 f"({n_q} rows, {qstats['nd']} distinct {id_col}) — the "
                 "residual LUT is keyed by (query_id, cent_id), so "
                 "duplicates collide; dedup or re-key the batch"
             )
+    if residual and lut_row_budget is not None:
+        # the codebook count (broadcast-sized by construction) prices
+        # the LUT so an oversized batch fails loudly instead of
+        # silently degrading — or OOMing — the broadcast
         cb_rows = codebook.count()
         lut_rows = n_q * n_probe * cb_rows
         if lut_rows > lut_row_budget:

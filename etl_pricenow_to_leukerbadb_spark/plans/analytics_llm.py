@@ -2087,47 +2087,23 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # before treating this as a complete replay: a PARTIAL crashed
         # append must go through the documented repair
         # (fsck_dedup_index(repair=True) + re-append), not a silent
-        # probe over missing docs.
+        # probe over missing docs. The completeness invariant (per-id
+        # band-row counts over the SHINGLABLE ids — unshinglable docs
+        # legitimately carry zero rows under allow_short) lives in
+        # dedup_index next to the append that creates it.
         from ..operators.dedup_index import (
-            load_dedup_index,
             query_dedup_candidates,
+            verify_append_complete,
         )
 
-        bands_df, iparams = load_dedup_index(spark, idx)
-        dstats = delta.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-        ).collect()[0]
-        # completeness is per-id band-ROW counts, not id presence: a
-        # crashed append can land only some of an id's `bands` rows,
-        # and an id-presence check would bless that as a replay while
-        # probes under-block it forever. Every appended id carries
-        # exactly `bands` rows by construction (band_table explodes
-        # one row per band).
-        n_complete = (
-            bands_df.filter(
-                F.col(iparams["id_col"]).between(
-                    F.lit(dstats["lo"]), F.lit(dstats["hi"])
-                )
-            )
-            .join(
-                delta.select(F.col("doc_id").alias(iparams["id_col"])),
-                iparams["id_col"],
-                "left_semi",
-            )
-            .groupBy(iparams["id_col"])
-            .count()
-            .filter(F.col("count") == int(iparams["bands"]))
-            .count()
-        )
-        if n_complete != dstats["n"]:
+        rep = verify_append_complete(spark, idx, delta, text_col="text")
+        if not rep["complete"]:
             raise RuntimeError(
                 f"dd_cluster_merge: slice {slice_idx} is PARTIALLY "
-                f"appended ({n_complete}/{dstats['n']} ids fully "
-                "banded in the index) — a crashed append, not a "
-                f"replay; run fsck_dedup_index('{idx}', repair=True) "
-                "and retry"
+                f"appended ({rep['n_complete']}/{rep['n_expected']} "
+                "shinglable ids fully banded in the index) — a crashed "
+                f"append, not a replay; run fsck_dedup_index('{idx}', "
+                "repair=True) and retry"
             ) from exc
         # complete replay: the loop's tail is the documented recovery —
         # probe + idempotent merge, no re-append (the crashed merge's

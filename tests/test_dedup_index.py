@@ -210,6 +210,58 @@ def test_unshinglable_docs_fail_build_and_append(spark, docs, split, tmp_path):
     assert bands.filter(F.col("doc_id") == skipped).count() == 0
 
 
+def test_verify_append_complete_tracks_shinglable_ids_and_band_rows(
+    spark, docs, split, tmp_path
+):
+    """The replay-completeness answer lives next to the append guard:
+    a fully-landed delta verifies complete; a delta containing an
+    unshinglable doc (allow_short — zero band rows by construction)
+    still verifies complete, because expected ids are the SHINGLABLE
+    ones; an id missing one of its band rows (a crashed append's
+    partial state) fails, because completeness is per-id band-ROW
+    counts, not id presence."""
+    import shutil
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        verify_append_complete,
+    )
+
+    old, delta = split
+    path = str(tmp_path / "ddx_vac")
+    build_dedup_index(old, path, **GEOM)
+    # make one delta doc unshinglable, append with allow_short
+    short_id = delta.agg(F.max("doc_id")).collect()[0][0]
+    delta2 = delta.select(
+        "doc_id",
+        F.when(F.col("doc_id") == short_id, F.lit("x")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    append_to_dedup_index(delta2, path, allow_short=True)
+    rep = verify_append_complete(spark, path, delta2)
+    assert rep["complete"]
+    assert rep["n_expected"] == rep["n_complete"] == delta.count() - 1
+    assert rep["n_delta"] == delta.count()
+    # an un-appended delta is NOT complete (0 banded ids)
+    fresh = delta2.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    assert not verify_append_complete(spark, path, fresh)["complete"]
+    # strip one band row of one appended delta id: partial
+    victim = delta2.filter(F.col("doc_id") != short_id).agg(
+        F.min("doc_id")
+    ).collect()[0][0]
+    bands = spark.read.parquet(f"{path}/bands")
+    pruned = bands.filter(
+        ~((F.col("doc_id") == victim) & (F.col("band") == 0))
+    ).localCheckpoint()
+    shutil.rmtree(f"{path}/bands")
+    pruned.write.parquet(f"{path}/bands")
+    rep = verify_append_complete(spark, path, delta2)
+    assert not rep["complete"]
+    assert rep["n_complete"] == rep["n_expected"] - 1
+
+
 def test_stream_dedup_ingest_e2e_and_replay(spark, docs, split, tmp_path):
     """Streaming micro-batch appends must leave the band table
     row-identical to a full rebuild over the union, and replaying the
