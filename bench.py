@@ -41,6 +41,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pricenow_to_leukerbadb_spark.plans.analytics import REGISTRY  # noqa: E402
+from etl_pricenow_to_leukerbadb_spark.plans.stage_timing import pop_stages  # noqa: E402
 from etl_pricenow_to_leukerbadb_spark.session import get_spark  # noqa: E402
 
 
@@ -154,7 +155,9 @@ def main() -> None:
     reruns: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    def run_query(name: str, spec) -> tuple[float, float, int]:
+    def run_query(
+        name: str, spec
+    ) -> tuple[float, float, int, dict[str, float] | None]:
         # Every query gets one UNTIMED warm-up run: the first execution
         # of a plan pays JVM JIT + whole-stage-codegen compilation that
         # belongs to the session, not the operator (observed 3-4x
@@ -181,24 +184,52 @@ def main() -> None:
         env_override = "SPARK_GRAFT_BENCH_RUNS" in os.environ
         n_runs = runs if env_override else (max(runs, 5) if spec.multi_action else runs)
         spec.fn(spark, sf_dir).count()  # warm-up, untimed
+        pop_stages(name)  # drop the warm-up run's stage record
         samples = []
+        run_stage_list: list[dict[str, float] | None] = []
         n = 0
         for _ in range(n_runs):
             release_leftover_blocks()
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            samples.append(elapsed)
+            # per-stage attribution (r10 ask #6): the lifecycle
+            # headlines record their eager stages via
+            # plans.stage_timing; the remainder of the timed run (the
+            # lazy plan executing in the count above) is derived, so
+            # every run's stages sum to its total by construction
+            run_stages = pop_stages(name)
+            if run_stages is not None:
+                run_stages["rest"] = round(
+                    max(0.0, elapsed - sum(run_stages.values())), 3
+                )
+            run_stage_list.append(run_stages)
+        order = sorted(range(len(samples)), key=lambda i: samples[i])
+        # the reported stages are THE CHOSEN RUN'S (the median run for
+        # multi-action, the min run otherwise), not per-stage medians
+        # across runs — independent medians need not sum to the
+        # reported value, which re-opens exactly the "argue about the
+        # riser" gap the attribution exists to close; the chosen run's
+        # stages reconcile with queries[name] by construction
         if spec.multi_action:
-            value = round(sorted(samples)[len(samples) // 2], 3)
+            chosen = order[len(samples) // 2]
         else:
-            value = round(min(samples), 3)
+            chosen = order[0]
+        value = round(samples[chosen], 3)
         trimmed = sorted(samples)[:-1] if len(samples) > 1 else samples
-        return value, round(max(trimmed) - min(trimmed), 3), n
+        return (
+            value,
+            round(max(trimmed) - min(trimmed), 3),
+            n,
+            run_stage_list[chosen],
+        )
 
     calibration_ctx: dict[str, float] = {}
+    stages: dict[str, dict[str, float]] = {}
     for name, spec in headline.items():
         calibration_ctx[name] = probe_ctx()
-        value, spread, n = run_query(name, spec)
+        value, spread, n, stage_medians = run_query(name, spec)
         # outlier sentinel: a value far above last round's record on
         # (almost always) an unchanged plan is more likely a machine
         # artifact than a regression — re-measure once before letting
@@ -210,20 +241,23 @@ def main() -> None:
                 f"({prior[name]:.3f}s in {prior_file}) — re-running",
                 file=sys.stderr,
             )
-            value2, spread2, n = run_query(name, spec)
+            value2, spread2, n, stage_medians2 = run_query(name, spec)
             reruns[name] = [value, value2]
             if value2 < value:
                 value, spread = value2, spread2
+                stage_medians = stage_medians2
         timings[name] = value
         spreads[name] = spread
+        if stage_medians is not None:
+            stages[name] = stage_medians
         print(
             f"# {name}: {timings[name]:.3f}s"
             f"{' (median)' if spec.multi_action else ''}"
-            f" (+{spreads[name]:.3f} spread, {n} rows)",
+            f" (+{spreads[name]:.3f} spread, {n} rows)"
+            + (f" stages={stage_medians}" if stage_medians else ""),
             file=sys.stderr,
         )
 
-    calibration_end = calibrate()
     # flag against the session MEDIAN of the context probes, not the
     # minimum: a single lucky reading (one fast ctx sample, or an
     # end-calibration taken after the load dropped) drags a min-based
@@ -241,6 +275,45 @@ def main() -> None:
         for n, v in calibration_ctx.items()
         if ctx_median > 0 and v > 1.3 * ctx_median
     )
+    # Self-settling (the BENCH_r10 lesson, r10 verdict ask #3: the
+    # recorded JSON said +2.5% while the settled truth lived only in
+    # SCALE.md prose): each drift-flagged query re-runs its full
+    # sample batch AFTER the main pass, when the degraded stretch has
+    # typically passed. "queries" carries the settled reading; the
+    # flagged first reading stays under "drift_first_reading" for
+    # honesty. If the re-run's OWN context probe is still degraded the
+    # session never settled for that query — the better of the two
+    # readings is kept and the name is listed in "still_degraded" so
+    # the round-over-round diff knows the value is an upper bound.
+    drift_first_reading: dict[str, float] = {}
+    drift_settled_ctx: dict[str, float] = {}
+    still_degraded: list[str] = []
+    for name in drift_flagged:
+        ctx2 = probe_ctx()
+        drift_settled_ctx[name] = round(ctx2, 3)
+        value2, spread2, n, stage_medians2 = run_query(name, headline[name])
+        drift_first_reading[name] = timings[name]
+        if ctx2 <= 1.3 * ctx_median:
+            timings[name] = value2
+            spreads[name] = spread2
+            if stage_medians2 is not None:
+                stages[name] = stage_medians2
+        else:
+            still_degraded.append(name)
+            if value2 < timings[name]:
+                timings[name] = value2
+                spreads[name] = spread2
+                if stage_medians2 is not None:
+                    stages[name] = stage_medians2
+        print(
+            f"# {name}: settled re-run {value2:.3f}s (first "
+            f"{drift_first_reading[name]:.3f}s, ctx {ctx2:.3f} vs "
+            f"median {ctx_median:.3f})",
+            file=sys.stderr,
+        )
+    # end calibration AFTER the settle pass — it bounds everything the
+    # record contains, settled re-runs included
+    calibration_end = calibrate()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -254,6 +327,10 @@ def main() -> None:
                 "calibration_sec": [calibration_start, calibration_end],
                 "calibration_ctx": calibration_ctx,
                 "drift_flagged": drift_flagged,
+                "drift_first_reading": drift_first_reading,
+                "drift_settled_ctx": drift_settled_ctx,
+                "still_degraded": still_degraded,
+                "stages": stages,
                 "reruns": reruns,
                 "prior_bench": prior_file,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

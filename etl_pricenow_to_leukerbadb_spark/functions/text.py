@@ -120,6 +120,38 @@ def quality_features(c: Column | str) -> dict[str, Column]:
     }
 
 
+def quality_rule_flags(c: Column | str) -> dict[str, Column]:
+    """The Gopher/MassiveText-style rule gate as reusable column
+    expressions — the single source of truth shared by the
+    ``tx_quality_filter`` registry query and the composed
+    ``orchestrate.curate_corpus_daily`` job (so the gate a pipeline
+    applies is exactly the gate the oracle verifies): length bounds,
+    mean-token-length bounds, must-contain-stopwords, repetition
+    ceiling, each as its own boolean (audit: which rule killed a doc)
+    plus the ``keep`` conjunction. One expression-only pass, zero
+    shuffle."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    avg_tok = F.length(c).cast("double") / n_tokens
+    n_stop = stopword_count(toks, LANG_STOPWORDS["en"])
+    tri = word_shingles(toks, 3)
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(tri)).cast(
+        "double"
+    ) / F.greatest(F.size(tri), F.lit(1)).cast("double")
+    ok_length = n_tokens.between(5, 1000)
+    ok_token_len = avg_tok.between(2.0, 12.0)
+    ok_stop = n_stop > 0
+    ok_rep = dup_ratio < 0.5
+    return {
+        "ok_length": ok_length,
+        "ok_token_len": ok_token_len,
+        "ok_stopwords": ok_stop,
+        "ok_repetition": ok_rep,
+        "keep": ok_length & ok_token_len & ok_stop & ok_rep,
+    }
+
+
 def repetition_features(c: Column | str) -> dict[str, Column]:
     """Word-level repetition features (Gopher/MassiveText-style
     filters use these alongside the n-gram dup ratio the

@@ -87,15 +87,17 @@ from ..fs import (
     fs_write_text_exclusive,
 )
 from ..session import tiny_local_df
-from .ann_index import (
-    _GEN_RE,
-    _fs_delete,
-    _fs_now_ms,
-    _fs_rename,
-    _resolve_index_root,
-    _try_read_parquet,
-    _write_commit,
-    _write_current,
+# The shared serving-root machinery (generation pointers, claims,
+# filesystem-clock GC) lives in its neutral home ``.serving``; the
+# module-local underscore aliases keep this file's call sites stable.
+from ..fs import fs_delete as _fs_delete, fs_rename as _fs_rename
+from ..fs import try_read_parquet as _try_read_parquet
+from .serving import (
+    GEN_RE as _GEN_RE,
+    fs_now_ms as _fs_now_ms,
+    resolve_serving_root as _resolve_index_root,
+    write_commit_marker as _write_commit,
+    write_current_pointer as _write_current,
 )
 from .dedup import connected_components_twophase
 
@@ -779,6 +781,7 @@ def ingest_and_update_clusters(
     reliable_checkpoints: bool = False,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
     writer_token: str | None = None,
+    stage_timings: dict[str, float] | None = None,
 ) -> dict:
     """The daily near-dup loop, end to end in O(delta): append the
     delta to the persisted near-dup index, probe it for ALL pairs the
@@ -789,28 +792,103 @@ def ingest_and_update_clusters(
     When the merge leaves the remap log at or past
     ``compact_log_threshold`` rows the loop compacts it in place
     (``None`` opts out), keeping the broadcast-resolution invariant
-    without operator attention."""
-    from .dedup_index import append_to_dedup_index, query_dedup_candidates
+    without operator attention.
+
+    ``stage_timings``: an optional dict the loop fills with per-stage
+    wall seconds (``append``, ``probe_merge``, ``log_compact``) for
+    bench attribution. The probe itself is LAZY — its cost executes
+    inside the merge's edge materialization, so it is reported fused
+    with the merge rather than pretending to a split that would
+    require an extra timed action."""
+    import time as _time
+
+    from .dedup_index import append_to_dedup_index
 
     spark = docs_delta.sparkSession
+    t0 = _time.perf_counter()
     append_to_dedup_index(
         docs_delta, index_path, text_col=text_col, allow_short=allow_short
     )
+    if stage_timings is not None:
+        stage_timings["append"] = _time.perf_counter() - t0
+    return probe_and_merge_delta(
+        spark,
+        index_path,
+        clusters_path,
+        docs_delta,
+        text_col=text_col,
+        reliable_checkpoints=reliable_checkpoints,
+        compact_log_threshold=compact_log_threshold,
+        writer_token=writer_token,
+        stage_timings=stage_timings,
+    )
+
+
+def probe_and_merge_delta(
+    spark: SparkSession,
+    index_path: str,
+    clusters_path: str,
+    docs_delta: DataFrame,
+    text_col: str = "text",
+    reliable_checkpoints: bool = False,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    writer_token: str | None = None,
+    count_pairs: bool = False,
+    stage_timings: dict[str, float] | None = None,
+) -> dict:
+    """The probe → merge → auto-compact tail of the daily loop, shared
+    by ``ingest_and_update_clusters`` and the composed
+    ``orchestrate.curate_corpus_daily`` (whose append side differs:
+    first-run build, verified replay, self-healed gaps) — ONE
+    implementation of the pair-column contract and the compaction
+    trigger so the two callers cannot drift. Assumes the delta is
+    already in the index (probing after the append is what makes one
+    probe see delta↔corpus and delta↔delta pairs).
+
+    ``count_pairs=True`` additionally persists the candidate frame and
+    reports its size as ``stats["pairs"]`` (the curation audit row);
+    the default skips the extra action."""
+    import time as _time
+
+    from .dedup_index import query_dedup_candidates
+
+    t1 = _time.perf_counter()
     pairs = query_dedup_candidates(
         spark, index_path, docs_delta, text_col=text_col
     )
-    stats = merge_cluster_delta(
-        spark,
-        clusters_path,
-        pairs,
-        src_col="probe_id",
-        dst_col="corpus_id",
-        reliable_checkpoints=reliable_checkpoints,
-        writer_token=writer_token,
-    )
-    return _compact_if_log_large(
+    n_pairs = None
+    if count_pairs:
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+    try:
+        stats = merge_cluster_delta(
+            spark,
+            clusters_path,
+            pairs,
+            src_col="probe_id",
+            dst_col="corpus_id",
+            reliable_checkpoints=reliable_checkpoints,
+            writer_token=writer_token,
+        )
+    finally:
+        if count_pairs:
+            pairs.unpersist()
+    t2 = _time.perf_counter()
+    out = _compact_if_log_large(
         spark, clusters_path, stats, compact_log_threshold, writer_token
     )
+    if stage_timings is not None:
+        stage_timings["probe_merge"] = (
+            stage_timings.get("probe_merge", 0.0) + (t2 - t1)
+        )
+        stage_timings["log_compact"] = (
+            stage_timings.get("log_compact", 0.0)
+            + (_time.perf_counter() - t2)
+        )
+    if n_pairs is not None:
+        out = dict(out)
+        out["pairs"] = n_pairs
+    return out
 
 
 def ingest_and_update_clusters_vec(
@@ -1105,12 +1183,12 @@ def canonical_keep_table(
     return keep_best_per_component(labeled, id_col, score_col)
 
 
-# The snapshot's generation layout IS the ANN serving-root protocol
-# (gen-dirs + CURRENT pointer + staged pointer swap) — one protocol,
-# one implementation: the regex, the pointer swap, and the resolve
-# retry are imported from ann_index rather than re-implemented, so a
-# future fix to the swap discipline lands in every persisted structure
-# at once.
+# The snapshot's generation layout IS the shared serving-root
+# protocol (gen-dirs + CURRENT pointer + staged pointer swap) — one
+# protocol, one implementation: the regex, the pointer swap, and the
+# resolve retry are imported from operators/serving.py rather than
+# re-implemented, so a future fix to the swap discipline lands in
+# every persisted structure at once.
 _SNAP_GEN_RE = _GEN_RE
 
 

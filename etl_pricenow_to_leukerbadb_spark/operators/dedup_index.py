@@ -77,7 +77,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tiny_local_df
 from ..sources.tables import fan_out
-from .ann_index import _fs_delete, _fs_rename, _try_read_parquet
+from ..fs import (
+    fs_delete as _fs_delete,
+    fs_rename as _fs_rename,
+    try_read_parquet as _try_read_parquet,
+)
+from .serving import resolve_serving_root as _resolve_index_root
 from .dedup import band_table, minhash_signatures
 
 _TEXT_META_COLS = (
@@ -181,8 +186,6 @@ def _load_bucket_index(
     instead of meta+marker). Serving-layout roots
     (``migrate_dedup_index_to_serving``) resolve their ``CURRENT``
     pointer here, so probes read the live generation transparently."""
-    from .ann_index import _resolve_index_root
-
     path = _resolve_index_root(spark, path)
     key = (spark.sparkContext.applicationId, path.rstrip("/"))
     cached = _HANDLE_CACHE.get(key)
@@ -283,8 +286,8 @@ def _fsck_bucket_index(
     ANN index's ``repair_index``, then re-verifies strictly. One
     narrow-table rewrite, no re-hashing. Serving-layout roots also get
     the report-only root observations (orphaned generations, ingest
-    claim) — see ``ann_index._root_report``."""
-    from .ann_index import _resolve_index_root, _root_report
+    claim) — see ``serving.serving_root_report``."""
+    from .serving import serving_root_report as _root_report
 
     root_report = _root_report(spark, path)
     path = _resolve_index_root(spark, path)
@@ -384,13 +387,12 @@ def _compact_bucket_index(
     index". Markers are compacted last, outside the dark window
     (losing markers is benign: replay falls back to classification).
     Single-writer per index is the caller's contract."""
-    from .ann_index import (
-        _assert_no_late_writers,
-        _compact_sorted,
-        _refuse_if_ingest_active,
-        _resolve_index_root,
-        _restore_markers_if_crashed,
-        _swap_in_markers,
+    from .serving import (
+        assert_no_late_writers as _assert_no_late_writers,
+        compact_sorted as _compact_sorted,
+        refuse_if_ingest_active as _refuse_if_ingest_active,
+        restore_markers_if_crashed as _restore_markers_if_crashed,
+        swap_in_markers as _swap_in_markers,
     )
 
     entry_claim = _refuse_if_ingest_active(
@@ -515,8 +517,6 @@ def verify_append_complete(
     Returns ``{"n_delta", "n_expected", "n_complete", "complete"}``
     — ``complete`` is True when every expected id is fully banded
     (a delta of only unshinglable docs is vacuously complete)."""
-    from .ann_index import _resolve_index_root
-
     path = _resolve_index_root(spark, path)
     bands_df, params = load_dedup_index(spark, path)
     id_col = params["id_col"]
@@ -552,6 +552,51 @@ def verify_append_complete(
         "n_complete": int(n_complete),
         "complete": n_complete == n_expected,
     }
+
+
+def append_gap_ids(
+    spark: SparkSession,
+    path: str,
+    docs_delta: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-id append-state detail behind ``verify_append_complete``'s
+    boolean: every EXPECTED (shinglable) delta id that is not fully
+    banded, as ``(id_col, n_rows)`` — ``n_rows = 0`` means the id
+    never landed (or fsck pruned it back to never-appended), ``1 ..
+    bands-1`` means a crashed append left a partial band set that MUST
+    be pruned (``fsck_dedup_index(repair=True)``) before any
+    re-append, or its bucket rows would duplicate. The split is what
+    lets a caller SELF-HEAL a mixed delta: zero-row ids are safe to
+    re-append exactly as if new (the append guard matches exact ids,
+    not spans), partial ids are not. Empty result == complete."""
+    path = _resolve_index_root(spark, path)
+    bands_df, params = load_dedup_index(spark, path)
+    id_col = params["id_col"]
+    expected = minhash_signatures(
+        docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
+    ).select(id_col)
+    estats = docs_delta.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if estats["lo"] is None:
+        return expected.withColumn("n_rows", F.lit(0).cast("long")).limit(0)
+    present = (
+        bands_df.filter(
+            F.col(id_col).between(F.lit(estats["lo"]), F.lit(estats["hi"]))
+        )
+        .join(expected, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        expected.join(present, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") != int(params["bands"]))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -746,8 +791,6 @@ def append_to_dedup_index(
     streaming ingest is ``stream_dedup_ingest_job`` (epoch markers +
     this guard, mirroring the ANN index's)."""
     spark = docs_delta.sparkSession
-    from .ann_index import _resolve_index_root
-
     # appends land in the CURRENT generation of a serving-layout index
     path = _resolve_index_root(spark, path)
     bands_df, params = load_dedup_index(spark, path)
@@ -1022,8 +1065,8 @@ def compact_vec_dedup_index(
 
 # ---------------------------------------------------------------------------
 # Serving layout (pointer indirection), shared with the ANN index:
-# the generation/pointer mechanics live in ann_index (_resolve_index_
-# root / migrate_index_to_serving / _write_current) and are layout-
+# the generation/pointer mechanics live in serving.py (resolve_serving_
+# root / migrate_root_to_serving / write_current_pointer) and are layout-
 # agnostic; the wrappers below plug in the bucket loaders and the
 # band-table compaction so a DEDUP gate can also be compacted with
 # zero reader downtime (probes planned before/during/after the pointer
@@ -1035,12 +1078,11 @@ def migrate_dedup_index_to_serving(
     spark: SparkSession, path: str, force: bool = False
 ) -> str:
     """One-time flat -> serving migration of a text near-dup index;
-    mechanics in ``ann_index.migrate_index_to_serving``."""
-    from .ann_index import migrate_index_to_serving
+    mechanics in ``serving.migrate_root_to_serving``."""
+    from .serving import migrate_root_to_serving
 
-    return migrate_index_to_serving(
-        spark, path, _validate=lambda ss, p: load_dedup_index(ss, p),
-        force=force,
+    return migrate_root_to_serving(
+        spark, path, lambda ss, p: load_dedup_index(ss, p), force=force
     )
 
 
@@ -1048,11 +1090,10 @@ def migrate_vec_dedup_index_to_serving(
     spark: SparkSession, path: str, force: bool = False
 ) -> str:
     """One-time flat -> serving migration of a vector near-dup index."""
-    from .ann_index import migrate_index_to_serving
+    from .serving import migrate_root_to_serving
 
-    return migrate_index_to_serving(
-        spark, path, _validate=lambda ss, p: load_vec_dedup_index(ss, p),
-        force=force,
+    return migrate_root_to_serving(
+        spark, path, lambda ss, p: load_vec_dedup_index(ss, p), force=force
     )
 
 
@@ -1074,15 +1115,15 @@ def _compact_bucket_serving(
     generation live and the partial one orphaned for the next run's
     sweep)."""
     from ..fs import fs_copy, fs_list_names, fs_read_text
-    from .ann_index import (
-        _CURRENT,
-        _GEN_RE,
-        _assert_no_late_writers,
-        _compact_sorted,
-        _refuse_if_ingest_active,
-        _release_claim_if_proven_stale,
-        _write_commit,
-        _write_current,
+    from .serving import (
+        CURRENT as _CURRENT,
+        GEN_RE as _GEN_RE,
+        assert_no_late_writers as _assert_no_late_writers,
+        compact_sorted as _compact_sorted,
+        refuse_if_ingest_active as _refuse_if_ingest_active,
+        release_claim_if_proven_stale as _release_claim_if_proven_stale,
+        write_commit_marker as _write_commit,
+        write_current_pointer as _write_current,
     )
 
     p = path.rstrip("/")
@@ -1188,8 +1229,6 @@ def append_to_vec_dedup_index(vecs_delta: DataFrame, path: str) -> None:
     Guards and crash/retry contract: as ``append_to_dedup_index``
     (recovery via ``fsck_vec_dedup_index(repair=True)``)."""
     spark = vecs_delta.sparkSession
-    from .ann_index import _resolve_index_root
-
     # appends land in the CURRENT generation of a serving-layout index
     path = _resolve_index_root(spark, path)
     bands_df, params = load_vec_dedup_index(spark, path)

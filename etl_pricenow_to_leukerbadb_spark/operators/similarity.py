@@ -767,14 +767,18 @@ def ivf_pq_search(
     coordinate frame it was encoded in.
 
     Query ids must be UNIQUE and non-null on every path: results and
-    LUTs are keyed by ``query_id`` (the residual path enforces this
-    loudly; the raw path shares the same contract — duplicate ids
-    would merge distinct queries' distances).
+    LUTs are keyed by ``query_id``, and BOTH arms enforce it loudly —
+    on the raw arm duplicate ids produce colliding (query_id,
+    subspace, code) LUT rows whose distances would silently
+    double-count in the ADC sum; on the residual arm duplicates
+    collide on (query_id, cent_id) and score against one row's
+    residuals.
 
-    Residual LUT scale bound: the per-probed-list LUT is
-    ``|Q| x n_probe x n_subspaces x n_codes`` BROADCAST rows (the raw
-    path's is ``n_probe``x smaller) — |Q|-linear, so a production
-    batch of 1e5 queries at n_probe=8, m=16, k=256 is 3.3e9 rows, far
+    LUT scale bound (both arms): the residual per-probed-list LUT is
+    ``|Q| x n_probe x n_subspaces x n_codes`` BROADCAST rows and the
+    raw LUT is ``|Q| x n_subspaces x n_codes`` (``n_probe``x smaller,
+    identically |Q|-linear) — so a production batch of 1e5 queries at
+    n_probe=8, m=16, k=256 is 3.3e9 residual rows (4.1e8 raw), far
     past any broadcast. ``lut_row_budget`` (default 1M rows, ~100 MB
     as a JVM broadcast hash relation at ~100 B/row) makes that
     failure LOUD before the broadcast is attempted: oversized batches
@@ -828,56 +832,76 @@ def ivf_pq_search(
     checked = _require_query_dim(
         queries, vec_col, n_subspaces * sub_dim, "ivf_pq_search"
     )
-    if residual:
-        # one cheap aggregate on the probe batch buys loud failures
-        # for two silent-wrong-answer classes. This guard is about
-        # CORRECTNESS, so it runs regardless of lut_row_budget (the
-        # budget override must not also disable it): the residual LUT
-        # is keyed by (query_id, cent_id), so duplicate ids with
-        # different vectors silently score against one row's
-        # residuals, null ids silently match nothing, and unique
-        # non-null ids are also what makes the row-number chunk split
-        # deterministic across filter re-evaluations.
-        qstats = queries.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.col(id_col)).alias("nn"),
-            F.count_distinct(F.col(id_col)).alias("nd"),
-        ).collect()[0]
-        n_q = qstats["n"]
-        if qstats["nn"] != n_q:
-            raise ValueError(
-                f"ivf_pq_search: query batch carries "
-                f"{n_q - qstats['nn']} NULL {id_col} value(s) — the "
-                "residual LUT is keyed by (query_id, cent_id), so "
-                "null-id rows silently match nothing; key the batch"
+    # one cheap aggregate on the probe batch buys loud failures for
+    # two silent-wrong-answer classes, on BOTH arms. This guard is
+    # about CORRECTNESS, so it runs regardless of lut_row_budget (the
+    # budget override must not also disable it): the residual LUT is
+    # keyed by (query_id, cent_id) and the raw LUT by (query_id,
+    # subspace, code), so duplicate ids with different vectors either
+    # score against one row's residuals (residual arm) or produce
+    # colliding LUT rows whose distances double-count in the ADC sum
+    # (raw arm); null ids silently match nothing on both; and unique
+    # non-null ids are also what makes the row-number chunk split
+    # deterministic across filter re-evaluations.
+    qstats = queries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("nn"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    n_q = qstats["n"]
+    lut_key = (
+        "(query_id, cent_id)" if residual else "(query_id, subspace, code)"
+    )
+    if qstats["nn"] != n_q:
+        raise ValueError(
+            f"ivf_pq_search: query batch carries "
+            f"{n_q - qstats['nn']} NULL {id_col} value(s) — the "
+            f"ADC LUT is keyed by {lut_key}, so "
+            "null-id rows silently match nothing; key the batch"
+        )
+    if qstats["nd"] != n_q:
+        raise ValueError(
+            f"ivf_pq_search: query batch carries duplicate ids "
+            f"({n_q} rows, {qstats['nd']} distinct {id_col}) — the "
+            f"ADC LUT is keyed by {lut_key}, so "
+            "duplicates collide"
+            + (
+                ""
+                if residual
+                else " and their distances silently double-count in the"
+                " ADC sum"
             )
-        if qstats["nd"] != n_q:
-            raise ValueError(
-                f"ivf_pq_search: query batch carries duplicate ids "
-                f"({n_q} rows, {qstats['nd']} distinct {id_col}) — the "
-                "residual LUT is keyed by (query_id, cent_id), so "
-                "duplicates collide; dedup or re-key the batch"
-            )
-    if residual and lut_row_budget is not None:
+            + "; dedup or re-key the batch"
+        )
+    if lut_row_budget is not None:
         # the codebook count (broadcast-sized by construction) prices
         # the LUT so an oversized batch fails loudly instead of
-        # silently degrading — or OOMing — the broadcast
+        # silently degrading — or OOMing — the broadcast. Both arms
+        # build a |Q|-linear broadcast LUT; the residual one carries
+        # an extra n_probe factor (keyed per probed list).
         cb_rows = codebook.count()
-        lut_rows = n_q * n_probe * cb_rows
+        per_q = (n_probe if residual else 1) * cb_rows
+        lut_rows = n_q * per_q
+        arm = "residual" if residual else "raw"
+        per_q_shape = (
+            f"n_probe={n_probe} x codebook={cb_rows}"
+            if residual
+            else f"codebook={cb_rows}"
+        )
         if lut_rows > lut_row_budget:
-            per_q = n_probe * cb_rows
             if per_q > lut_row_budget:
                 # chunking splits QUERIES; one query's own LUT over
                 # the budget cannot be split further — a distinct loud
                 # message, or chunk_oversized would loop to this same
                 # dead end one query at a time
                 raise ValueError(
-                    "ivf_pq_search: a SINGLE query's residual LUT is "
-                    f"{per_q} broadcast rows (n_probe={n_probe} x "
-                    f"codebook={cb_rows}) > lut_row_budget="
-                    f"{lut_row_budget} — query chunking cannot help; "
-                    "lower n_probe, or raise lut_row_budget "
-                    "deliberately for executors sized to hold it"
+                    f"ivf_pq_search: a SINGLE query's {arm} LUT is "
+                    f"{per_q} broadcast rows ({per_q_shape}) "
+                    f"> lut_row_budget={lut_row_budget} — query "
+                    "chunking cannot help; "
+                    + ("lower n_probe, or " if residual else "")
+                    + "raise lut_row_budget deliberately for "
+                    "executors sized to hold it"
                 )
             if chunk_oversized:
                 # minimum chunk count whose per-chunk LUT fits, capped
@@ -916,22 +940,23 @@ def ivf_pq_search(
                         chunked.filter(F.col("__chunk") == i).drop("__chunk"),
                         corpus, id_col, vec_col,
                         n_subspaces, sub_dim, n_probe, k, rerank_factor,
-                        residual=True, lut_row_budget=lut_row_budget,
+                        residual=residual, lut_row_budget=lut_row_budget,
                         chunk_oversized=True,
                     )
                     out = part if out is None else out.unionByName(part)
                 return out
-            max_q = max(1, lut_row_budget // (n_probe * max(cb_rows, 1)))
+            max_q = max(1, lut_row_budget // max(per_q, 1))
             raise ValueError(
-                f"ivf_pq_search: residual LUT would be {lut_rows} broadcast "
-                f"rows (|Q|={n_q} x n_probe={n_probe} x codebook={cb_rows}) "
+                f"ivf_pq_search: {arm} LUT would be {lut_rows} broadcast "
+                f"rows (|Q|={n_q} x {per_q_shape}) "
                 f"> lut_row_budget={lut_row_budget} (~100 B/row as a "
                 "broadcast hash relation). Chunk the query batch: search "
                 f"slices of <= {max_q} queries and union the results "
                 "(top-k per query is independent across chunks, so "
                 "chunking is exact — or pass chunk_oversized=True to "
-                "have the search do exactly that), or lower n_probe; "
-                "lut_row_budget=None overrides deliberately"
+                "have the search do exactly that)"
+                + (", or lower n_probe" if residual else "")
+                + "; lut_row_budget=None overrides deliberately"
             )
     if residual:
         # per-(query, probed list) LUT: the query's RESIDUAL against

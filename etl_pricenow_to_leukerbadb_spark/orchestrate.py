@@ -209,3 +209,306 @@ def run_guarded(
         return {"ran": True, "result": result}
     finally:
         lock.release()
+
+
+def curate_corpus_daily(
+    docs_delta,
+    index_path: str,
+    clusters_path: str,
+    snapshot_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_full=None,
+    keep_score_col: str | None = None,
+    allow_short: bool = True,
+    compact_log_threshold: int | None = None,
+    snapshot_min_rows_behind: int = 1,
+    snapshot_min_age_sec: float = 3600.0,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    bucket_prefix_len: int = 2,
+    stage_timings: dict[str, float] | None = None,
+) -> dict:
+    """The composed persisted daily-curation job — the ONE function a
+    data team calls per corpus refresh, wiring the existing stages in
+    the right order with the right claim/compaction/snapshot knobs
+    (r10 verdict ask #4): quality gate → PII scrub → near-dup index
+    ingest + incremental cluster merge → canonical keep table →
+    staleness-gated snapshot publish. Returns a per-stage audit dict.
+
+    Stages and their cost shapes (everything delta-sized except the
+    final keep pass, which is one linear scan + one agg):
+
+    1. **Quality gate** (``functions.text.quality_rule_flags`` — the
+       exact expressions the oracle-paired ``tx_quality_filter``
+       verifies): expression-only, zero shuffle. Audit records per-rule
+       drop counts, not just the total, in the same single pass
+       (conditional sums over the flags).
+    2. **PII scrub** (``scrub_pii`` + ``pii_counts`` audit): chained
+       ``regexp_replace``, JVM-side. The scrubbed text is what gets
+       shingled into the index — redaction placeholders are stable, so
+       replays shingle identically.
+    3. **Ingest + cluster merge** under the clustering's single-writer
+       claim (``claim_cluster_writer`` held across merge + compaction,
+       released in ``finally``): first run builds the index and an
+       empty clustering; later runs append. Either way the pairs come
+       from ONE post-append probe (delta↔corpus and delta↔delta), and
+       ``merge_cluster_delta`` + the measured-knee log auto-compaction
+       (``compact_log_threshold=None`` → the module default) keep the
+       clustering current in O(delta); the probe → merge → compact
+       tail is ``cluster_index.probe_and_merge_delta``, the same code
+       path ``ingest_and_update_clusters`` runs. An OVERLAPPING delta
+       takes the classified fallback (``append_gap_ids``): fully
+       banded ids replay probe-only, never-landed ids are SELF-HEALED
+       with a missing-only append (overlapping daily exports, and
+       post-fsck retries, just work), and torn band sets (a crashed
+       append's partial rows) refuse loudly with the fsck recipe —
+       after ``fsck_dedup_index(repair=True)`` prunes them to zero
+       rows, the retry heals them through the same arm. A verbatim
+       re-run is therefore a no-op end to end (merge contracts to
+       self-edges, snapshot skips).
+    4. **Canonical keep table** (``canonical_keep_table``) over
+       ``docs_full`` (default: the scrubbed delta — pass the standing
+       corpus for a full-corpus keep list) scored by
+       ``keep_score_col`` (default: scrubbed char length).
+    5. **Snapshot publish** (``snapshot_if_stale``): skipped with one
+       meta read + one count when current; the audit carries the live
+       generation name either way (``snapshot_provenance``).
+
+    Cites reference scripts/pricenow_etl.py:329-358 (the
+    update-vs-existing incremental contract this loop generalizes)."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import pii_counts, quality_rule_flags, scrub_pii
+    from .fs import try_read_parquet
+    from .operators.cluster_index import (
+        LOG_COMPACT_THRESHOLD,
+        build_cluster_assignments,
+        canonical_keep_table,
+        claim_cluster_writer,
+        probe_and_merge_delta,
+        release_cluster_writer,
+        snapshot_if_stale,
+        snapshot_provenance,
+    )
+    from .operators.dedup_index import (
+        append_gap_ids,
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+
+    import time as _time
+
+    spark = docs_delta.sparkSession
+    if compact_log_threshold is None:
+        compact_log_threshold = LOG_COMPACT_THRESHOLD
+    audit: dict = {}
+    _t_last = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        # per-stage wall seconds for bench attribution (optional;
+        # ``stage_timings`` mirrors ingest_and_update_clusters')
+        nonlocal _t_last
+        now = _time.perf_counter()
+        if stage_timings is not None:
+            stage_timings[stage] = stage_timings.get(stage, 0.0) + (
+                now - _t_last
+            )
+        _t_last = now
+
+    # -- stages 1+2 audit in ONE delta pass: gate flags, per-rule drop
+    # counts, and PII hit counts (audited on SURVIVORS' raw text —
+    # conditional sums over the keep flag) all come out of a single
+    # aggregate, so the audit costs one scan, not three
+    flags = quality_rule_flags(text_col)
+    counts = pii_counts(text_col)
+    flagged = docs_delta.withColumns(dict(flags))
+    audit_row = flagged.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        *[
+            F.sum((~F.col(name)).cast("long")).alias(f"dropped_{name}")
+            for name in flags
+            if name != "keep"
+        ],
+        *[
+            F.sum(F.when(F.col("keep"), col).otherwise(F.lit(0))).alias(name)
+            for name, col in counts.items()
+        ],
+    ).collect()[0]
+    audit["quality"] = {
+        "docs_in": audit_row["docs_in"] or 0,
+        "kept": audit_row["kept"] or 0,
+        "dropped": (audit_row["docs_in"] or 0) - (audit_row["kept"] or 0),
+        "dropped_by_rule": {
+            name: audit_row[f"dropped_{name}"] or 0
+            for name in flags
+            if name != "keep"
+        },
+    }
+    gated = flagged.filter(F.col("keep")).select(*docs_delta.columns)
+    _mark("quality_gate")
+
+    # -- stage 2: PII scrub (counts already audited above, on the raw
+    # text; the scrubbed text is what the index shingles)
+    audit["pii"] = {name: audit_row[name] or 0 for name in counts}
+    scrubbed = gated.withColumn(text_col, scrub_pii(text_col))
+    # the delta flows through multiple actions below (append, probe,
+    # keep) — cache the gated+scrubbed result once (MEMORY_AND_DISK,
+    # so a delta bigger than executor memory spills instead of OOMing)
+    scrubbed = scrubbed.persist()
+    _mark("pii_scrub")
+
+    # stages 3-5 under a finally that releases the cached frames on
+    # EVERY exit — a failed run (busy writer claim, partial-append
+    # refusal, crashed merge) must not leak MEMORY_AND_DISK blocks
+    # into a long-lived session, one per retry
+    try:
+
+        # -- stage 3: index ingest + incremental cluster merge, under the
+        # clustering's single-writer claim for the whole mutation span
+        fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
+        if fresh_index:
+            build_dedup_index(
+                scrubbed,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                k_shingle=k_shingle,
+                n_hashes=n_hashes,
+                bands=bands,
+                allow_short=allow_short,
+                bucket_prefix_len=bucket_prefix_len,
+            )
+            appended = True
+        else:
+            try:
+                append_to_dedup_index(
+                    scrubbed, index_path, text_col=text_col, allow_short=allow_short
+                )
+                appended = True
+            except ValueError as exc:
+                if "already exist" not in str(exc):
+                    raise
+                # overlap with the standing index. Classify every expected
+                # delta id: fully banded (a replay — probe-only), zero band
+                # rows (never landed, or fsck pruned it — safe to append
+                # exactly as if new: the guard matches exact ids), or
+                # PARTIALLY banded (a crashed append's torn band set —
+                # re-appending would duplicate bucket rows, so it must go
+                # through the fsck prune first). The zero-row arm is what
+                # makes this job SELF-HEALING for overlapping daily exports
+                # and for retries after the fsck recipe below: repair
+                # prunes partials to zero rows, and the next run appends
+                # them here instead of wedging on the same error.
+                gaps = append_gap_ids(
+                    spark, index_path, scrubbed, text_col=text_col
+                ).persist()
+                n_partial = gaps.filter(F.col("n_rows") > 0).count()
+                if n_partial:
+                    gaps.unpersist()
+                    raise RuntimeError(
+                        f"curate_corpus_daily: {n_partial} delta id(s) are "
+                        "PARTIALLY appended (a crashed append's torn band "
+                        "rows, not a replay) — run "
+                        f"fsck_dedup_index('{index_path}', repair=True) to "
+                        "prune them back to never-appended, then retry: the "
+                        "retry appends the pruned ids and continues"
+                    ) from exc
+                missing = scrubbed.join(
+                    gaps.select(id_col), id_col, "left_semi"
+                )
+                n_missing = missing.count()
+                gaps.unpersist()
+                if n_missing:
+                    append_to_dedup_index(
+                        missing,
+                        index_path,
+                        text_col=text_col,
+                        allow_short=allow_short,
+                    )
+                    appended = True
+                    audit["healed_ids"] = n_missing
+                else:
+                    appended = False
+        audit["index"] = {"built": fresh_index, "appended": appended}
+        _mark("index_ingest")
+
+        if try_read_parquet(spark, f"{clusters_path}/meta") is None:
+            # empty clustering, typed like the delta's ids: every node the
+            # first merge meets is brand-new, so one merge path serves
+            # first runs and steady state alike
+            id_type = scrubbed.schema[id_col].dataType.simpleString()
+            build_cluster_assignments(
+                spark.createDataFrame([], f"node {id_type}, component {id_type}"),
+                clusters_path,
+            )
+            audit["clusters_initialized"] = True
+
+        token = claim_cluster_writer(
+            spark, clusters_path, f"curate_corpus_daily:{clusters_path.rstrip('/')}"
+        )
+        try:
+            # the probe -> merge -> auto-compact tail is the SHARED
+            # implementation (cluster_index.probe_and_merge_delta, the
+            # same code path ingest_and_update_clusters runs) — only
+            # the append side above is curation-specific
+            stats = probe_and_merge_delta(
+                spark,
+                index_path,
+                clusters_path,
+                scrubbed,
+                text_col=text_col,
+                compact_log_threshold=compact_log_threshold,
+                writer_token=token,
+                count_pairs=True,
+            )
+        finally:
+            release_cluster_writer(spark, clusters_path, owner_token=token)
+        audit["pairs"] = stats.pop("pairs")
+        audit["merge"] = stats
+        _mark("probe_merge")
+
+        # -- stage 4: canonical keep table (full corpus if given, else the
+        # scrubbed delta), scored by keep_score_col or scrubbed length
+        keep_docs = docs_full if docs_full is not None else scrubbed
+        if keep_score_col is None:
+            keep_docs = keep_docs.withColumn(
+                "__keep_score", F.length(F.col(text_col)).cast("long")
+            )
+            score = "__keep_score"
+        else:
+            score = keep_score_col
+        keep = canonical_keep_table(
+            spark, clusters_path, keep_docs, id_col=id_col, score_col=score
+        )
+        keep_row = keep.agg(
+            F.count(F.lit(1)).alias("components"),
+            F.sum("n_members").alias("docs_covered"),
+        ).collect()[0]
+        audit["keep"] = {
+            "components": keep_row["components"] or 0,
+            "docs_covered": keep_row["docs_covered"] or 0,
+        }
+        _mark("keep_table")
+
+        # -- stage 5: staleness-gated snapshot publish
+        snap = snapshot_if_stale(
+            spark,
+            clusters_path,
+            snapshot_path,
+            min_rows_behind=snapshot_min_rows_behind,
+            min_age_sec=snapshot_min_age_sec,
+        )
+        prov = snapshot_provenance(spark, snapshot_path)
+        audit["snapshot"] = {
+            "published": snap["published"],
+            "reason": snap["reason"],
+            "n_rows": snap["n_rows"],
+            "generation": prov["generation"],
+        }
+        _mark("snapshot")
+    finally:
+        scrubbed.unpersist()
+    return audit

@@ -1547,30 +1547,16 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     length bounds, must-contain-stopwords, repetition ceiling — each
     rule exposed as its own boolean (audit: which rule killed a doc)
     plus the conjunction. One expression-only pass, zero shuffle; at
-    100 TB this IS the shape of the first corpus pass."""
-    from ..functions.text import stopword_count, word_shingles
-    from ..functions.text import LANG_STOPWORDS as _LS
+    100 TB this IS the shape of the first corpus pass. The expressions
+    live in ``functions.text.quality_rule_flags`` so the composed
+    curation job (``orchestrate.curate_corpus_daily``) applies exactly
+    the gate this oracle verifies."""
+    from ..functions.text import quality_rule_flags
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    avg_tok = F.length("text").cast("double") / n_tokens
-    n_stop = stopword_count(toks, _LS["en"])
-    tri = word_shingles(toks, 3)
-    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / F.greatest(
-        F.size(tri), F.lit(1)
-    ).cast("double")
-    ok_length = n_tokens.between(5, 1000)
-    ok_token_len = avg_tok.between(2.0, 12.0)
-    ok_stop = n_stop > 0
-    ok_rep = dup_ratio < 0.5
+    flags = quality_rule_flags("text")
     return docs.select(
-        "doc_id",
-        ok_length.alias("ok_length"),
-        ok_token_len.alias("ok_token_len"),
-        ok_stop.alias("ok_stopwords"),
-        ok_rep.alias("ok_repetition"),
-        (ok_length & ok_token_len & ok_stop & ok_rep).alias("keep"),
+        "doc_id", *[col.alias(name) for name, col in flags.items()]
     )
 
 
@@ -1918,18 +1904,25 @@ def ann_ivfpq_trained_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
     from ..session import session_scratch_dir
 
+    from .stage_timing import time_stage
+
     emb = _t(spark, sf_dir, "embeddings")
     path = session_scratch_dir(spark, "ivfpq_trained_e2e") + "/idx"
-    build_ivfpq_index(
-        emb,
-        path,
-        n_centroids=16,
-        n_subspaces=4,
-        sub_dim=16,
-        n_codes=8,
-        train=True,
-        residual=True,
-    )
+    # stage attribution for the bench record (r10 ask #6): the build is
+    # the eager span; the search plan returned below executes inside
+    # the harness's count(), so the harness derives search = total -
+    # build rather than this function pretending to time it
+    with time_stage("ann_ivfpq_trained_e2e", "build"):
+        build_ivfpq_index(
+            emb,
+            path,
+            n_centroids=16,
+            n_subspaces=4,
+            sub_dim=16,
+            n_codes=8,
+            train=True,
+            residual=True,
+        )
     return search_ivfpq_index(
         spark,
         path,
@@ -1988,6 +1981,56 @@ def dd_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_dedup_candidates(spark, path, delta)
 
 
+def _bench_slice_state(
+    spark: SparkSession, root: str, docs: DataFrame, n_slices: int
+) -> tuple[int, int | None]:
+    """Shared slice-feeder state for the session-cached lifecycle
+    headlines (``dd_cluster_merge``, ``llm_curation_e2e``): returns
+    ``(max_id, slice_idx)`` with ``slice_idx=None`` on the first
+    invocation of a bench session (standing state not yet built —
+    ``max_id`` freshly scanned; cached afterwards so timed runs never
+    rescan the corpus for slicing). The counter clamps at the last
+    slice so exhausted sessions replay it through each headline's
+    idempotent fallback. One implementation for both headlines so the
+    crash-replay contract (advance only after committed work, via
+    ``_bench_slice_advance``) cannot drift between them."""
+    from ..fs import fs_read_text
+
+    meta = fs_read_text(spark, f"{root}/meta.txt")
+    if meta is None:
+        return int(docs.agg(F.max("doc_id")).collect()[0][0]), None
+    counter = fs_read_text(spark, f"{root}/counter.txt")
+    idx = min(int(counter.strip()) if counter else 0, n_slices - 1)
+    return int(meta.strip()), idx
+
+
+def _bench_slice_bounds(
+    max_id: int, slice_idx: int, n_slices: int
+) -> tuple[int, int]:
+    """(lo, hi] id bounds of slice ``slice_idx``: the standing base is
+    ids <= 52% of max_id, each slice the next ~2%, the last slice
+    absorbing the tail."""
+    lo = max_id * (52 + 2 * slice_idx) // 100
+    hi = (
+        max_id
+        if slice_idx == n_slices - 1
+        else max_id * (54 + 2 * slice_idx) // 100
+    )
+    return lo, hi
+
+
+def _bench_slice_advance(
+    spark: SparkSession, root: str, max_id: int, next_idx: int
+) -> None:
+    """Persist the feeder state AFTER the slice's work committed — the
+    dd_cluster_merge crash lesson: advancing first wedged every later
+    run on the predecessor's pending state."""
+    from ..fs import fs_write_text
+
+    fs_write_text(spark, f"{root}/meta.txt", str(max_id))
+    fs_write_text(spark, f"{root}/counter.txt", str(next_idx))
+
+
 @register("dd_cluster_merge", headline=True, multi_action=True, tags=("DD",))
 def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(delta) persisted-cluster curation loop as a benched
@@ -2040,12 +2083,10 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     root = session_cache_dir(spark, f"dd_cluster_merge_{sf_tag}")
     idx, cl = f"{root}/idx", f"{root}/cl"
-    meta = fs_read_text(spark, f"{root}/meta.txt")
-    if meta is None or try_read_parquet(spark, f"{cl}/meta") is None:
+    max_id, slice_idx = _bench_slice_state(spark, root, docs, n_slices)
+    if slice_idx is None or try_read_parquet(spark, f"{cl}/meta") is None:
         # once per bench session: standing index + clustering over the
-        # base ~52% (same geometry as dd_index_probe; max_id cached so
-        # timed runs never rescan the corpus for slicing)
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        # base ~52% (same geometry as dd_index_probe)
         base = docs.filter(F.col("doc_id") <= F.lit(max_id * 52 // 100))
         # overwrite=True: a crash between this build and the meta.txt
         # write leaves a half-built idx in the NEVER-WIPED session cache
@@ -2067,16 +2108,17 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             connected_components(pairs), cl, overwrite=True
         )
         fs_write_text(spark, f"{root}/meta.txt", str(max_id))
-        max_id = int(max_id)
-    else:
-        max_id = int(meta.strip())
-    counter = fs_read_text(spark, f"{root}/counter.txt")
-    slice_idx = min(int(counter.strip()) if counter else 0, n_slices - 1)
-    lo = max_id * (52 + 2 * slice_idx) // 100
-    hi = max_id if slice_idx == n_slices - 1 else max_id * (54 + 2 * slice_idx) // 100
+        slice_idx = 0
+    lo, hi = _bench_slice_bounds(max_id, slice_idx, n_slices)
     delta = docs.filter((F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi)))
+    from .stage_timing import record_stages, time_stage
+
+    stage_sink: dict[str, float] = {}
     try:
-        stats = ingest_and_update_clusters(delta, idx, cl, allow_short=True)
+        stats = ingest_and_update_clusters(
+            delta, idx, cl, allow_short=True, stage_timings=stage_sink
+        )
+        record_stages("dd_cluster_merge", stage_sink)
     except ValueError as exc:
         if "already exist" not in str(exc):
             raise
@@ -2110,15 +2152,16 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pending token, if any, names THIS slice's pairs and only
         # this replay can re-commit it)
         pairs = query_dedup_candidates(spark, idx, delta, text_col="text")
-        stats = merge_cluster_delta(
-            spark, cl, pairs, src_col="probe_id", dst_col="corpus_id"
-        )
+        with time_stage("dd_cluster_merge", "probe_merge"):
+            stats = merge_cluster_delta(
+                spark, cl, pairs, src_col="probe_id", dst_col="corpus_id"
+            )
     # the counter advances only AFTER the merge committed: advancing
     # first meant a crash mid-merge left the NEXT invocation appending
     # slice k+1 onto an index whose pending token names slice k —
     # every later run would append yet another slice and refuse,
     # wedging the headline until someone wiped the session cache
-    fs_write_text(spark, f"{root}/counter.txt", str(slice_idx + 1))
+    _bench_slice_advance(spark, root, max_id, slice_idx + 1)
     return tiny_local_df(
         spark,
         [
@@ -2130,6 +2173,92 @@ def dd_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "slice_idx long, merged_labels long, new_nodes long, log_entries long",
+    )
+
+
+@register("llm_curation_e2e", headline=True, multi_action=True, tags=("TX", "DD"))
+def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED persisted daily-curation job
+    (``orchestrate.curate_corpus_daily`` — r10 verdict ask #4's one
+    function a data team calls) as a benched headline, slice-fed like
+    ``dd_cluster_merge``: the untimed warm-up invocation pays the
+    standing state (the base ~52% of the corpus curated end to end —
+    gate, scrub, index build, initial merge, first snapshot), and each
+    timed run curates the NEXT ~2% id-slice through the full
+    composition: quality gate → PII scrub → index append → candidate
+    probe → incremental cluster merge (under the writer claim, with
+    the measured-knee log auto-compaction) → canonical keep table →
+    staleness-gated snapshot. ``snapshot_min_rows_behind`` is set to
+    the streaming jobs' default threshold, so timed runs measure the
+    production skip path (one provenance read + one resolved count)
+    with the occasional real publish when enough rows accumulate —
+    exactly the cost profile of the unattended daily loop. After the
+    slices run out, the last slice replays through the job's verified
+    no-op path (completeness-proven replay, merge contracts to
+    self-edges, snapshot skips) — still exercising every stage's read
+    side. The slice counter advances only after a successful run, so a
+    crashed run self-heals by replaying its own slice (the same crash
+    contract ``dd_cluster_merge`` pins).
+
+    No SQL oracle by design (and never pinned into the driver
+    window): every stage is verified elsewhere — the gate is the
+    oracle-paired ``tx_quality_filter`` expressions
+    (``quality_rule_flags``), the scrub is ``tx_pii_scrub``'s, merge ≡
+    recompute is pytest-pinned, and the composition's audit counts +
+    idempotency are pytest-pinned in tests/test_orchestrate.py.
+    Returns the audit as one row. Cites reference
+    scripts/pricenow_etl.py:270-366 (the full fetch → transform →
+    upsert daily pipeline this composition generalizes to corpus
+    curation)."""
+    from ..orchestrate import curate_corpus_daily
+    from ..session import session_cache_dir, tiny_local_df
+
+    n_slices = 24
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = session_cache_dir(spark, f"llm_curation_e2e_{sf_tag}")
+    idx, cl, snap = f"{root}/idx", f"{root}/cl", f"{root}/snap"
+    max_id, slice_idx = _bench_slice_state(spark, root, docs, n_slices)
+    if slice_idx is None:
+        lo, hi = -1, max_id * 52 // 100  # the standing base, warm-up-paid
+        slice_idx = -1
+    else:
+        lo, hi = _bench_slice_bounds(max_id, slice_idx, n_slices)
+    delta = docs.filter(
+        (F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi))
+    )
+    from .stage_timing import record_stages
+
+    stage_sink: dict[str, float] = {}
+    audit = curate_corpus_daily(
+        delta,
+        idx,
+        cl,
+        snap,
+        snapshot_min_rows_behind=100_000,
+        stage_timings=stage_sink,
+    )
+    record_stages("llm_curation_e2e", stage_sink)
+    # state advances only AFTER the run committed (same contract as
+    # dd_cluster_merge: a crash mid-run replays the same slice)
+    _bench_slice_advance(spark, root, max_id, slice_idx + 1)
+    return tiny_local_df(
+        spark,
+        [
+            (
+                slice_idx,
+                audit["quality"]["docs_in"],
+                audit["quality"]["kept"],
+                audit["pairs"],
+                audit["merge"]["merged_labels"],
+                audit["merge"]["new_nodes"],
+                audit["keep"]["components"],
+                bool(audit["snapshot"]["published"]),
+            )
+        ],
+        "slice_idx long, docs_in long, quality_kept long, pairs long, "
+        "merged_labels long, new_nodes long, keep_components long, "
+        "snapshot_published boolean",
     )
 
 

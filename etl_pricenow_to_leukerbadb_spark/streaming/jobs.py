@@ -601,7 +601,7 @@ def stream_index_ingest_job(
     Cites reference scripts/pricenow_etl.py:329-358 (the incremental
     "update existing records as needed" contract, re-expressed for an
     index artifact instead of a row store)."""
-    from ..operators.ann_index import (
+    from ..operators.serving import (
         claim_index_for_ingest,
         release_index_ingest_claim,
     )
@@ -629,12 +629,11 @@ def stream_index_ingest_job(
 def _stream_index_ingest(
     spark: SparkSession, vectors_path: str, index_path: str, ckpt_path: str
 ) -> None:
-    from ..operators.ann_index import (
-        _resolve_index_root,
-        _try_read_parquet,
-        append_to_pq_index,
+    from ..fs import try_read_parquet as _try_read_parquet
+    from ..operators.ann_index import append_to_pq_index, load_pq_index
+    from ..operators.serving import (
         assert_generation_stable,
-        load_pq_index,
+        resolve_serving_root as _resolve_index_root,
     )
 
     logical_path = index_path
@@ -770,7 +769,7 @@ def _stream_bucket_ingest(
     The callback must therefore be idempotent — exactly what
     ``merge_cluster_delta`` guarantees.
     """
-    from ..operators.ann_index import (
+    from ..operators.serving import (
         claim_index_for_ingest,
         release_index_ingest_claim,
     )
@@ -808,10 +807,10 @@ def _run_bucket_ingest(
     fsck_name: str,
     post_batch=None,
 ) -> None:
-    from ..operators.ann_index import (
-        _resolve_index_root,
-        _try_read_parquet,
+    from ..fs import try_read_parquet as _try_read_parquet
+    from ..operators.serving import (
         assert_generation_stable,
+        resolve_serving_root as _resolve_index_root,
     )
 
     index_path = _resolve_index_root(spark, logical_path)

@@ -1619,18 +1619,18 @@ def test_snapshot_publish_is_atomic_under_crash_and_concurrent_reads(
 
     # mutate the clustering, then crash the NEXT snapshot right before
     # its pointer swap (the staged generation is fully written). The
-    # swap is the SHARED serving-root primitive (_write_current in
-    # ann_index), so the injection patches it there.
-    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+    # swap is the SHARED serving-root primitive (write_current_pointer
+    # in operators/serving.py), so the injection patches it there.
+    from etl_pricenow_to_leukerbadb_spark.operators import serving as sv
 
     merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
-    real_delete = ai.fs_delete
+    real_delete = sv.fs_delete
     def crash_on_pointer(spark_, p):
         if p.endswith("/CURRENT"):
             raise RuntimeError("injected crash before the pointer swap")
         return real_delete(spark_, p)
 
-    monkeypatch.setattr(ai, "fs_delete", crash_on_pointer)
+    monkeypatch.setattr(sv, "fs_delete", crash_on_pointer)
     with pytest.raises(RuntimeError, match="injected crash"):
         ci.snapshot_cluster_assignments(spark, path, out)
     monkeypatch.undo()
@@ -1684,16 +1684,16 @@ def test_snapshot_sweep_never_deletes_a_concurrent_publishs_staged_gen(
     # publish X: crash right before its pointer swap, leaving its
     # fully-staged young generation on disk (exactly what a slower
     # concurrent publish looks like to Y's sweep)
-    from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+    from etl_pricenow_to_leukerbadb_spark.operators import serving as sv
 
-    real_delete = ai.fs_delete
+    real_delete = sv.fs_delete
 
     def crash_on_pointer(spark_, p):
         if p.endswith("/CURRENT"):
             raise RuntimeError("injected crash before the pointer swap")
         return real_delete(spark_, p)
 
-    monkeypatch.setattr(ai, "fs_delete", crash_on_pointer)
+    monkeypatch.setattr(sv, "fs_delete", crash_on_pointer)
     with pytest.raises(RuntimeError, match="injected crash"):
         ci.snapshot_cluster_assignments(spark, path, out)
     monkeypatch.undo()

@@ -425,3 +425,46 @@ def test_compaction_staging_cannot_sweep_underscore_sibling(spark, sf_small, tmp
     assert (sibling_stage / "part-0.parquet").exists()
     # the target's own staging root is cleaned up after the swap
     assert not os.path.exists(str(tmp_path / ".compact" / "events"))
+
+
+def test_serving_core_is_imported_from_its_neutral_home():
+    """The r10 verdict's neutral-home ask: the serving-root machinery
+    (generation pointers, claims, tripwires, fs-clock GC, staged
+    compaction) lives in ``operators/serving.py``, and no module other
+    than ``ann_index`` (which re-exports for API stability) may import
+    private ``_``-named helpers from ``ann_index``. A new persisted
+    structure imports the named serving API, not ANN internals."""
+    import re as _re
+    from pathlib import Path
+
+    import etl_pricenow_to_leukerbadb_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name == "ann_index.py":
+            continue
+        for m in _re.finditer(
+            r"from\s+(?:\.\.operators\.|\.)ann_index\s+import\s+(\([^)]*\)|[^\n]*)",
+            py.read_text(),
+        ):
+            names = _re.sub(r"[()\s]", " ", m.group(1))
+            for name in names.replace(",", " ").split():
+                if name.startswith("_"):
+                    offenders.append(f"{py.name}: {name}")
+    assert not offenders, (
+        "private ann_index helpers imported outside ann_index — use "
+        f"operators/serving.py's named API instead: {offenders}"
+    )
+    # and the serving module really does own the core
+    from etl_pricenow_to_leukerbadb_spark.operators import serving
+    from etl_pricenow_to_leukerbadb_spark.operators import ann_index
+
+    for public, private in [
+        ("resolve_serving_root", "_resolve_index_root"),
+        ("write_current_pointer", "_write_current"),
+        ("fs_now_ms", "_fs_now_ms"),
+        ("serving_root_report", "_root_report"),
+        ("compact_sorted", "_compact_sorted"),
+    ]:
+        assert getattr(ann_index, private) is getattr(serving, public)

@@ -190,3 +190,161 @@ def test_run_lock_release_by_non_owner_is_noop(tmp_path):
     assert _os.path.exists(path)
     # ...and the next acquire() still recovers the corrupt lock
     assert RunLock(path, stale_after_s=600).acquire(now)
+
+
+def test_curate_corpus_daily_end_to_end_and_idempotent(spark, sf_small, tmp_path):
+    """The composed persisted daily-curation job (r10 verdict ask #4):
+    quality gate → PII scrub → index ingest + cluster merge (under the
+    writer claim) → canonical keep table → staleness-gated snapshot,
+    one call, per-stage audit counts — and a re-run of the SAME delta
+    is a no-op end to end (verified replay through the index, merge
+    contracts to self-edges, snapshot skip)."""
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap = str(tmp_path / "snap")
+
+    a1 = curate_corpus_daily(day1, idx, cl, snap)
+    # stage 1: the gate saw every delta doc and its per-rule counts
+    # reconcile with the total
+    n_day1 = day1.count()
+    assert a1["quality"]["docs_in"] == n_day1
+    assert a1["quality"]["kept"] + a1["quality"]["dropped"] == n_day1
+    assert a1["quality"]["kept"] > 0
+    for rule, n in a1["quality"]["dropped_by_rule"].items():
+        assert n <= a1["quality"]["dropped"], rule
+    # stage 3: first run builds; the clustering holds only PAIR
+    # ENDPOINTS (singletons resolve by coalesce at read time — the
+    # 100 TB-friendly contract: base size tracks the dup graph, not
+    # the corpus), so new_nodes is bounded by kept, equals the
+    # distinct endpoints of the probed pairs, and pairs > 0 on this
+    # corpus slice
+    assert a1["index"] == {"built": True, "appended": True}
+    assert a1.get("clusters_initialized")
+    assert 0 < a1["pairs"]
+    assert 0 < a1["merge"]["new_nodes"] <= a1["quality"]["kept"]
+    # stage 4: the keep table covers EVERY kept doc (singletons are
+    # their own component)
+    assert a1["keep"]["docs_covered"] == a1["quality"]["kept"]
+    assert 0 < a1["keep"]["components"] <= a1["quality"]["kept"]
+    # stage 5: first snapshot always publishes, capturing the base
+    # (started empty, so rows == the merge's new nodes)
+    assert a1["snapshot"]["published"]
+    assert a1["snapshot"]["n_rows"] == a1["merge"]["new_nodes"]
+    gen1 = a1["snapshot"]["generation"]
+
+    # day 2: a fresh delta appends rather than builds, and the
+    # snapshot republishes because the clustering moved
+    day2 = docs.filter(F.col("doc_id") % 3 == 1)
+    a2 = curate_corpus_daily(day2, idx, cl, snap)
+    assert a2["index"] == {"built": False, "appended": True}
+    assert "clusters_initialized" not in a2
+    assert a2["merge"]["new_nodes"] <= a2["quality"]["kept"]
+    # the clustering moved iff the delta brought new endpoints; the
+    # snapshot publishes exactly then (merges never drop base rows)
+    moved = a2["merge"]["new_nodes"] > 0
+    assert a2["snapshot"]["published"] == moved
+    assert (a2["snapshot"]["generation"] != gen1) == moved
+    assert (
+        a2["snapshot"]["n_rows"]
+        == a1["snapshot"]["n_rows"] + a2["merge"]["new_nodes"]
+    )
+
+    # idempotency: replaying day 2 verbatim is a no-op — the append
+    # guard routes through the verified-replay fallback, the merge
+    # adds nothing, the snapshot skips (and keeps its generation)
+    stage_sec: dict[str, float] = {}
+    a3 = curate_corpus_daily(day2, idx, cl, snap, stage_timings=stage_sec)
+    assert set(stage_sec) == {
+        "quality_gate",
+        "pii_scrub",
+        "index_ingest",
+        "probe_merge",
+        "keep_table",
+        "snapshot",
+    }
+    assert all(v >= 0 for v in stage_sec.values())
+    assert a3["index"] == {"built": False, "appended": False}
+    assert a3["merge"]["new_nodes"] == 0
+    assert a3["merge"]["merged_labels"] == 0
+    assert not a3["snapshot"]["published"]
+    assert a3["snapshot"]["generation"] == a2["snapshot"]["generation"]
+    assert a3["snapshot"]["n_rows"] == a2["snapshot"]["n_rows"]
+    # audit counts for the replayed delta match the original run
+    assert a3["quality"] == a2["quality"]
+    assert a3["pii"] == a2["pii"]
+    assert a3["pairs"] == a2["pairs"]
+
+
+def test_curate_corpus_daily_heals_gaps_and_refuses_torn_appends(
+    spark, sf_small, tmp_path
+):
+    """The overlap fallback's two arms (the r11 review finding: the
+    old refuse-everything recipe was a dead end — fsck pruned partial
+    ids to zero rows, and the retry wedged on the same error forever):
+
+    - a mixed delta whose non-indexed ids have ZERO band rows (daily
+      exports overlapping yesterday's, or a post-fsck retry) is
+      SELF-HEALED — only the missing ids are appended, the replayed
+      ids probe-only;
+    - ids with a TORN band set (a crashed append left 1..bands-1 of
+      their rows) still refuse with the fsck recipe, because
+      re-appending them would duplicate bucket rows — and after
+      fsck_dedup_index(repair=True) the retry takes the healing arm
+      and completes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    day1 = docs.filter(F.col("doc_id") < 40)
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap = str(tmp_path / "snap")
+    a1 = curate_corpus_daily(day1, idx, cl, snap)
+
+    # arm 1: half-replay, half-new -> healed, not refused
+    mixed = docs.filter(F.col("doc_id") < 80)
+    a2 = curate_corpus_daily(mixed, idx, cl, snap)
+    assert a2["index"] == {"built": False, "appended": True}
+    assert a2["healed_ids"] > 0
+    assert a2["healed_ids"] < a2["quality"]["kept"]  # replays not re-appended
+
+    # arm 2: tear one id's band set (simulate a crashed append) ->
+    # loud refusal naming the fsck recipe
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        fsck_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+
+    root = resolve_serving_root(spark, idx)
+    bands = spark.read.parquet(f"{root}/bands")
+    victim = bands.agg(F.max("doc_id")).collect()[0][0]
+    kept_rows = bands.filter(
+        (F.col("doc_id") != victim) | (F.col("band") == 0)
+    )
+    staged = str(tmp_path / "torn_bands")
+    kept_rows.write.parquet(staged)
+    import shutil
+
+    shutil.rmtree(f"{root}/bands")
+    shutil.move(staged, f"{root}/bands")
+    with pytest.raises(RuntimeError, match="PARTIALLY appended"):
+        curate_corpus_daily(mixed, idx, cl, snap)
+
+    # the recipe WORKS: repair prunes the torn id to zero rows, and
+    # the retry self-heals it through arm 1 and completes
+    fsck_dedup_index(spark, idx, repair=True)
+    a3 = curate_corpus_daily(mixed, idx, cl, snap)
+    assert a3["healed_ids"] == 1  # exactly the pruned victim
+    assert a3["index"]["appended"]

@@ -302,6 +302,7 @@ def test_gc_ages_against_the_filesystem_clock_not_the_driver(
     import time as _t
 
     from etl_pricenow_to_leukerbadb_spark.operators import ann_index as ai
+    from etl_pricenow_to_leukerbadb_spark.operators import serving as sv
 
     path = str(tmp_path / "idx")
     _build_fragmented(spark, corpus, path)
@@ -318,14 +319,17 @@ def test_gc_ages_against_the_filesystem_clock_not_the_driver(
     # driver clock a day in the FUTURE: a wall-clock gc would see the
     # fresh dir as ancient and sweep a possibly-mid-staging build
     real_time = _t.time
-    monkeypatch.setattr(ai.time, "time", lambda: real_time() + 86400)
+    # gc now lives in operators/serving.py; patch the clock THERE (and
+    # the old ann_index seam no longer even imports time — the re-export
+    # IS the serving function)
+    monkeypatch.setattr(sv.time, "time", lambda: real_time() + 86400)
     out = ai.gc_serving_root(spark, path, min_age_sec=3600)
     assert out["deleted"] == [] and out["retained_young"] == [orphan]
 
     # driver clock a day in the PAST: a wall-clock gc would never age
     # anything out; the fs-clock sweep still collects genuinely old
     # dirs (now aged past the gate, it reclassifies as debris)
-    monkeypatch.setattr(ai.time, "time", lambda: real_time() - 86400)
+    monkeypatch.setattr(sv.time, "time", lambda: real_time() - 86400)
     old = real_time() - 7200
     os.utime(f"{path}/{orphan}", (old, old))
     out = ai.gc_serving_root(spark, path, min_age_sec=3600)
