@@ -738,6 +738,7 @@ def _stream_bucket_ingest(
     name: str,
     fsck_name: str,
     post_batch=None,
+    transform=None,
 ) -> None:
     """Shared streaming-ingest core for the persisted near-dup
     indexes (text and vector frontends of ``operators/dedup_index``).
@@ -768,6 +769,14 @@ def _stream_bucket_ingest(
     must still reach the downstream step, which may never have run.
     The callback must therefore be idempotent — exactly what
     ``merge_cluster_delta`` guarantees.
+
+    ``transform(batch_df)``, when given, rewrites each micro-batch
+    BEFORE replay classification, append, and ``post_batch`` — the
+    curation pre-stages (quality gate + PII scrub). It MUST be
+    deterministic (pure column expressions): a replayed batch must
+    transform to the same rows, or the replay classifier would
+    misjudge which ids already landed. A batch the transform empties
+    commits its epoch marker as a no-op.
     """
     from ..operators.serving import (
         claim_index_for_ingest,
@@ -788,6 +797,7 @@ def _stream_bucket_ingest(
         _run_bucket_ingest(
             spark, src_path, logical_path, ckpt_path, schema, id_col,
             rows_per_id, build_id, append, name, fsck_name, post_batch,
+            transform,
         )
     finally:
         release_index_ingest_claim(spark, logical_path, owner_token=token)
@@ -806,6 +816,7 @@ def _run_bucket_ingest(
     name: str,
     fsck_name: str,
     post_batch=None,
+    transform=None,
 ) -> None:
     from ..fs import try_read_parquet as _try_read_parquet
     from ..operators.serving import (
@@ -839,6 +850,19 @@ def _run_bucket_ingest(
                 ).limit(1)
             ).count()
             if committed:
+                return
+        if transform is not None:
+            # deterministic pre-stages (gate/scrub) run before replay
+            # classification so a replay sees the same transformed rows
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                # an entirely-gated-out batch commits its epoch as a
+                # no-op so a restart does not reprocess it forever
+                tiny_local_df(
+                    ss,
+                    [(qid, int(epoch_id), build_id)],
+                    "query_id string, epoch_id long, build_id string",
+                ).coalesce(1).write.mode("append").parquet(markers_path)
                 return
         span = batch_df.agg(
             F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
@@ -942,6 +966,8 @@ def stream_dedup_cluster_job(
     snapshot_path: str | None = None,
     snapshot_rows_threshold: int = 100_000,
     snapshot_min_age_sec: float = 3600.0,
+    transform=None,
+    job_name: str = "stream_dedup_cluster_job",
 ) -> None:
     """``stream_dedup_ingest_job`` plus persisted-cluster maintenance:
     each micro-batch is appended to the near-dup index, then probed
@@ -1018,7 +1044,7 @@ def stream_dedup_cluster_job(
     # compaction (or a second stream on the same clustering) refuse
     # loudly instead of interleaving with the per-batch marker dance —
     # the same enforced single-writer contract the index ingests carry
-    tag = f"stream_dedup_cluster_job:{clusters_path.rstrip('/')}"
+    tag = f"{job_name}:{clusters_path.rstrip('/')}"
 
     token = claim_cluster_writer(spark, clusters_path, tag)
     rows_since_snapshot = {"n": 0}
@@ -1058,9 +1084,10 @@ def stream_dedup_cluster_job(
             int(params["bands"]),
             params["build_id"],
             _append,
-            "stream_dedup_cluster_job",
+            job_name,
             "fsck_dedup_index",
             post_batch=_cluster,
+            transform=transform,
         )
         if snapshot_path is not None:
             # drain tail: whatever landed below the threshold, plus any
@@ -1073,6 +1100,66 @@ def stream_dedup_cluster_job(
             )
     finally:
         release_cluster_writer(spark, clusters_path, owner_token=token)
+
+
+def stream_curation_job(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    clusters_path: str,
+    allow_short: bool = False,
+    text_col: str | None = None,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    snapshot_path: str | None = None,
+    snapshot_rows_threshold: int = 100_000,
+    snapshot_min_age_sec: float = 3600.0,
+) -> None:
+    """The streaming twin of ``orchestrate.curate_corpus_daily`` (r10
+    verdict ask #4): each micro-batch of raw documents is quality-gated
+    (``functions.text.quality_rule_flags`` — the exact oracle-paired
+    ``tx_quality_filter`` expressions) and PII-scrubbed
+    (``scrub_pii``) BEFORE it reaches the persisted near-dup index and
+    the incremental cluster merge, riding
+    ``stream_dedup_cluster_job``'s existing claim / auto-compaction /
+    threshold-snapshot machinery unchanged — the unattended continuous
+    corpus-refresh loop in one call.
+
+    Correctness under replay: the gate and scrub are pure
+    deterministic column expressions, so a replayed batch transforms
+    to byte-identical rows and the replay classifier's complete /
+    absent / partial judgement is unchanged; the scrubbed text is what
+    gets shingled, so index buckets are replay-stable too. A batch the
+    gate empties entirely commits its epoch marker as a no-op. The
+    canonical keep table is a READ-side artifact — compute it off the
+    published snapshot (``canonical_keep_table``) on whatever cadence
+    consumers need; persisting it per micro-batch would rewrite a
+    corpus-sized table per batch for no reader benefit."""
+    from ..functions.text import quality_rule_flags, scrub_pii
+    from ..operators.dedup_index import load_dedup_index
+
+    if text_col is None:
+        _, params = load_dedup_index(spark, index_path)
+        text_col = params["text_col"]
+
+    def gate_and_scrub(batch_df: DataFrame) -> DataFrame:
+        keep = quality_rule_flags(F.col(text_col))["keep"]
+        return batch_df.filter(keep).withColumn(
+            text_col, scrub_pii(text_col)
+        )
+
+    stream_dedup_cluster_job(
+        spark,
+        docs_path,
+        index_path,
+        clusters_path,
+        allow_short=allow_short,
+        compact_log_threshold=compact_log_threshold,
+        snapshot_path=snapshot_path,
+        snapshot_rows_threshold=snapshot_rows_threshold,
+        snapshot_min_age_sec=snapshot_min_age_sec,
+        transform=gate_and_scrub,
+        job_name="stream_curation_job",
+    )
 
 
 def stream_vec_dedup_ingest_job(

@@ -348,3 +348,100 @@ def test_curate_corpus_daily_heals_gaps_and_refuses_torn_appends(
     a3 = curate_corpus_daily(mixed, idx, cl, snap)
     assert a3["healed_ids"] == 1  # exactly the pruned victim
     assert a3["index"]["appended"]
+
+
+def test_streaming_curation_twin_matches_batch_curation(
+    spark, sf_small, tmp_path
+):
+    """``stream_curation_job`` (the streaming twin of
+    ``curate_corpus_daily``) must leave the index, the clustering, and
+    the published snapshot IDENTICAL to running the batch job over the
+    same waves: the gate and scrub are deterministic expressions and
+    the ingest/merge path below them is shared, so streamed and
+    batched curation are the same computation. Also pins the
+    empty-after-gate batch: a wave of all-garbage docs commits its
+    epoch as a no-op and changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        read_cluster_snapshot,
+        resolve_cluster_assignments,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+    from etl_pricenow_to_leukerbadb_spark.streaming.jobs import (
+        stream_curation_job,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.7)")).collect()[0][0]
+    mid = docs.agg(F.expr("percentile(doc_id, 0.85)")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= cut)
+    waves = [
+        docs.filter((F.col("doc_id") > cut) & (F.col("doc_id") <= mid)),
+        docs.filter(F.col("doc_id") > mid),
+    ]
+
+    # batch arm: seed + two curate calls
+    idx_a, cl_a, snap_a = (
+        str(tmp_path / n) for n in ("idx_a", "cl_a", "snap_a")
+    )
+    curate_corpus_daily(base, idx_a, cl_a, snap_a)
+    for w in waves:
+        curate_corpus_daily(w, idx_a, cl_a, snap_a)
+
+    # streaming arm: same seed, then the raw waves arrive as parquet
+    # files through one checkpointed stream_curation_job lineage
+    idx_b, cl_b, snap_b = (
+        str(tmp_path / n) for n in ("idx_b", "cl_b", "snap_b")
+    )
+    curate_corpus_daily(base, idx_b, cl_b, snap_b)
+    stream_dir = str(tmp_path / "docs_stream")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream_curation_job(
+            spark,
+            stream_dir,
+            idx_b,
+            cl_b,
+            allow_short=True,
+            snapshot_path=snap_b,
+            snapshot_rows_threshold=1,
+        )
+
+    def resolved(path):
+        return {
+            (r.node, r.component)
+            for r in resolve_cluster_assignments(spark, path).collect()
+        }
+
+    assert resolved(cl_b) == resolved(cl_a)
+    assert {
+        (r.node, r.component)
+        for r in read_cluster_snapshot(spark, snap_b).collect()
+    } == resolved(cl_a)
+    bands = lambda p: {  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{resolve_serving_root(spark, p)}/bands"
+        ).collect()
+    }
+    assert bands(idx_b) == bands(idx_a)
+
+    # a wave the gate empties entirely: no index/cluster change, and
+    # the stream drains (epoch committed as a no-op, not an error)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    garbage = spark.createDataFrame(
+        [(int(max_id) + 1 + i, "x y") for i in range(5)],
+        "doc_id long, text string",
+    )
+    garbage.coalesce(1).write.mode("append").parquet(stream_dir)
+    before = resolved(cl_b)
+    stream_curation_job(
+        spark, stream_dir, idx_b, cl_b, allow_short=True
+    )
+    assert resolved(cl_b) == before
+    assert bands(idx_b) == bands(idx_a)
