@@ -835,6 +835,17 @@ def _run_bucket_ingest(
             ]
         return qid_cache["id"]
 
+    def commit_epoch_marker(ss: SparkSession, qid: str, epoch_id: int) -> None:
+        tiny_local_df(
+            ss,
+            [(qid, int(epoch_id), build_id)],
+            "query_id string, epoch_id long, build_id string",
+        ).coalesce(1).write.mode("append").parquet(markers_path)
+        # tripwire: a pointer swap since job start means everything this
+        # epoch wrote (marker included) landed in a dead generation —
+        # fail the batch loudly
+        assert_generation_stable(ss, logical_path, index_path)
+
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -853,17 +864,27 @@ def _run_bucket_ingest(
                 return
         if transform is not None:
             # deterministic pre-stages (gate/scrub) run before replay
-            # classification so a replay sees the same transformed rows
-            batch_df = transform(batch_df)
+            # classification so a replay sees the same transformed
+            # rows; persisted because the transformed frame feeds 5-6
+            # actions below (emptiness, span agg, partial-classifier
+            # join, append, post_batch's probe) and re-evaluating the
+            # gate/scrub expressions per action multiplies their cost
+            batch_df = transform(batch_df).persist()
             if batch_df.isEmpty():
                 # an entirely-gated-out batch commits its epoch as a
                 # no-op so a restart does not reprocess it forever
-                tiny_local_df(
-                    ss,
-                    [(qid, int(epoch_id), build_id)],
-                    "query_id string, epoch_id long, build_id string",
-                ).coalesce(1).write.mode("append").parquet(markers_path)
+                batch_df.unpersist()
+                commit_epoch_marker(ss, qid, epoch_id)
                 return
+        try:
+            _handle_nonempty(batch_df, ss, qid, epoch_id)
+        finally:
+            if transform is not None:
+                batch_df.unpersist()
+
+    def _handle_nonempty(
+        batch_df: DataFrame, ss: SparkSession, qid: str, epoch_id: int
+    ) -> None:
         span = batch_df.agg(
             F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
         ).collect()[0]
@@ -893,14 +914,7 @@ def _run_bucket_ingest(
             # ids whose buckets already landed, but the downstream step
             # (idempotent by contract) may have crashed before running
             post_batch(batch_df)
-        tiny_local_df(
-            ss,
-            [(qid, int(epoch_id), build_id)],
-            "query_id string, epoch_id long, build_id string",
-        ).coalesce(1).write.mode("append").parquet(markers_path)
-        # tripwire: a pointer swap since job start means the append
-        # above landed in a dead generation — fail the batch loudly
-        assert_generation_stable(ss, logical_path, index_path)
+        commit_epoch_marker(ss, qid, epoch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -1107,8 +1121,7 @@ def stream_curation_job(
     docs_path: str,
     index_path: str,
     clusters_path: str,
-    allow_short: bool = False,
-    text_col: str | None = None,
+    allow_short: bool = True,
     compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
     snapshot_path: str | None = None,
     snapshot_rows_threshold: int = 100_000,
@@ -1133,13 +1146,24 @@ def stream_curation_job(
     canonical keep table is a READ-side artifact — compute it off the
     published snapshot (``canonical_keep_table``) on whatever cadence
     consumers need; persisting it per micro-batch would rewrite a
-    corpus-sized table per batch for no reader benefit."""
+    corpus-sized table per batch for no reader benefit.
+
+    ``allow_short`` defaults True like the batch twin, and for a
+    stream it is close to mandatory: the gate counts tokens on RAW
+    text while the index shingles SCRUBBED text, so a gate-surviving
+    doc whose PII scrub collapses it below ``k_shingle`` tokens (a
+    long phone number becoming one ``[PHONE]`` token) is legitimately
+    unshinglable — under ``allow_short=False`` that one doc would fail
+    its micro-batch BEFORE the epoch marker and every restart would
+    replay it, wedging the unattended loop on organic input. The text
+    column comes from the index meta (the micro-batch schema is built
+    from it), never from the caller — a mismatched override could
+    only break the stream."""
     from ..functions.text import quality_rule_flags, scrub_pii
     from ..operators.dedup_index import load_dedup_index
 
-    if text_col is None:
-        _, params = load_dedup_index(spark, index_path)
-        text_col = params["text_col"]
+    _, params = load_dedup_index(spark, index_path)
+    text_col = params["text_col"]
 
     def gate_and_scrub(batch_df: DataFrame) -> DataFrame:
         keep = quality_rule_flags(F.col(text_col))["keep"]

@@ -431,17 +431,23 @@ def test_streaming_curation_twin_matches_batch_curation(
     }
     assert bands(idx_b) == bands(idx_a)
 
-    # a wave the gate empties entirely: no index/cluster change, and
-    # the stream drains (epoch committed as a no-op, not an error)
+    # a wave the gate empties entirely, PLUS the confirmed poison
+    # input (r11 review finding #1): a doc that passes the gate on its
+    # RAW text but whose PII scrub collapses it below k_shingle tokens
+    # ('the <phone>' -> 'the [PHONE]', 2 tokens). Under the old
+    # allow_short=False default this doc failed its micro-batch before
+    # the epoch marker and every restart replayed it — a permanent
+    # wedge; with the twin-matching default it is absorbed as a
+    # legitimately unshinglable doc (zero band rows). Either way the
+    # stream must drain and index/clustering stay unchanged.
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     garbage = spark.createDataFrame(
-        [(int(max_id) + 1 + i, "x y") for i in range(5)],
+        [(int(max_id) + 1 + i, "x y") for i in range(5)]
+        + [(int(max_id) + 6, "the +41 79 123 456 789")],
         "doc_id long, text string",
     )
     garbage.coalesce(1).write.mode("append").parquet(stream_dir)
     before = resolved(cl_b)
-    stream_curation_job(
-        spark, stream_dir, idx_b, cl_b, allow_short=True
-    )
+    stream_curation_job(spark, stream_dir, idx_b, cl_b)
     assert resolved(cl_b) == before
     assert bands(idx_b) == bands(idx_a)
