@@ -512,3 +512,100 @@ def curate_corpus_daily(
     finally:
         scrubbed.unpersist()
     return audit
+
+
+def fsck_curation(
+    spark,
+    index_path: str,
+    clusters_path: str,
+    snapshot_path: str,
+    strict: bool = True,
+    vec: bool = False,
+) -> dict:
+    """Composed consistency sweep for the curation triple — the
+    scheduled-maintenance counterpart of ``curate_corpus_daily`` /
+    ``stream_curation_job``, which mutate three persisted structures
+    that must stay mutually consistent: the near-dup index, the
+    cluster assignments, and the published snapshot. Runs each
+    structure's own fsck (index bands/markers/claims, clustering
+    base/log/commit invariants, snapshot pointer/provenance/staleness
+    against THIS clustering), then the one invariant no per-structure
+    sweep can see:
+
+    - ``unindexed_cluster_nodes``: resolved cluster nodes that are not
+      banded ids in the index. Every clustered node entered through a
+      candidate pair, and every pair endpoint is an indexed id (probe
+      ids are appended before the probe; corpus ids were banded when
+      they were ingested), so the resolved node set is a SUBSET of the
+      banded id set by construction. A violation means the structures
+      drifted — an index rebuilt without replaying the clustering, a
+      clustering restored from the wrong backup, or band rows lost to
+      corruption the per-structure counts happened to miss — and the
+      recovery is a clustering rebuild from a fresh pair recompute
+      (always possible: the corpus + index regenerate the pair graph).
+
+    One linear pass over two narrow tables (distinct banded ids
+    anti-joined by the resolved nodes); scheduled-sweep shaped, like
+    the per-structure fscks it composes. ``vec=True`` checks an
+    embedding-side triple (``fsck_vec_dedup_index``). ``strict=True``
+    raises on the cross-structure violation after the per-structure
+    fscks have passed (those raise first, under their own names)."""
+    from pyspark.sql import functions as F
+
+    from .operators.cluster_index import (
+        fsck_cluster_assignments,
+        fsck_cluster_snapshot,
+        resolve_cluster_assignments,
+    )
+    from .operators.dedup_index import (
+        fsck_dedup_index,
+        fsck_vec_dedup_index,
+        load_dedup_index,
+        load_vec_dedup_index,
+    )
+
+    fsck_index = fsck_vec_dedup_index if vec else fsck_dedup_index
+    load_index = load_vec_dedup_index if vec else load_dedup_index
+    report = {
+        "index": fsck_index(spark, index_path, strict=strict),
+        "clusters": fsck_cluster_assignments(spark, clusters_path, strict=strict),
+        "snapshot": fsck_cluster_snapshot(
+            spark, snapshot_path, source_path=clusters_path, strict=strict
+        ),
+    }
+    bands_df, params = load_index(spark, index_path)
+    id_col = params["id_col"]
+    resolved = resolve_cluster_assignments(spark, clusters_path)
+    orphans = (
+        resolved.select(F.col("node").alias(id_col))
+        .distinct()
+        .join(bands_df.select(id_col).distinct(), id_col, "left_anti")
+        .count()
+    )
+    report["unindexed_cluster_nodes"] = orphans
+    # one verdict across the triple (lenient callers and the CLI read
+    # this instead of re-deriving each structure's violation fields)
+    report["clean"] = (
+        orphans == 0
+        and not (report["index"]["dup_rows"] or report["index"]["partial_ids"])
+        and not (
+            report["clusters"]["uncommitted"]
+            or report["clusters"]["dup_node_rows"]
+            or report["clusters"]["log_chain_entries"]
+            or report["clusters"]["log_dup_keys"]
+            or report["clusters"]["unanchored_components"]
+        )
+        and report["snapshot"].get("current_resolves", True)
+        and report["snapshot"].get("provenance_rows_match") is not False
+    )
+    if strict and orphans:
+        raise RuntimeError(
+            f"fsck_curation: {orphans} resolved cluster node(s) at "
+            f"{clusters_path} are not banded ids in {index_path} — the "
+            "clustering references documents the index never saw, so "
+            "the structures have drifted (wrong backup restored, or an "
+            "index rebuilt without replaying the clustering). Rebuild "
+            "the clustering from a fresh pair recompute over the "
+            "corpus + index"
+        )
+    return report

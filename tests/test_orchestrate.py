@@ -451,3 +451,104 @@ def test_streaming_curation_twin_matches_batch_curation(
     stream_curation_job(spark, stream_dir, idx_b, cl_b)
     assert resolved(cl_b) == before
     assert bands(idx_b) == bands(idx_a)
+
+
+def test_fsck_curation_passes_healthy_and_catches_drift(
+    spark, sf_small, tmp_path
+):
+    """The composed sweep: green on a triple curate_corpus_daily just
+    wrote (per-structure fscks + the cross-structure subset
+    invariant), loud when the structures drift — here a clustering
+    whose nodes reference documents the index never saw (the
+    wrong-backup / rebuilt-index shape no per-structure fsck can
+    detect, because each structure is internally consistent)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments,
+        snapshot_cluster_assignments,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily,
+        fsck_curation,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap = str(tmp_path / "snap")
+    curate_corpus_daily(docs.filter(F.col("doc_id") < 150), idx, cl, snap)
+    report = fsck_curation(spark, idx, cl, snap)
+    assert report["unindexed_cluster_nodes"] == 0
+    assert "index" in report and "clusters" in report and "snapshot" in report
+
+    # drift: replace the clustering with one whose nodes the index
+    # never banded (internally consistent — its own fsck passes — but
+    # inconsistent with the index)
+    foreign = spark.createDataFrame(
+        [(10_000_001, 10_000_001), (10_000_002, 10_000_001)],
+        "node long, component long",
+    )
+    build_cluster_assignments(foreign, cl, overwrite=True)
+    snapshot_cluster_assignments(spark, cl, snap, min_age_sec=0.0)
+    with pytest.raises(RuntimeError, match="not banded ids"):
+        fsck_curation(spark, idx, cl, snap)
+    report = fsck_curation(spark, idx, cl, snap, strict=False)
+    assert report["unindexed_cluster_nodes"] == 2
+
+
+def test_fsck_cli_curation_mode(spark, sf_small, tmp_path, monkeypatch, capsys):
+    """`python -m tools.fsck_index IDX --curation CL SNAP` runs the
+    composed sweep and exits 0 on a healthy triple, 1 on drift."""
+    import json
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark import session as sess
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments,
+        snapshot_cluster_assignments,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+    from tools.fsck_index import main as fsck_main
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def stop(self):  # the CLI stops its session; ours is shared
+            pass
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: _NoStop(spark))
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap = str(tmp_path / "snap")
+    curate_corpus_daily(docs.filter(F.col("doc_id") < 100), idx, cl, snap)
+
+    monkeypatch.setattr(
+        sys, "argv", ["fsck_index", idx, "--curation", cl, snap]
+    )
+    assert fsck_main() == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["clean"] and report["unindexed_cluster_nodes"] == 0
+
+    build_cluster_assignments(
+        spark.createDataFrame(
+            [(20_000_001, 20_000_001)], "node long, component long"
+        ),
+        cl,
+        overwrite=True,
+    )
+    snapshot_cluster_assignments(spark, cl, snap, min_age_sec=0.0)
+    assert fsck_main() == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not report["clean"] and report["unindexed_cluster_nodes"] == 1

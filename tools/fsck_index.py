@@ -2,7 +2,8 @@
 (ANN and near-dup indexes).
 
 ``python -m tools.fsck_index /path/to/index [--lenient] [--repair]
-[--dedup | --vec-dedup | --clusters | --snapshot [--source PATH]]
+[--dedup | --vec-dedup | --clusters | --snapshot [--source PATH]
+ | --curation CLUSTERS_PATH SNAPSHOT_PATH]
 [--compact [TARGET_FILES]] [--serving] [--gc [MIN_AGE_SEC]]``
 
 ``append_to_pq_index`` (and the bucket-index appends) verify only the
@@ -38,6 +39,14 @@ valid marker (``gc_cluster_debris`` — a stage with a missing twin is
 restore material, never debris); both refuse under a live
 ``.WRITER_ACTIVE`` claim (a running stream_dedup_cluster_job) unless
 --force. ``--repair``/``--serving`` do not apply to clusterings.
+``--curation CLUSTERS_PATH SNAPSHOT_PATH`` runs the COMPOSED sweep for
+the curation triple the daily job mutates together
+(``orchestrate.fsck_curation``): each structure's own fsck plus the
+cross-structure invariant no per-structure sweep can see — every
+resolved cluster node must be a banded id in the index (a violation
+means drifted structures: wrong backup restored, or an index rebuilt
+without replaying the clustering). ``--vec-dedup`` combines with it
+for an embedding-side triple; sweep-only.
 ``--snapshot`` routes the sweep at the FIFTH persisted structure, a
 cluster-snapshot serving root (``fsck_cluster_snapshot``: pointer
 resolution, provenance row count, crash-orphan extras — the grace
@@ -100,6 +109,18 @@ def main() -> int:
         "repair is re-publishing the snapshot",
     )
     ap.add_argument(
+        "--curation",
+        nargs=2,
+        default=None,
+        metavar=("CLUSTERS_PATH", "SNAPSHOT_PATH"),
+        help="the path is a near-dup index and these are its curation "
+        "siblings: run the COMPOSED sweep (orchestrate.fsck_curation) "
+        "— each structure's own fsck plus the cross-structure subset "
+        "invariant (every resolved cluster node must be a banded id). "
+        "Combine with --vec-dedup for an embedding-side triple. "
+        "Sweep-only",
+    )
+    ap.add_argument(
         "--source",
         default=None,
         metavar="CLUSTERS_PATH",
@@ -150,6 +171,19 @@ def main() -> int:
         ap.error(
             "--dedup, --vec-dedup, --clusters and --snapshot are "
             "mutually exclusive"
+        )
+    if args.curation and (args.dedup or args.clusters or args.snapshot):
+        ap.error(
+            "--curation names the index positionally and its siblings "
+            "as arguments; only --vec-dedup combines with it"
+        )
+    if args.curation and (
+        args.repair or args.serving or args.compact is not None
+        or args.gc is not None
+    ):
+        ap.error(
+            "--curation is sweep-only: repair/compact/gc each structure "
+            "through its own mode after reading the composed report"
         )
     if args.source and not args.snapshot:
         ap.error("--source only applies to --snapshot")
@@ -221,6 +255,21 @@ def main() -> int:
         compact = compact_index_serving if args.serving else compact_index
     spark = get_spark(app_name="fsck-index")
     try:
+        if args.curation:
+            from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+                fsck_curation,
+            )
+
+            report = fsck_curation(
+                spark,
+                args.index_path,
+                args.curation[0],
+                args.curation[1],
+                strict=False,
+                vec=args.vec_dedup,
+            )
+            print(json.dumps(report, default=str))
+            return 0 if (report["clean"] or args.lenient) else 1
         if args.snapshot:
             report = fsck_cluster_snapshot(
                 spark, args.index_path, source_path=args.source, strict=False
