@@ -544,14 +544,22 @@ def fsck_curation(
       recovery is a clustering rebuild from a fresh pair recompute
       (always possible: the corpus + index regenerate the pair graph).
 
-    One linear pass over two narrow tables (distinct banded ids
-    anti-joined by the resolved nodes); scheduled-sweep shaped, like
-    the per-structure fscks it composes. ``vec=True`` checks an
-    embedding-side triple (``fsck_vec_dedup_index``). ``strict=True``
-    raises on the cross-structure violation after the per-structure
-    fscks have passed (those raise first, under their own names)."""
+    A MISSING structure (a first run that crashed before the snapshot
+    ever published, or a typo'd path) is a reportable state, not a
+    stack trace: it lands in the report as ``{"missing": True}`` and
+    fails the verdict — the broken-triple shapes are exactly what an
+    operator runs this sweep to diagnose. Cost: the per-structure
+    fscks each scan their own narrow tables and the cross-check adds
+    one resolved-nodes anti-join against the distinct banded ids —
+    2-3 linear narrow-table passes total, scheduled-sweep shaped like
+    the fscks it composes. ``vec=True`` checks an embedding-side
+    triple (``fsck_vec_dedup_index``). ``strict=True`` raises on a
+    missing structure or the cross-structure violation after the
+    per-structure fscks have passed (those raise first, under their
+    own names)."""
     from pyspark.sql import functions as F
 
+    from .fs import fs_read_text, try_read_parquet
     from .operators.cluster_index import (
         fsck_cluster_assignments,
         fsck_cluster_snapshot,
@@ -566,6 +574,48 @@ def fsck_curation(
 
     fsck_index = fsck_vec_dedup_index if vec else fsck_dedup_index
     load_index = load_vec_dedup_index if vec else load_dedup_index
+    missing = []
+    if try_read_parquet(spark, f"{index_path.rstrip('/')}/meta") is None and (
+        fs_read_text(spark, f"{index_path.rstrip('/')}/CURRENT") is None
+    ):
+        missing.append("index")
+    if try_read_parquet(spark, f"{clusters_path.rstrip('/')}/meta") is None:
+        missing.append("clusters")
+    if (
+        fs_read_text(spark, f"{snapshot_path.rstrip('/')}/CURRENT") is None
+        and try_read_parquet(spark, snapshot_path) is None
+    ):
+        missing.append("snapshot")
+    if missing:
+        if strict:
+            raise RuntimeError(
+                f"fsck_curation: {', '.join(missing)} missing — the "
+                "curation triple is incomplete (a first run crashed "
+                "before this structure was created, or the path is "
+                "wrong). Re-run curate_corpus_daily (idempotent) or fix "
+                "the path, then sweep again"
+            )
+        report: dict = {s: {"missing": True} for s in missing}
+        if "index" not in report:
+            report["index"] = fsck_index(spark, index_path, strict=False)
+        if "clusters" not in report:
+            report["clusters"] = fsck_cluster_assignments(
+                spark, clusters_path, strict=False
+            )
+        if "snapshot" not in report:
+            # the staleness comparison needs the source clustering; a
+            # missing one degrades to the snapshot's own checks
+            report["snapshot"] = fsck_cluster_snapshot(
+                spark,
+                snapshot_path,
+                source_path=(
+                    None if "clusters" in missing else clusters_path
+                ),
+                strict=False,
+            )
+        report["unindexed_cluster_nodes"] = None
+        report["clean"] = False
+        return report
     report = {
         "index": fsck_index(spark, index_path, strict=strict),
         "clusters": fsck_cluster_assignments(spark, clusters_path, strict=strict),

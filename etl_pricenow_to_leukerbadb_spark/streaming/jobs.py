@@ -631,10 +631,7 @@ def _stream_index_ingest(
 ) -> None:
     from ..fs import try_read_parquet as _try_read_parquet
     from ..operators.ann_index import append_to_pq_index, load_pq_index
-    from ..operators.serving import (
-        assert_generation_stable,
-        resolve_serving_root as _resolve_index_root,
-    )
+    from ..operators.serving import resolve_serving_root as _resolve_index_root
 
     logical_path = index_path
     index_path = _resolve_index_root(spark, index_path)
@@ -703,14 +700,9 @@ def _stream_index_ingest(
             # guards a batch that carries the same new id twice
             append_to_pq_index(fresh, index_path)
         # marker LAST: its presence proves both directories committed
-        tiny_local_df(
-            ss,
-            [(qid, int(epoch_id), build_id)],
-            "query_id string, epoch_id long, build_id string",
-        ).coalesce(1).write.mode("append").parquet(markers_path)
-        # tripwire: a pointer swap since job start means the append
-        # above landed in a dead generation — fail the batch loudly
-        assert_generation_stable(ss, logical_path, index_path)
+        _commit_epoch_marker(
+            ss, markers_path, qid, epoch_id, build_id, logical_path, index_path
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -724,6 +716,33 @@ def _stream_index_ingest(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def _commit_epoch_marker(
+    ss: SparkSession,
+    markers_path: str,
+    qid: str,
+    epoch_id: int,
+    build_id: str,
+    logical_path: str,
+    index_path: str,
+) -> None:
+    """Write an epoch's commit marker LAST (its presence proves every
+    directory the epoch touched committed) and then fire the
+    generation-stability tripwire: a pointer swap since job start means
+    everything this epoch wrote — marker included — landed in a dead
+    generation, so the batch must fail loudly (checkpoint holds; the
+    replay re-classifies against the live generation). One
+    implementation for the ANN ingest and the bucket-index cores, so
+    the marker schema and the tripwire cannot drift between them."""
+    from ..operators.serving import assert_generation_stable
+
+    tiny_local_df(
+        ss,
+        [(qid, int(epoch_id), build_id)],
+        "query_id string, epoch_id long, build_id string",
+    ).coalesce(1).write.mode("append").parquet(markers_path)
+    assert_generation_stable(ss, logical_path, index_path)
 
 
 def _stream_bucket_ingest(
@@ -819,10 +838,7 @@ def _run_bucket_ingest(
     transform=None,
 ) -> None:
     from ..fs import try_read_parquet as _try_read_parquet
-    from ..operators.serving import (
-        assert_generation_stable,
-        resolve_serving_root as _resolve_index_root,
-    )
+    from ..operators.serving import resolve_serving_root as _resolve_index_root
 
     index_path = _resolve_index_root(spark, logical_path)
     markers_path = f"{index_path}/ingest_epochs"
@@ -836,15 +852,9 @@ def _run_bucket_ingest(
         return qid_cache["id"]
 
     def commit_epoch_marker(ss: SparkSession, qid: str, epoch_id: int) -> None:
-        tiny_local_df(
-            ss,
-            [(qid, int(epoch_id), build_id)],
-            "query_id string, epoch_id long, build_id string",
-        ).coalesce(1).write.mode("append").parquet(markers_path)
-        # tripwire: a pointer swap since job start means everything this
-        # epoch wrote (marker included) landed in a dead generation —
-        # fail the batch loudly
-        assert_generation_stable(ss, logical_path, index_path)
+        _commit_epoch_marker(
+            ss, markers_path, qid, epoch_id, build_id, logical_path, index_path
+        )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

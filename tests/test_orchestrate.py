@@ -538,7 +538,9 @@ def test_fsck_cli_curation_mode(spark, sf_small, tmp_path, monkeypatch, capsys):
         sys, "argv", ["fsck_index", idx, "--curation", cl, snap]
     )
     assert fsck_main() == 0
-    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index"] == idx  # the shared envelope: path swept
+    report = out["curation"]
     assert report["clean"] and report["unindexed_cluster_nodes"] == 0
 
     build_cluster_assignments(
@@ -550,5 +552,52 @@ def test_fsck_cli_curation_mode(spark, sf_small, tmp_path, monkeypatch, capsys):
     )
     snapshot_cluster_assignments(spark, cl, snap, min_age_sec=0.0)
     assert fsck_main() == 1
-    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curation"
+    ]
     assert not report["clean"] and report["unindexed_cluster_nodes"] == 1
+
+
+def test_fsck_curation_reports_missing_structures(spark, sf_small, tmp_path):
+    """A broken triple is a REPORT, not a stack trace (r11 review
+    finding): a first run that crashed before the snapshot published —
+    or a typo'd path — must come back as missing=True with clean=False
+    in lenient mode, and a named RuntimeError in strict mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily,
+        fsck_curation,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap_missing = str(tmp_path / "never_published")
+    snap = str(tmp_path / "snap")
+    curate_corpus_daily(docs.filter(F.col("doc_id") < 60), idx, cl, snap)
+
+    report = fsck_curation(spark, idx, cl, snap_missing, strict=False)
+    assert report["snapshot"] == {"missing": True}
+    assert not report["clean"]
+    assert report["unindexed_cluster_nodes"] is None
+    # the present structures still got their own lenient sweeps
+    assert "dup_rows" in report["index"]
+    assert "uncommitted" in report["clusters"]
+    with pytest.raises(RuntimeError, match="snapshot missing"):
+        fsck_curation(spark, idx, cl, snap_missing)
+
+    # all three missing: every structure reported, nothing crashes
+    report = fsck_curation(
+        spark,
+        str(tmp_path / "no_idx"),
+        str(tmp_path / "no_cl"),
+        snap_missing,
+        strict=False,
+    )
+    assert report["index"] == {"missing": True}
+    assert report["clusters"] == {"missing": True}
+    assert report["snapshot"] == {"missing": True}
+    assert not report["clean"]

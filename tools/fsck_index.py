@@ -268,7 +268,16 @@ def main() -> int:
                 strict=False,
                 vec=args.vec_dedup,
             )
-            print(json.dumps(report, default=str))
+            # same envelope as every other mode: "index" = the path
+            # swept; the composed per-structure reports nest under
+            # "curation" (the bare composed dict's own "index" key is
+            # the index's REPORT, which would collide)
+            print(
+                json.dumps(
+                    {"index": args.index_path, "curation": report},
+                    default=str,
+                )
+            )
             return 0 if (report["clean"] or args.lenient) else 1
         if args.snapshot:
             report = fsck_cluster_snapshot(
