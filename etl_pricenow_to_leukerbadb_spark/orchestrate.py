@@ -559,7 +559,7 @@ def fsck_curation(
     own names)."""
     from pyspark.sql import functions as F
 
-    from .fs import fs_read_text, try_read_parquet
+    from .fs import fs_list_names, fs_read_text, try_read_parquet
     from .operators.cluster_index import (
         fsck_cluster_assignments,
         fsck_cluster_snapshot,
@@ -572,17 +572,30 @@ def fsck_curation(
         load_vec_dedup_index,
     )
 
+    from .operators.serving import GEN_RE
+
     fsck_index = fsck_vec_dedup_index if vec else fsck_dedup_index
     load_index = load_vec_dedup_index if vec else load_dedup_index
+
+    def _serving_root_absent(path: str) -> bool:
+        # mirror resolve_serving_root's disambiguation: generation dirs
+        # WITHOUT a pointer mean a mid-swap race or a crashed swap —
+        # both are states for the structure's own fsck to name, never
+        # "missing" (whose recipe is re-run/fix-the-path)
+        root = path.rstrip("/")
+        return fs_read_text(spark, f"{root}/CURRENT") is None and not any(
+            GEN_RE.match(n) for n in fs_list_names(spark, root)
+        )
+
     missing = []
-    if try_read_parquet(spark, f"{index_path.rstrip('/')}/meta") is None and (
-        fs_read_text(spark, f"{index_path.rstrip('/')}/CURRENT") is None
-    ):
+    if try_read_parquet(
+        spark, f"{index_path.rstrip('/')}/meta"
+    ) is None and _serving_root_absent(index_path):
         missing.append("index")
     if try_read_parquet(spark, f"{clusters_path.rstrip('/')}/meta") is None:
         missing.append("clusters")
     if (
-        fs_read_text(spark, f"{snapshot_path.rstrip('/')}/CURRENT") is None
+        _serving_root_absent(snapshot_path)
         and try_read_parquet(spark, snapshot_path) is None
     ):
         missing.append("snapshot")

@@ -601,3 +601,36 @@ def test_fsck_curation_reports_missing_structures(spark, sf_small, tmp_path):
     assert report["clusters"] == {"missing": True}
     assert report["snapshot"] == {"missing": True}
     assert not report["clean"]
+
+
+def test_fsck_curation_crashed_swap_is_not_missing(spark, sf_small, tmp_path):
+    """A serving root with generation dirs but no CURRENT pointer is a
+    CRASHED SWAP, not a missing structure (r11 third review pass): the
+    missing-probe disambiguates on generation dirs exactly like
+    resolve_serving_root, so the structure's OWN fsck names the state
+    (current_resolves=False, 'Re-run snapshot_cluster_assignments')
+    instead of the missing-recipe ('re-run / fix the path')."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily,
+        fsck_curation,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "cl")
+    snap = str(tmp_path / "snap")
+    curate_corpus_daily(docs.filter(F.col("doc_id") < 60), idx, cl, snap)
+    # simulate a crashed pointer swap on the snapshot root
+    os.remove(f"{snap}/CURRENT")
+    report = fsck_curation(spark, idx, cl, snap, strict=False)
+    assert "missing" not in report["snapshot"]
+    assert report["snapshot"]["current_resolves"] is False
+    assert not report["clean"]
+    with pytest.raises(RuntimeError, match="snapshot_cluster_assignments"):
+        fsck_curation(spark, idx, cl, snap)
