@@ -631,6 +631,14 @@ def merge_cluster_delta(
     # star contraction stays O(log^2 n) (the same reasoning that made
     # dd_cluster_components two-phase). Labels are identical between
     # the two algorithms (pytest-pinned in test_llm_ops).
+    # MEASURED dead-end (r11, do not retry): replacing this with a
+    # driver-local union-find over a bounded collect of the contracted
+    # edges — "it's only a few hundred edges, skip ~10 Spark jobs" —
+    # benched 50% SLOWER on dd_cluster_merge (median 13.24 s vs
+    # 8.68 s, 5-run A/B at sf0.1): the star rounds run the tiny graph
+    # under _loop_shuffle_partitions' bounded shuffle and checkpointed
+    # lineage, while the collect forces extra full-width evaluations
+    # of the probe->contract pipeline the twophase path never pays.
     cc = connected_components_twophase(
         contracted, "ru", "rv", reliable_checkpoints=reliable_checkpoints
     )  # (node = rep, component = merged label)
