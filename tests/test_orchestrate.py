@@ -634,3 +634,51 @@ def test_fsck_curation_crashed_swap_is_not_missing(spark, sf_small, tmp_path):
     assert not report["clean"]
     with pytest.raises(RuntimeError, match="snapshot_cluster_assignments"):
         fsck_curation(spark, idx, cl, snap)
+
+
+def test_fsck_curation_vec_triple(spark, sf_small, tmp_path):
+    """`fsck_curation(vec=True)` sweeps an EMBEDDING-side curation
+    triple (sign-LSH index + clusters + snapshot) with the same
+    cross-structure subset invariant — green on a healthy triple built
+    by the vec ingest loop, loud on a foreign clustering."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        build_cluster_assignments,
+        ingest_and_update_clusters_vec,
+        snapshot_cluster_assignments,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_vec_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import fsck_curation
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "vidx")
+    cl = str(tmp_path / "vcl")
+    snap = str(tmp_path / "vsnap")
+    base = vecs.filter(F.col("vec_id") % 2 == 0)
+    delta = vecs.filter(F.col("vec_id") % 2 == 1)
+    build_vec_dedup_index(base, idx, n_planes=4, n_tables=4, dim=64)
+    id_type = "bigint"
+    build_cluster_assignments(
+        spark.createDataFrame([], f"node {id_type}, component {id_type}"), cl
+    )
+    ingest_and_update_clusters_vec(delta, idx, cl)
+    snapshot_cluster_assignments(spark, cl, snap)
+
+    report = fsck_curation(spark, idx, cl, snap, vec=True)
+    assert report["clean"] and report["unindexed_cluster_nodes"] == 0
+
+    build_cluster_assignments(
+        spark.createDataFrame(
+            [(30_000_001, 30_000_001)], "node long, component long"
+        ),
+        cl,
+        overwrite=True,
+    )
+    snapshot_cluster_assignments(spark, cl, snap, min_age_sec=0.0)
+    with pytest.raises(RuntimeError, match="not banded ids"):
+        fsck_curation(spark, idx, cl, snap, vec=True)
