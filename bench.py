@@ -45,30 +45,84 @@ from etl_pricenow_to_leukerbadb_spark.plans.stage_timing import pop_stages  # no
 from etl_pricenow_to_leukerbadb_spark.session import get_spark  # noqa: E402
 
 
-def _load_prior_queries() -> tuple[dict[str, float], str | None]:
-    """Previous round's per-query seconds from the newest BENCH_r*.json.
+def _queries_from_doc(doc) -> dict[str, float]:
+    """Per-query seconds from one bench record, tolerating every shape
+    the chain has produced: a full record (top-level "queries"), a
+    driver wrapper ("parsed.queries"), and — the BENCH_r11 failure —
+    a driver wrapper whose "parsed" is null because bench's output
+    line outgrew the driver's ~2000-char tail capture. In that last
+    shape the values are regex-recovered from the truncated "tail"
+    string: every per-query float that survived truncation is a prior
+    worth having (a partial prior only narrows the re-run tripwire's
+    coverage; no prior disarms it entirely)."""
+    import re
 
-    The driver wraps bench stdout, so the values live under
-    "parsed.queries" (top-level "queries" accepted for hand-written
-    files). Missing/corrupt files degrade to no-prior (no re-runs)."""
+    if not isinstance(doc, dict):
+        return {}
+    parsed = doc.get("parsed")
+    queries = (parsed or {}).get("queries") if isinstance(parsed, dict) else None
+    queries = queries or doc.get("queries")
+    if isinstance(queries, dict) and queries:
+        return {k: float(v) for k, v in queries.items()}
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        m = re.search(r'"queries"\s*:\s*\{([^{}]*)', tail)
+        if m:
+            pairs = re.findall(
+                r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', m.group(1)
+            )
+            return {k: float(v) for k, v in pairs}
+    return {}
+
+
+def _load_prior_queries() -> tuple[dict[str, float], str | None]:
+    """Previous round's per-query seconds, preferring the full records
+    bench writes itself (BENCH_FULL_r*.json — complete by
+    construction) over the driver's BENCH_r*.json (tail-capture
+    wrappers that can truncate, see _queries_from_doc). Newest round
+    wins within each family; a full record for round N beats a driver
+    wrapper for the same N. Missing/corrupt files degrade to no-prior
+    (no re-runs) — but a null "parsed" alone no longer does."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return {}, None
-    try:
-        with open(best[1]) as fh:
-            doc = json.load(fh)
-        queries = doc.get("parsed", {}).get("queries") or doc.get("queries") or {}
-        return {k: float(v) for k, v in queries.items()}, os.path.basename(best[1])
-    except Exception:
-        return {}, None
+    candidates: list[tuple[int, int, str]] = []  # (round, full?, path)
+    for pattern, is_full in (("BENCH_FULL_r*.json", 1), ("BENCH_r*.json", 0)):
+        for p in glob.glob(os.path.join(here, pattern)):
+            m = re.search(r"BENCH(?:_FULL)?_r(\d+)\.json$", p)
+            if m:
+                candidates.append((int(m.group(1)), is_full, p))
+    for _, _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            queries = _queries_from_doc(doc)
+        except Exception:
+            continue
+        if queries:
+            return queries, os.path.basename(path)
+    return {}, None
+
+
+def _bench_round() -> int:
+    """Round number for this run's BENCH_FULL_r{N}.json. The driver
+    writes CORRECTNESS/BENCH_r{N}.json AFTER round N, so while round N
+    is being built the newest recorded round is N-1: default to
+    max+1. SPARK_GRAFT_BENCH_ROUND overrides (used once to backfill
+    the r11 record the driver's tail capture truncated)."""
+    import glob
+    import re
+
+    if "SPARK_GRAFT_BENCH_ROUND" in os.environ:
+        return int(os.environ["SPARK_GRAFT_BENCH_ROUND"])
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen = [0]
+    for p in glob.glob(os.path.join(here, "BENCH*_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            seen.append(int(m.group(1)))
+    return max(seen) + 1
 
 
 def main() -> None:
@@ -315,6 +369,45 @@ def main() -> None:
     # record contains, settled re-runs included
     calibration_end = calibrate()
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two-channel output (the BENCH_r11 lesson: the single JSON line,
+    # grown by the settle + stage fields, outran the driver's
+    # ~2000-char tail capture — the driver recorded parsed:null and
+    # the round's headline numbers survived only in prose).
+    #   1. The FULL record — spread/calibration/drift/stages/reruns —
+    #      goes to a committed repo file, BENCH_FULL_r{N}.json, which
+    #      has no size ceiling and is what _load_prior_queries prefers.
+    #   2. stdout's final line is a COMPACT record: metric, value,
+    #      unit, per-query seconds, sf — ~800 chars at 21 headliners,
+    #      bounded far under any tail window, so the driver's
+    #      BENCH_r{N}.json parses again.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        "spread": spreads,
+        "calibration_sec": [calibration_start, calibration_end],
+        "calibration_ctx": calibration_ctx,
+        "drift_flagged": drift_flagged,
+        "drift_first_reading": drift_first_reading,
+        "drift_settled_ctx": drift_settled_ctx,
+        "still_degraded": still_degraded,
+        "stages": stages,
+        "reruns": reruns,
+        "prior_bench": prior_file,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, f"BENCH_FULL_r{_bench_round()}.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+        print(f"# full record: {full_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: keep the compact line
+        print(f"# full record NOT written ({exc})", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -322,18 +415,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": runs,
-                "spread": spreads,
-                "calibration_sec": [calibration_start, calibration_end],
-                "calibration_ctx": calibration_ctx,
-                "drift_flagged": drift_flagged,
-                "drift_first_reading": drift_first_reading,
-                "drift_settled_ctx": drift_settled_ctx,
-                "still_degraded": still_degraded,
-                "stages": stages,
-                "reruns": reruns,
-                "prior_bench": prior_file,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
