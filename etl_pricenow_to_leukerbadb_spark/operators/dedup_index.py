@@ -137,6 +137,22 @@ def _write_bucket_index(
     dedup gate can have). ``bucket_prefix_len > 0`` hive-partitions
     ``bands/`` on the bucket-prefix key (the point-probe layout — see
     the module docstring)."""
+    # Refuse an empty corpus BEFORE any write (ADVICE r11): a zero-row
+    # bands write can leave a directory with no parquet footers, so
+    # every later load of the index dies with UNABLE_TO_INFER_SCHEMA —
+    # meta exists, bands unreadable, the structure wedged until an
+    # operator deletes it by hand. An empty index is also semantically
+    # useless (nothing to probe against); the caller should gate/skip
+    # instead (curate_corpus_daily does). Cost: one limit-1 action on
+    # the band table — negligible next to the full build that follows.
+    if bucket_df.limit(1).isEmpty():
+        raise ValueError(
+            "bucket index build: the corpus produced ZERO bucket rows "
+            f"(empty or fully filtered input) — refusing to write {path}: "
+            "an empty bands table is unreadable on load and would wedge "
+            "the index. Skip the build for an empty delta, or check the "
+            "upstream gate/shingle filters."
+        )
     if overwrite:
         for sub in ("commit", "bands", "meta"):
             _fs_delete(spark, f"{path}/{sub}")

@@ -244,14 +244,23 @@ def curate_corpus_daily(
        exact expressions the oracle-paired ``tx_quality_filter``
        verifies): expression-only, zero shuffle. Audit records per-rule
        drop counts, not just the total, in the same single pass
-       (conditional sums over the flags).
+       (conditional sums over the flags). The gate's working columns
+       are ``__q_``-prefixed so a delta that already carries a column
+       named ``keep``/``ok_*`` keeps its data (a ``__q_*`` collision
+       refuses loudly). A delta the gate EMPTIES returns here as a
+       no-op (``noop_empty_delta`` in the audit) — the same no-op
+       epoch the streaming twin commits — instead of proceeding to
+       build/probe nothing (a first run would otherwise try to build
+       an empty index, which ``build_dedup_index`` refuses).
     2. **PII scrub** (``scrub_pii`` + ``pii_counts`` audit): chained
        ``regexp_replace``, JVM-side. The scrubbed text is what gets
        shingled into the index — redaction placeholders are stable, so
        replays shingle identically.
     3. **Ingest + cluster merge** under the clustering's single-writer
-       claim (``claim_cluster_writer`` held across merge + compaction,
-       released in ``finally``): first run builds the index and an
+       claim (``claim_cluster_writer`` taken BEFORE the index append
+       and held across merge + compaction, released in ``finally`` by
+       exact token — a concurrent run refuses up front with zero
+       structures touched): first run builds the index and an
        empty clustering; later runs append. Either way the pairs come
        from ONE post-append probe (delta↔corpus and delta↔delta), and
        ``merge_cluster_delta`` + the measured-knee log auto-compaction
@@ -323,17 +332,31 @@ def curate_corpus_daily(
     # aggregate, so the audit costs one scan, not three
     flags = quality_rule_flags(text_col)
     counts = pii_counts(text_col)
-    flagged = docs_delta.withColumns(dict(flags))
+    # the gate's working columns get a __q_ prefix (ADVICE r11): a
+    # delta that already carries a column named keep/ok_length/... must
+    # not have it silently overwritten — gated.select(*docs_delta.columns)
+    # below would then propagate the FLAG into the index, keep table,
+    # and snapshot in place of the user's data. The prefixed names are
+    # reserved instead, and a collision on those refuses loudly.
+    qflags = {f"__q_{name}": col for name, col in flags.items()}
+    collide = sorted(set(docs_delta.columns) & set(qflags))
+    if collide:
+        raise ValueError(
+            f"curate_corpus_daily: delta columns {collide} collide with "
+            "the quality gate's reserved working names (__q_*) — rename "
+            "them in the delta"
+        )
+    flagged = docs_delta.withColumns(qflags)
     audit_row = flagged.agg(
         F.count(F.lit(1)).alias("docs_in"),
-        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.col("__q_keep").cast("long")).alias("kept"),
         *[
-            F.sum((~F.col(name)).cast("long")).alias(f"dropped_{name}")
+            F.sum((~F.col(f"__q_{name}")).cast("long")).alias(f"dropped_{name}")
             for name in flags
             if name != "keep"
         ],
         *[
-            F.sum(F.when(F.col("keep"), col).otherwise(F.lit(0))).alias(name)
+            F.sum(F.when(F.col("__q_keep"), col).otherwise(F.lit(0))).alias(name)
             for name, col in counts.items()
         ],
     ).collect()[0]
@@ -347,8 +370,23 @@ def curate_corpus_daily(
             if name != "keep"
         },
     }
-    gated = flagged.filter(F.col("keep")).select(*docs_delta.columns)
+    gated = flagged.filter(F.col("__q_keep")).select(*docs_delta.columns)
     _mark("quality_gate")
+
+    # -- empty-after-gate no-op (ADVICE r11): a delta the gate empties
+    # entirely must SKIP stages 2-5 and return the audit. On a first
+    # run, proceeding would build the dedup index from zero rows —
+    # build now refuses loudly (see _write_bucket_index), but reaching
+    # that refusal from the unattended daily loop is still a failed
+    # run; the correct behavior for "nothing survived today" is the
+    # same no-op epoch the streaming twin already commits. On a
+    # standing triple the skipped stages are all no-ops by definition
+    # (nothing to append, probe, re-keep, or publish).
+    if (audit_row["kept"] or 0) == 0:
+        audit["pii"] = {name: 0 for name in counts}
+        audit["index"] = {"built": False, "appended": False}
+        audit["noop_empty_delta"] = True
+        return audit
 
     # -- stage 2: PII scrub (counts already audited above, on the raw
     # text; the scrubbed text is what the index shingles)
@@ -367,89 +405,117 @@ def curate_corpus_daily(
     try:
 
         # -- stage 3: index ingest + incremental cluster merge, under the
-        # clustering's single-writer claim for the whole mutation span
-        fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
-        if fresh_index:
-            build_dedup_index(
-                scrubbed,
-                index_path,
-                id_col=id_col,
-                text_col=text_col,
-                k_shingle=k_shingle,
-                n_hashes=n_hashes,
-                bands=bands,
-                allow_short=allow_short,
-                bucket_prefix_len=bucket_prefix_len,
-            )
-            appended = True
-        else:
-            try:
-                append_to_dedup_index(
-                    scrubbed, index_path, text_col=text_col, allow_short=allow_short
+        # clustering's single-writer claim for the WHOLE mutation span:
+        # the claim is taken BEFORE the index append (r11 verdict ask
+        # #6 pinned the ordering) so a concurrent run refuses here,
+        # with ZERO structures touched — not after half its mutation
+        # landed. The append's own guards would keep the index
+        # consistent either way, but serializing the span also keeps
+        # the heal arm's gap classification from reading bands that
+        # another writer is appending to mid-scan. Released in the
+        # finally on every exit, by exact token (a force-cleaned
+        # marker re-claimed by a successor is never deleted by us).
+        token = claim_cluster_writer(
+            spark, clusters_path, f"curate_corpus_daily:{clusters_path.rstrip('/')}"
+        )
+        try:
+            fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
+            if fresh_index:
+                build_dedup_index(
+                    scrubbed,
+                    index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                    k_shingle=k_shingle,
+                    n_hashes=n_hashes,
+                    bands=bands,
+                    allow_short=allow_short,
+                    bucket_prefix_len=bucket_prefix_len,
                 )
                 appended = True
-            except ValueError as exc:
-                if "already exist" not in str(exc):
-                    raise
-                # overlap with the standing index. Classify every expected
-                # delta id: fully banded (a replay — probe-only), zero band
-                # rows (never landed, or fsck pruned it — safe to append
-                # exactly as if new: the guard matches exact ids), or
-                # PARTIALLY banded (a crashed append's torn band set —
-                # re-appending would duplicate bucket rows, so it must go
-                # through the fsck prune first). The zero-row arm is what
-                # makes this job SELF-HEALING for overlapping daily exports
-                # and for retries after the fsck recipe below: repair
-                # prunes partials to zero rows, and the next run appends
-                # them here instead of wedging on the same error.
-                gaps = append_gap_ids(
-                    spark, index_path, scrubbed, text_col=text_col
-                ).persist()
-                n_partial = gaps.filter(F.col("n_rows") > 0).count()
-                if n_partial:
-                    gaps.unpersist()
-                    raise RuntimeError(
-                        f"curate_corpus_daily: {n_partial} delta id(s) are "
-                        "PARTIALLY appended (a crashed append's torn band "
-                        "rows, not a replay) — run "
-                        f"fsck_dedup_index('{index_path}', repair=True) to "
-                        "prune them back to never-appended, then retry: the "
-                        "retry appends the pruned ids and continues"
-                    ) from exc
-                missing = scrubbed.join(
-                    gaps.select(id_col), id_col, "left_semi"
-                )
-                n_missing = missing.count()
-                gaps.unpersist()
-                if n_missing:
+            else:
+                try:
                     append_to_dedup_index(
-                        missing,
+                        scrubbed,
                         index_path,
                         text_col=text_col,
                         allow_short=allow_short,
                     )
                     appended = True
-                    audit["healed_ids"] = n_missing
-                else:
-                    appended = False
-        audit["index"] = {"built": fresh_index, "appended": appended}
-        _mark("index_ingest")
+                except ValueError as exc:
+                    if "already exist" not in str(exc):
+                        raise
+                    # overlap with the standing index. Classify every
+                    # expected delta id: fully banded (a replay —
+                    # probe-only), zero band rows (never landed, or fsck
+                    # pruned it — safe to append exactly as if new: the
+                    # guard matches exact ids), or PARTIALLY banded (a
+                    # crashed append's torn band set — re-appending would
+                    # duplicate bucket rows, so it must go through the
+                    # fsck prune first). The zero-row arm is what makes
+                    # this job SELF-HEALING for overlapping daily exports
+                    # and for retries after the fsck recipe below: repair
+                    # prunes partials to zero rows, and the next run
+                    # appends them here instead of wedging on the same
+                    # error.
+                    # gaps stays persisted THROUGH the append below
+                    # (ADVICE r11): `missing` lazily depends on gaps, so
+                    # an early unpersist makes the append's guard count
+                    # and its bands write each re-run the full gap
+                    # classification — and lets the write's plan read
+                    # {index}/bands inside the same action that appends
+                    # to it, correct today only by the accident of
+                    # parquet listing source files at job start. The
+                    # finally releases it on every exit.
+                    gaps = append_gap_ids(
+                        spark, index_path, scrubbed, text_col=text_col
+                    ).persist()
+                    try:
+                        n_partial = gaps.filter(F.col("n_rows") > 0).count()
+                        if n_partial:
+                            raise RuntimeError(
+                                f"curate_corpus_daily: {n_partial} delta "
+                                "id(s) are PARTIALLY appended (a crashed "
+                                "append's torn band rows, not a replay) — "
+                                "run fsck_dedup_index("
+                                f"'{index_path}', repair=True) to prune "
+                                "them back to never-appended, then retry: "
+                                "the retry appends the pruned ids and "
+                                "continues"
+                            ) from exc
+                        missing = scrubbed.join(
+                            gaps.select(id_col), id_col, "left_semi"
+                        )
+                        n_missing = missing.count()
+                        if n_missing:
+                            append_to_dedup_index(
+                                missing,
+                                index_path,
+                                text_col=text_col,
+                                allow_short=allow_short,
+                            )
+                            appended = True
+                            audit["healed_ids"] = n_missing
+                        else:
+                            appended = False
+                    finally:
+                        gaps.unpersist()
+            audit["index"] = {"built": fresh_index, "appended": appended}
+            _mark("index_ingest")
 
-        if try_read_parquet(spark, f"{clusters_path}/meta") is None:
-            # empty clustering, typed like the delta's ids: every node the
-            # first merge meets is brand-new, so one merge path serves
-            # first runs and steady state alike
-            id_type = scrubbed.schema[id_col].dataType.simpleString()
-            build_cluster_assignments(
-                spark.createDataFrame([], f"node {id_type}, component {id_type}"),
-                clusters_path,
-            )
-            audit["clusters_initialized"] = True
+            if try_read_parquet(spark, f"{clusters_path}/meta") is None:
+                # empty clustering, typed like the delta's ids: every
+                # node the first merge meets is brand-new, so one merge
+                # path serves first runs and steady state alike
+                id_type = scrubbed.schema[id_col].dataType.simpleString()
+                build_cluster_assignments(
+                    spark.createDataFrame(
+                        [], f"node {id_type}, component {id_type}"
+                    ),
+                    clusters_path,
+                )
+                audit["clusters_initialized"] = True
 
-        token = claim_cluster_writer(
-            spark, clusters_path, f"curate_corpus_daily:{clusters_path.rstrip('/')}"
-        )
-        try:
             # the probe -> merge -> auto-compact tail is the SHARED
             # implementation (cluster_index.probe_and_merge_delta, the
             # same code path ingest_and_update_clusters runs) — only

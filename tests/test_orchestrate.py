@@ -682,3 +682,186 @@ def test_fsck_curation_vec_triple(spark, sf_small, tmp_path):
     snapshot_cluster_assignments(spark, cl, snap, min_age_sec=0.0)
     with pytest.raises(RuntimeError, match="not banded ids"):
         fsck_curation(spark, idx, cl, snap, vec=True)
+
+
+def test_curate_corpus_daily_empty_after_gate_is_noop(spark, sf_small, tmp_path):
+    """ADVICE r11 (medium): a delta the quality gate empties entirely
+    must be a clean no-op epoch — the same contract the streaming twin
+    already commits — NOT a zero-row index build. Before the fix, a
+    FIRST run with such a delta wrote meta + an empty bands table, and
+    every later load of the index (this run's probe and all retries,
+    good deltas included) died with UNABLE_TO_INFER_SCHEMA: the triple
+    was wedged until an operator deleted the dir by hand."""
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        snapshot_provenance,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    idx, cl, snap = (str(tmp_path / p) for p in ("idx", "cl", "snap"))
+    # every row fails ok_length (n_tokens < 5) — gate keeps nothing
+    junk = spark.createDataFrame(
+        [(i, "xx yy") for i in range(5)], "doc_id bigint, text string"
+    )
+
+    a1 = curate_corpus_daily(junk, idx, cl, snap)
+    assert a1["noop_empty_delta"]
+    assert a1["quality"] == {
+        "docs_in": 5,
+        "kept": 0,
+        "dropped": 5,
+        "dropped_by_rule": a1["quality"]["dropped_by_rule"],
+    }
+    assert a1["quality"]["dropped_by_rule"]["ok_length"] == 5
+    assert all(v == 0 for v in a1["pii"].values())
+    assert a1["index"] == {"built": False, "appended": False}
+    # NOTHING was written — no wedged meta/bands, no clustering, no claim
+    assert try_read_parquet(spark, f"{idx}/meta") is None
+    assert try_read_parquet(spark, f"{cl}/meta") is None
+
+    # the wedge regression: a good delta on the SAME paths now succeeds
+    docs = load_table(spark, sf_small, "documents")
+    good = docs.filter(F.col("doc_id") < 40)
+    a2 = curate_corpus_daily(good, idx, cl, snap)
+    assert a2["index"] == {"built": True, "appended": True}
+    assert a2["quality"]["kept"] > 0
+    gen = a2["snapshot"]["generation"]
+
+    # empty-after-gate against the STANDING triple is also a no-op:
+    # the snapshot keeps its generation, the index its bands
+    a3 = curate_corpus_daily(junk, idx, cl, snap)
+    assert a3["noop_empty_delta"]
+    assert snapshot_provenance(spark, snap)["generation"] == gen
+
+
+def test_curate_corpus_daily_gate_does_not_clobber_user_columns(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r11 (low): a delta column named ``keep`` (or any ok_*
+    rule name) is USER DATA — the gate computes its flags under
+    reserved ``__q_`` names. Before the fix, ``withColumns`` silently
+    overwrote the user's column, the filter obeyed whatever the gate
+    wrote, and the flag value propagated into the index/keep/snapshot
+    in place of the data. Discriminating shape: an all-False user
+    ``keep`` column — the old code would gate everything out."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 40)
+        .withColumn("keep", F.lit(False))
+        .withColumn("ok_length", F.lit("user data"))
+    )
+    idx, cl, snap = (str(tmp_path / p) for p in ("idx", "cl", "snap"))
+    a = curate_corpus_daily(docs, idx, cl, snap)
+    # the gate ran on the TEXT, not on the user's all-False column
+    assert a["quality"]["kept"] > 0
+    assert a["index"] == {"built": True, "appended": True}
+
+    # the reserved prefix itself refuses loudly instead of mis-gating
+    bad = docs.withColumn("__q_keep", F.lit(True))
+    with pytest.raises(ValueError, match="__q_"):
+        curate_corpus_daily(
+            bad, str(tmp_path / "i2"), str(tmp_path / "c2"), str(tmp_path / "s2")
+        )
+
+
+def test_curate_corpus_daily_claim_contention(spark, sf_small, tmp_path):
+    """r11 verdict ask #6: the COMPOSED job's claim ordering, pinned
+    directly — a second concurrent ``curate_corpus_daily`` against the
+    same clusters_path refuses on the writer claim (no deadlock, no
+    interleave) BEFORE touching any structure, and a crashed first
+    run's stale claim is force-cleanable per the nonce-token rules
+    (unconditional release = delete the marker the error names)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        claim_cluster_writer,
+        release_cluster_writer,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import curate_corpus_daily
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx, cl, snap = (str(tmp_path / p) for p in ("idx", "cl", "snap"))
+
+    # shape 1a: contention on a FIRST run — refused with ZERO
+    # structures created (the claim is taken before the index build)
+    foreign = claim_cluster_writer(spark, cl, "concurrent_curation")
+    with pytest.raises(RuntimeError, match="already claimed"):
+        curate_corpus_daily(docs.filter(F.col("doc_id") < 40), idx, cl, snap)
+    assert try_read_parquet(spark, f"{idx}/meta") is None
+    release_cluster_writer(spark, cl, owner_token=foreign)
+
+    a1 = curate_corpus_daily(docs.filter(F.col("doc_id") < 40), idx, cl, snap)
+    assert a1["index"]["built"]
+
+    # shape 1b: contention against the STANDING triple — refused with
+    # the index unchanged (no day-2 ids half-appended)
+    foreign = claim_cluster_writer(spark, cl, "concurrent_curation")
+    day2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+    with pytest.raises(RuntimeError, match="already claimed"):
+        curate_corpus_daily(day2, idx, cl, snap)
+    root = resolve_serving_root(spark, idx)
+    bands = spark.read.parquet(f"{root}/bands")
+    assert bands.filter(F.col("doc_id") >= 40).count() == 0
+
+    # shape 2: the first run crashed without cleanup — its claim is
+    # stale debris. The refusal's recipe (delete the marker =
+    # unconditional release) unwedges, and the retry completes.
+    release_cluster_writer(spark, cl)  # force-clean, no owner token
+    a2 = curate_corpus_daily(day2, idx, cl, snap)
+    assert a2["index"] == {"built": False, "appended": True}
+    assert a2["quality"]["kept"] > 0
+
+    # the claim is RELEASED after a successful run (finally, exact
+    # token): a follow-up claim succeeds immediately
+    t = claim_cluster_writer(spark, cl, "post_run_probe")
+    release_cluster_writer(spark, cl, owner_token=t)
+
+
+def test_build_dedup_index_refuses_empty_corpus(spark, tmp_path):
+    """ADVICE r11 (medium, the build-side guard): a zero-row corpus —
+    empty input, or every doc unshinglable under allow_short=True —
+    refuses BEFORE writing meta, because an empty bands write can
+    leave a directory parquet cannot infer a schema from, wedging
+    every later load. Both bucket-index builds share the guard."""
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+        build_vec_dedup_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="ZERO bucket rows"):
+        build_dedup_index(empty, str(tmp_path / "idx"))
+    assert try_read_parquet(spark, str(tmp_path / "idx/meta")) is None
+
+    # allow_short=True drops unshinglable docs from the signatures —
+    # all-short corpora must hit the same refusal, not an empty write
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="ZERO bucket rows"):
+        build_dedup_index(short, str(tmp_path / "idx2"), allow_short=True)
+
+    vempty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="ZERO bucket rows"):
+        build_vec_dedup_index(vempty, str(tmp_path / "vidx"), dim=8)
+    assert try_read_parquet(spark, str(tmp_path / "vidx/meta")) is None
