@@ -899,6 +899,71 @@ def probe_and_merge_delta(
     return out
 
 
+def probe_and_merge_delta_vec(
+    spark: SparkSession,
+    index_path: str,
+    clusters_path: str,
+    vecs_delta: DataFrame,
+    corpus: DataFrame | None = None,
+    threshold: float | None = None,
+    reliable_checkpoints: bool = False,
+    compact_log_threshold: int | None = LOG_COMPACT_THRESHOLD,
+    writer_token: str | None = None,
+    count_pairs: bool = False,
+    stage_timings: dict[str, float] | None = None,
+) -> dict:
+    """Vector twin of ``probe_and_merge_delta`` — the probe → merge →
+    auto-compact tail shared by ``ingest_and_update_clusters_vec`` and
+    the composed ``orchestrate.curate_corpus_daily_vec`` (whose append
+    side differs: first-run build, verified replay, self-healed gaps).
+    Pair semantics as ``query_vec_dedup_candidates``: candidate pairs
+    by default; exact-cosine-verified near-dup pairs when ``corpus``
+    and ``threshold`` are both given (the coverage gates inside the
+    query refuse a corpus missing any candidate endpoint). Assumes the
+    delta is already in the index."""
+    import time as _time
+
+    from .dedup_index import query_vec_dedup_candidates
+
+    t1 = _time.perf_counter()
+    pairs = query_vec_dedup_candidates(
+        spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
+    )
+    n_pairs = None
+    if count_pairs:
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+    try:
+        stats = merge_cluster_delta(
+            spark,
+            clusters_path,
+            pairs,
+            src_col="probe_id",
+            dst_col="corpus_id",
+            reliable_checkpoints=reliable_checkpoints,
+            writer_token=writer_token,
+        )
+    finally:
+        if count_pairs:
+            pairs.unpersist()
+    t2 = _time.perf_counter()
+    out = _compact_if_log_large(
+        spark, clusters_path, stats, compact_log_threshold, writer_token
+    )
+    if stage_timings is not None:
+        stage_timings["probe_merge"] = (
+            stage_timings.get("probe_merge", 0.0) + (t2 - t1)
+        )
+        stage_timings["log_compact"] = (
+            stage_timings.get("log_compact", 0.0)
+            + (_time.perf_counter() - t2)
+        )
+    if n_pairs is not None:
+        out = dict(out)
+        out["pairs"] = n_pairs
+    return out
+
+
 def ingest_and_update_clusters_vec(
     vecs_delta: DataFrame,
     index_path: str,
@@ -933,10 +998,7 @@ def ingest_and_update_clusters_vec(
     query_dedup_candidates(...), src_col="probe_id",
     dst_col="corpus_id")`` — the merge is idempotent, so a partial
     prior attempt is harmless."""
-    from .dedup_index import (
-        append_to_vec_dedup_index,
-        query_vec_dedup_candidates,
-    )
+    from .dedup_index import append_to_vec_dedup_index
 
     spark = vecs_delta.sparkSession
     if corpus is not None and threshold is not None:
@@ -960,20 +1022,20 @@ def ingest_and_update_clusters_vec(
                 "including this delta (nothing has been appended yet)"
             )
     append_to_vec_dedup_index(vecs_delta, index_path)
-    pairs = query_vec_dedup_candidates(
-        spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
-    )
-    stats = merge_cluster_delta(
+    # the probe -> merge -> auto-compact tail is the SHARED
+    # implementation (probe_and_merge_delta_vec) — one pair-column
+    # contract and compaction trigger for both this loop and the
+    # composed curate_corpus_daily_vec, mirroring the text side
+    return probe_and_merge_delta_vec(
         spark,
+        index_path,
         clusters_path,
-        pairs,
-        src_col="probe_id",
-        dst_col="corpus_id",
+        vecs_delta,
+        corpus=corpus,
+        threshold=threshold,
         reliable_checkpoints=reliable_checkpoints,
+        compact_log_threshold=compact_log_threshold,
         writer_token=writer_token,
-    )
-    return _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold, writer_token
     )
 
 

@@ -615,6 +615,52 @@ def append_gap_ids(
     )
 
 
+def vec_append_gap_ids(
+    spark: SparkSession,
+    path: str,
+    vecs_delta: DataFrame,
+) -> DataFrame:
+    """Vector twin of ``append_gap_ids``: every delta id not fully
+    bucketed in a sign-LSH index, as ``(id_col, n_rows)``. Expected =
+    EVERY delta id — the vec frontend has no unshinglable class
+    (malformed vectors refuse loudly at build/append time,
+    ``_vec_buckets``), so each appended id carries exactly
+    ``n_tables`` rows by construction. ``n_rows = 0`` means the id
+    never landed (or fsck pruned it — safe to re-append), ``1 ..
+    n_tables-1`` is a crashed append's torn bucket set that must go
+    through ``fsck_vec_dedup_index(repair=True)`` before any
+    re-append. Empty result == complete; the split powers
+    ``orchestrate.curate_corpus_daily_vec``'s self-heal arm exactly
+    as the text classification powers the text job's."""
+    path = _resolve_index_root(spark, path)
+    bands_df, params = _load_bucket_index(
+        spark, path, _VEC_META_COLS, "vec_append_gap_ids"
+    )
+    id_col = params["id_col"]
+    expected = vecs_delta.select(F.col(id_col))
+    estats = vecs_delta.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if estats["lo"] is None:
+        return expected.withColumn("n_rows", F.lit(0).cast("long")).limit(0)
+    present = (
+        bands_df.filter(
+            F.col(id_col).between(F.lit(estats["lo"]), F.lit(estats["hi"]))
+        )
+        .join(expected, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        expected.join(present, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") != int(params["n_tables"]))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text frontend: MinHash+LSH over shingles (dd_minhash_lsh's blocking)
 # ---------------------------------------------------------------------------

@@ -580,6 +580,268 @@ def curate_corpus_daily(
     return audit
 
 
+def curate_corpus_daily_vec(
+    vecs_delta,
+    index_path: str,
+    clusters_path: str,
+    snapshot_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    corpus=None,
+    threshold: float | None = None,
+    keep_score_col: str | None = None,
+    compact_log_threshold: int | None = None,
+    snapshot_min_rows_behind: int = 1,
+    snapshot_min_age_sec: float = 3600.0,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    bucket_prefix_len: int = 0,
+    stage_timings: dict[str, float] | None = None,
+) -> dict:
+    """The embedding-side composed daily-curation job — the batch twin
+    of ``stream_vec_dedup_cluster_job`` and the vector counterpart of
+    ``curate_corpus_daily`` (r11 verdict ask #7 completed the
+    symmetry): validity gate → sign-LSH index ingest + incremental
+    cluster merge (under the clustering's single-writer claim, taken
+    BEFORE the append) → canonical keep table → staleness-gated
+    snapshot publish, ONE call, per-stage audit dict. Sweep the triple
+    it maintains with ``fsck_curation(..., vec=True)``.
+
+    Differences from the text job, each forced by the modality:
+
+    - **The gate is well-formedness, not quality**: NULL vectors,
+      wrong ``dim``, NULL components — exactly the predicate
+      ``_vec_buckets`` refuses at append time, applied as a filter so
+      the unattended loop degrades malformed rows to an audited drop
+      (``dropped_malformed``) instead of a crashed epoch. There is no
+      PII scrub: embeddings are opaque.
+    - **Pair semantics are tunable** (``query_vec_dedup_candidates``):
+      candidate pairs by default; exact-cosine-verified pairs when
+      ``corpus`` + ``threshold`` are given (``corpus`` must cover every
+      candidate endpoint — the loop's coverage gates refuse anything
+      else, BEFORE the append mutates the index).
+    - **Keep score defaults to the lowest id** (``keep_score_col=None``
+      scores by ``-id`` — the classic deterministic canonical choice;
+      vectors have no intrinsic "better member" the way text length
+      proxies quality). Pass a real score column when the delta
+      carries one.
+
+    Same operational contracts as the text job, pinned by the same
+    test battery shapes: empty-after-gate deltas return a no-op audit
+    (``noop_empty_delta``); overlapping deltas self-heal via
+    ``vec_append_gap_ids`` (never-landed ids appended missing-only,
+    TORN bucket sets refuse with the
+    ``fsck_vec_dedup_index(repair=True)`` recipe); a verbatim re-run
+    is a no-op; concurrent runs refuse on the writer claim with zero
+    structures touched."""
+    from pyspark.sql import functions as F
+
+    from .fs import try_read_parquet
+    from .operators.cluster_index import (
+        LOG_COMPACT_THRESHOLD,
+        build_cluster_assignments,
+        canonical_keep_table,
+        claim_cluster_writer,
+        probe_and_merge_delta_vec,
+        release_cluster_writer,
+        snapshot_if_stale,
+        snapshot_provenance,
+    )
+    from .operators.dedup_index import (
+        append_to_vec_dedup_index,
+        build_vec_dedup_index,
+        vec_append_gap_ids,
+    )
+
+    import time as _time
+
+    spark = vecs_delta.sparkSession
+    if compact_log_threshold is None:
+        compact_log_threshold = LOG_COMPACT_THRESHOLD
+    audit: dict = {}
+    _t_last = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t_last
+        now = _time.perf_counter()
+        if stage_timings is not None:
+            stage_timings[stage] = stage_timings.get(stage, 0.0) + (
+                now - _t_last
+            )
+        _t_last = now
+
+    # -- stage 1: validity gate + audit in ONE delta pass. The flag is
+    # exactly the predicate _vec_buckets refuses on, so everything the
+    # gate keeps is appendable by construction.
+    v = F.col(vec_col)
+    ok = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(int(dim)))
+        & ~F.exists(v, lambda x: x.isNull())
+    )
+    audit_row = vecs_delta.agg(
+        F.count(F.lit(1)).alias("vecs_in"),
+        F.sum(ok.cast("long")).alias("kept"),
+    ).collect()[0]
+    audit["validity"] = {
+        "vecs_in": audit_row["vecs_in"] or 0,
+        "kept": audit_row["kept"] or 0,
+        "dropped_malformed": (audit_row["vecs_in"] or 0)
+        - (audit_row["kept"] or 0),
+    }
+    _mark("validity_gate")
+    if (audit_row["kept"] or 0) == 0:
+        # empty-after-gate no-op epoch, same contract as the text job
+        audit["index"] = {"built": False, "appended": False}
+        audit["noop_empty_delta"] = True
+        return audit
+    gated = vecs_delta.filter(ok).persist()
+
+    try:
+        # -- stage 2: index ingest + cluster merge under the writer
+        # claim for the whole mutation span (claim before append —
+        # a concurrent run refuses with zero structures touched)
+        token = claim_cluster_writer(
+            spark,
+            clusters_path,
+            f"curate_corpus_daily_vec:{clusters_path.rstrip('/')}",
+        )
+        try:
+            fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
+            if fresh_index:
+                build_vec_dedup_index(
+                    gated,
+                    index_path,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    dim=dim,
+                    bucket_prefix_len=bucket_prefix_len,
+                )
+                appended = True
+            else:
+                try:
+                    append_to_vec_dedup_index(gated, index_path)
+                    appended = True
+                except ValueError as exc:
+                    if "already exist" not in str(exc):
+                        raise
+                    # overlap: classify per id — replay (probe-only),
+                    # never-landed (self-heal append), or torn bucket
+                    # set (refuse with the fsck recipe); gaps stays
+                    # persisted through the append that consumes it
+                    gaps = vec_append_gap_ids(
+                        spark, index_path, gated
+                    ).persist()
+                    try:
+                        n_partial = gaps.filter(F.col("n_rows") > 0).count()
+                        if n_partial:
+                            raise RuntimeError(
+                                f"curate_corpus_daily_vec: {n_partial} "
+                                "delta id(s) are PARTIALLY appended (a "
+                                "crashed append's torn bucket rows, not a "
+                                "replay) — run fsck_vec_dedup_index("
+                                f"'{index_path}', repair=True) to prune "
+                                "them back to never-appended, then retry"
+                            ) from exc
+                        missing = gated.join(
+                            gaps.select(id_col), id_col, "left_semi"
+                        )
+                        n_missing = missing.count()
+                        if n_missing:
+                            append_to_vec_dedup_index(missing, index_path)
+                            appended = True
+                            audit["healed_ids"] = n_missing
+                        else:
+                            appended = False
+                    finally:
+                        gaps.unpersist()
+            audit["index"] = {"built": fresh_index, "appended": appended}
+            _mark("index_ingest")
+
+            if try_read_parquet(spark, f"{clusters_path}/meta") is None:
+                id_type = gated.schema[id_col].dataType.simpleString()
+                build_cluster_assignments(
+                    spark.createDataFrame(
+                        [], f"node {id_type}, component {id_type}"
+                    ),
+                    clusters_path,
+                )
+                audit["clusters_initialized"] = True
+
+            stats = probe_and_merge_delta_vec(
+                spark,
+                index_path,
+                clusters_path,
+                gated,
+                corpus=corpus,
+                threshold=threshold,
+                compact_log_threshold=compact_log_threshold,
+                writer_token=token,
+                count_pairs=True,
+            )
+        finally:
+            release_cluster_writer(spark, clusters_path, owner_token=token)
+        audit["pairs"] = stats.pop("pairs")
+        audit["merge"] = stats
+        _mark("probe_merge")
+
+        # -- stage 3: canonical keep table (full corpus if given, else
+        # the gated delta); default score = lowest id wins
+        keep_docs = corpus if corpus is not None else gated
+        if keep_score_col is None:
+            # lowest-id-wins needs a numeric id (a string id would
+            # cast to NULL and make the winner arbitrary) — refuse
+            # loudly rather than pick silently
+            id_type = keep_docs.schema[id_col].dataType.simpleString()
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    "curate_corpus_daily_vec: the default keep score "
+                    f"(lowest id wins) needs an integral id_col, got "
+                    f"{id_type} — pass keep_score_col"
+                )
+            keep_docs = keep_docs.withColumn(
+                "__keep_score", -F.col(id_col).cast("long")
+            )
+            score = "__keep_score"
+        else:
+            score = keep_score_col
+        keep = canonical_keep_table(
+            spark, clusters_path, keep_docs, id_col=id_col, score_col=score
+        )
+        keep_row = keep.agg(
+            F.count(F.lit(1)).alias("components"),
+            F.sum("n_members").alias("docs_covered"),
+        ).collect()[0]
+        audit["keep"] = {
+            "components": keep_row["components"] or 0,
+            "docs_covered": keep_row["docs_covered"] or 0,
+        }
+        _mark("keep_table")
+
+        # -- stage 4: staleness-gated snapshot publish
+        snap = snapshot_if_stale(
+            spark,
+            clusters_path,
+            snapshot_path,
+            min_rows_behind=snapshot_min_rows_behind,
+            min_age_sec=snapshot_min_age_sec,
+        )
+        prov = snapshot_provenance(spark, snapshot_path)
+        audit["snapshot"] = {
+            "published": snap["published"],
+            "reason": snap["reason"],
+            "n_rows": snap["n_rows"],
+            "generation": prov["generation"],
+        }
+        _mark("snapshot")
+    finally:
+        gated.unpersist()
+    return audit
+
+
 def fsck_curation(
     spark,
     index_path: str,

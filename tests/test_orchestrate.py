@@ -865,3 +865,98 @@ def test_build_dedup_index_refuses_empty_corpus(spark, tmp_path):
     with pytest.raises(ValueError, match="ZERO bucket rows"):
         build_vec_dedup_index(vempty, str(tmp_path / "vidx"), dim=8)
     assert try_read_parquet(spark, str(tmp_path / "vidx/meta")) is None
+
+
+def test_curate_corpus_daily_vec_end_to_end(spark, sf_small, tmp_path):
+    """The embedding-side composed daily job (r11 verdict ask #7 — the
+    batch twin of stream_vec_dedup_cluster_job, completing the text
+    job's symmetry): validity gate → sign-LSH ingest + merge under the
+    claim (taken before the append) → keep table → snapshot, one call.
+    Exercises the same operational contracts as the text battery:
+    audited malformed drop, verbatim-replay no-op, overlap self-heal,
+    empty-after-gate no-op, claim refusal — and ends with the composed
+    vec-triple fsck green on the structures this job maintained."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        claim_cluster_writer,
+        release_cluster_writer,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily_vec,
+        fsck_curation,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    idx, cl, snap = (str(tmp_path / p) for p in ("vidx", "vcl", "vsnap"))
+    day1 = vecs.filter(F.col("vec_id") < 200)
+
+    # day 1 builds; every audit stage reconciles
+    a1 = curate_corpus_daily_vec(
+        day1, idx, cl, snap, n_planes=4, n_tables=4
+    )
+    n_day1 = day1.count()
+    assert a1["validity"] == {
+        "vecs_in": n_day1,
+        "kept": n_day1,
+        "dropped_malformed": 0,
+    }
+    assert a1["index"] == {"built": True, "appended": True}
+    assert a1.get("clusters_initialized")
+    assert a1["pairs"] > 0
+    assert 0 < a1["merge"]["new_nodes"] <= n_day1
+    assert a1["keep"]["docs_covered"] == n_day1
+    assert a1["snapshot"]["published"]
+    gen1 = a1["snapshot"]["generation"]
+
+    # day 2: a delta carrying MALFORMED rows (NULL vector, wrong dim)
+    # appends the well-formed remainder and audits the drop
+    day2_good = vecs.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+    )
+    malformed = spark.createDataFrame(
+        [(9_000_001, None, 0), (9_000_002, [0.0] * 3, 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    a2 = curate_corpus_daily_vec(
+        day2_good.unionByName(malformed), idx, cl, snap,
+        n_planes=4, n_tables=4,
+    )
+    assert a2["validity"]["dropped_malformed"] == 2
+    assert a2["validity"]["kept"] == day2_good.count()
+    assert a2["index"] == {"built": False, "appended": True}
+
+    # verbatim replay of day 2's good rows is a no-op end to end
+    a3 = curate_corpus_daily_vec(
+        day2_good, idx, cl, snap, n_planes=4, n_tables=4
+    )
+    assert a3["index"] == {"built": False, "appended": False}
+    assert a3["merge"]["new_nodes"] == 0
+    assert not a3["snapshot"]["published"]
+
+    # overlap self-heal: half replay, half new -> only the new appended
+    mixed = vecs.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 450))
+    a4 = curate_corpus_daily_vec(mixed, idx, cl, snap, n_planes=4, n_tables=4)
+    assert a4["index"] == {"built": False, "appended": True}
+    assert 0 < a4["healed_ids"] < mixed.count()
+
+    # empty-after-gate no-op against the standing triple
+    a5 = curate_corpus_daily_vec(
+        malformed, idx, cl, snap, n_planes=4, n_tables=4
+    )
+    assert a5["noop_empty_delta"]
+
+    # concurrent-writer refusal, zero new structures touched
+    foreign = claim_cluster_writer(spark, cl, "concurrent_vec_curation")
+    with pytest.raises(RuntimeError, match="already claimed"):
+        curate_corpus_daily_vec(
+            vecs.filter(F.col("vec_id") >= 450), idx, cl, snap,
+            n_planes=4, n_tables=4,
+        )
+    release_cluster_writer(spark, cl, owner_token=foreign)
+
+    # the triple this job maintained passes the composed vec sweep
+    report = fsck_curation(spark, idx, cl, snap, vec=True)
+    assert report["clean"] and report["unindexed_cluster_nodes"] == 0
