@@ -51,10 +51,15 @@ def _queries_from_doc(doc) -> dict[str, float]:
     driver wrapper ("parsed.queries"), and — the BENCH_r11 failure —
     a driver wrapper whose "parsed" is null because bench's output
     line outgrew the driver's ~2000-char tail capture. In that last
-    shape the values are regex-recovered from the truncated "tail"
-    string: every per-query float that survived truncation is a prior
-    worth having (a partial prior only narrows the re-run tripwire's
-    coverage; no prior disarms it entirely)."""
+    shape, recovery from the truncated "tail" string is BEST-EFFORT
+    and usually yields nothing: the capture keeps the LAST ~2000
+    chars and "queries" sits at the line's HEAD, so it survives only
+    a small overflow (BENCH_r11's fragment starts mid-"spread" —
+    nothing recoverable; the spread/ctx floats that DO survive are
+    not timings and must never be misread as a prior, hence the match
+    is anchored on the "queries" key). The real protection is the
+    compact final line staying far under the window plus the
+    BENCH_FULL side files; this arm just salvages the marginal case."""
     import re
 
     if not isinstance(doc, dict):
@@ -106,11 +111,15 @@ def _load_prior_queries() -> tuple[dict[str, float], str | None]:
 
 
 def _bench_round() -> int:
-    """Round number for this run's BENCH_FULL_r{N}.json. The driver
-    writes CORRECTNESS/BENCH_r{N}.json AFTER round N, so while round N
-    is being built the newest recorded round is N-1: default to
-    max+1. SPARK_GRAFT_BENCH_ROUND overrides (used once to backfill
-    the r11 record the driver's tail capture truncated)."""
+    """Round number for this run's BENCH_FULL_r{N}.json. The DRIVER's
+    records (BENCH_r*.json) anchor the numbering — the driver writes
+    them AFTER round N, so while round N is being built the newest is
+    N-1: default to max+1 over those ONLY. Bench's own BENCH_FULL
+    files deliberately do NOT advance the label: a second in-round run
+    (stability check, smoke run) must OVERWRITE the current round's
+    full record, not mint round N+1 and skew every later label off by
+    one. SPARK_GRAFT_BENCH_ROUND overrides (used once to backfill the
+    r11 record the driver's tail capture truncated)."""
     import glob
     import re
 
@@ -118,8 +127,8 @@ def _bench_round() -> int:
         return int(os.environ["SPARK_GRAFT_BENCH_ROUND"])
     here = os.path.dirname(os.path.abspath(__file__))
     seen = [0]
-    for p in glob.glob(os.path.join(here, "BENCH*_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p)
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             seen.append(int(m.group(1)))
     return max(seen) + 1

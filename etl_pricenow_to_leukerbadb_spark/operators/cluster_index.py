@@ -856,14 +856,38 @@ def probe_and_merge_delta(
     ``count_pairs=True`` additionally persists the candidate frame and
     reports its size as ``stats["pairs"]`` (the curation audit row);
     the default skips the extra action."""
-    import time as _time
-
     from .dedup_index import query_dedup_candidates
 
-    t1 = _time.perf_counter()
-    pairs = query_dedup_candidates(
-        spark, index_path, docs_delta, text_col=text_col
+    return _merge_compact_tail(
+        spark,
+        clusters_path,
+        query_dedup_candidates(spark, index_path, docs_delta, text_col=text_col),
+        reliable_checkpoints,
+        compact_log_threshold,
+        writer_token,
+        count_pairs,
+        stage_timings,
     )
+
+
+def _merge_compact_tail(
+    spark: SparkSession,
+    clusters_path: str,
+    pairs: DataFrame,
+    reliable_checkpoints: bool,
+    compact_log_threshold: int | None,
+    writer_token: str | None,
+    count_pairs: bool,
+    stage_timings: dict[str, float] | None,
+) -> dict:
+    """The merge → auto-compact tail both probe_and_merge variants
+    share — ONE implementation of the pair-column contract, the
+    optional pair count (persisted so the count and the merge read one
+    materialization), the compaction trigger, and the stage-timing
+    attribution, so the text and vector twins cannot drift."""
+    import time as _time
+
+    t1 = _time.perf_counter()
     n_pairs = None
     if count_pairs:
         pairs = pairs.persist()
@@ -921,47 +945,20 @@ def probe_and_merge_delta_vec(
     and ``threshold`` are both given (the coverage gates inside the
     query refuse a corpus missing any candidate endpoint). Assumes the
     delta is already in the index."""
-    import time as _time
-
     from .dedup_index import query_vec_dedup_candidates
 
-    t1 = _time.perf_counter()
-    pairs = query_vec_dedup_candidates(
-        spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
+    return _merge_compact_tail(
+        spark,
+        clusters_path,
+        query_vec_dedup_candidates(
+            spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
+        ),
+        reliable_checkpoints,
+        compact_log_threshold,
+        writer_token,
+        count_pairs,
+        stage_timings,
     )
-    n_pairs = None
-    if count_pairs:
-        pairs = pairs.persist()
-        n_pairs = pairs.count()
-    try:
-        stats = merge_cluster_delta(
-            spark,
-            clusters_path,
-            pairs,
-            src_col="probe_id",
-            dst_col="corpus_id",
-            reliable_checkpoints=reliable_checkpoints,
-            writer_token=writer_token,
-        )
-    finally:
-        if count_pairs:
-            pairs.unpersist()
-    t2 = _time.perf_counter()
-    out = _compact_if_log_large(
-        spark, clusters_path, stats, compact_log_threshold, writer_token
-    )
-    if stage_timings is not None:
-        stage_timings["probe_merge"] = (
-            stage_timings.get("probe_merge", 0.0) + (t2 - t1)
-        )
-        stage_timings["log_compact"] = (
-            stage_timings.get("log_compact", 0.0)
-            + (_time.perf_counter() - t2)
-        )
-    if n_pairs is not None:
-        out = dict(out)
-        out["pairs"] = n_pairs
-    return out
 
 
 def ingest_and_update_clusters_vec(

@@ -592,7 +592,20 @@ def append_gap_ids(
     expected = minhash_signatures(
         docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
     ).select(id_col)
-    estats = docs_delta.agg(
+    return _bucket_gap_ids(bands_df, expected, id_col, int(params["bands"]))
+
+
+def _bucket_gap_ids(
+    bands_df: DataFrame, expected: DataFrame, id_col: str, rows_expected: int
+) -> DataFrame:
+    """The per-id completeness classification both gap reporters
+    share: every EXPECTED id not carrying exactly ``rows_expected``
+    band rows, as ``(id_col, n_rows)``. Corpus-side scan range-pruned
+    to the expected ids' span (the same shape as the append guard);
+    only the frontends differ — what "expected" means (shinglable
+    docs vs all delta ids) and the per-id row constant (bands vs
+    n_tables)."""
+    estats = expected.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     if estats["lo"] is None:
@@ -611,7 +624,7 @@ def append_gap_ids(
             id_col,
             F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
         )
-        .filter(F.col("n_rows") != int(params["bands"]))
+        .filter(F.col("n_rows") != int(rows_expected))
     )
 
 
@@ -638,27 +651,7 @@ def vec_append_gap_ids(
     )
     id_col = params["id_col"]
     expected = vecs_delta.select(F.col(id_col))
-    estats = vecs_delta.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
-    ).collect()[0]
-    if estats["lo"] is None:
-        return expected.withColumn("n_rows", F.lit(0).cast("long")).limit(0)
-    present = (
-        bands_df.filter(
-            F.col(id_col).between(F.lit(estats["lo"]), F.lit(estats["hi"]))
-        )
-        .join(expected, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    return (
-        expected.join(present, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
-        )
-        .filter(F.col("n_rows") != int(params["n_tables"]))
-    )
+    return _bucket_gap_ids(bands_df, expected, id_col, int(params["n_tables"]))
 
 
 # ---------------------------------------------------------------------------

@@ -211,6 +211,67 @@ def run_guarded(
         lock.release()
 
 
+def _ingest_delta_with_heal(
+    delta,
+    index_path: str,
+    id_col: str,
+    append_fn,
+    gap_fn,
+    job: str,
+    fsck_name: str,
+    rows_noun: str,
+    audit: dict,
+) -> bool:
+    """Append ``delta`` to a STANDING bucket index, self-healing
+    overlaps — the classified fallback both composed curation jobs
+    share (text and vector twins differ only in their append/gap
+    frontends, injected as callables). On the append guard's
+    "already exist" refusal, classify every expected delta id: fully
+    banded (a replay — probe-only), zero rows (never landed, or fsck
+    pruned it — safe to append exactly as if new: the guard matches
+    exact ids), or PARTIALLY banded (a crashed append's torn row set —
+    re-appending would duplicate bucket rows, so it must go through
+    the fsck prune first). The zero-row arm is what makes the daily
+    jobs SELF-HEALING for overlapping exports and post-fsck retries:
+    repair prunes partials to zero rows, and the next run appends them
+    here instead of wedging on the same error. ``gaps`` stays
+    persisted THROUGH the append that consumes it (ADVICE r11):
+    ``missing`` lazily depends on it, so an early unpersist would
+    re-run the full gap classification per downstream action — and
+    let the append's write plan read the bands table inside the same
+    action that appends to it. Returns whether anything was appended;
+    records ``healed_ids`` in ``audit``."""
+    from pyspark.sql import functions as F
+
+    try:
+        append_fn(delta)
+        return True
+    except ValueError as exc:
+        if "already exist" not in str(exc):
+            raise
+        gaps = gap_fn(delta).persist()
+        try:
+            n_partial = gaps.filter(F.col("n_rows") > 0).count()
+            if n_partial:
+                raise RuntimeError(
+                    f"{job}: {n_partial} delta id(s) are PARTIALLY "
+                    f"appended (a crashed append's torn {rows_noun} "
+                    f"rows, not a replay) — run {fsck_name}("
+                    f"'{index_path}', repair=True) to prune them back "
+                    "to never-appended, then retry: the retry appends "
+                    "the pruned ids and continues"
+                ) from exc
+            missing = delta.join(gaps.select(id_col), id_col, "left_semi")
+            n_missing = missing.count()
+            if n_missing:
+                append_fn(missing)
+                audit["healed_ids"] = n_missing
+                return True
+            return False
+        finally:
+            gaps.unpersist()
+
+
 def curate_corpus_daily(
     docs_delta,
     index_path: str,
@@ -434,72 +495,26 @@ def curate_corpus_daily(
                 )
                 appended = True
             else:
-                try:
-                    append_to_dedup_index(
-                        scrubbed,
+                # overlap with the standing index self-heals through
+                # the shared classified fallback (_ingest_delta_with_heal)
+                appended = _ingest_delta_with_heal(
+                    scrubbed,
+                    index_path,
+                    id_col,
+                    lambda df: append_to_dedup_index(
+                        df,
                         index_path,
                         text_col=text_col,
                         allow_short=allow_short,
-                    )
-                    appended = True
-                except ValueError as exc:
-                    if "already exist" not in str(exc):
-                        raise
-                    # overlap with the standing index. Classify every
-                    # expected delta id: fully banded (a replay —
-                    # probe-only), zero band rows (never landed, or fsck
-                    # pruned it — safe to append exactly as if new: the
-                    # guard matches exact ids), or PARTIALLY banded (a
-                    # crashed append's torn band set — re-appending would
-                    # duplicate bucket rows, so it must go through the
-                    # fsck prune first). The zero-row arm is what makes
-                    # this job SELF-HEALING for overlapping daily exports
-                    # and for retries after the fsck recipe below: repair
-                    # prunes partials to zero rows, and the next run
-                    # appends them here instead of wedging on the same
-                    # error.
-                    # gaps stays persisted THROUGH the append below
-                    # (ADVICE r11): `missing` lazily depends on gaps, so
-                    # an early unpersist makes the append's guard count
-                    # and its bands write each re-run the full gap
-                    # classification — and lets the write's plan read
-                    # {index}/bands inside the same action that appends
-                    # to it, correct today only by the accident of
-                    # parquet listing source files at job start. The
-                    # finally releases it on every exit.
-                    gaps = append_gap_ids(
-                        spark, index_path, scrubbed, text_col=text_col
-                    ).persist()
-                    try:
-                        n_partial = gaps.filter(F.col("n_rows") > 0).count()
-                        if n_partial:
-                            raise RuntimeError(
-                                f"curate_corpus_daily: {n_partial} delta "
-                                "id(s) are PARTIALLY appended (a crashed "
-                                "append's torn band rows, not a replay) — "
-                                "run fsck_dedup_index("
-                                f"'{index_path}', repair=True) to prune "
-                                "them back to never-appended, then retry: "
-                                "the retry appends the pruned ids and "
-                                "continues"
-                            ) from exc
-                        missing = scrubbed.join(
-                            gaps.select(id_col), id_col, "left_semi"
-                        )
-                        n_missing = missing.count()
-                        if n_missing:
-                            append_to_dedup_index(
-                                missing,
-                                index_path,
-                                text_col=text_col,
-                                allow_short=allow_short,
-                            )
-                            appended = True
-                            audit["healed_ids"] = n_missing
-                        else:
-                            appended = False
-                    finally:
-                        gaps.unpersist()
+                    ),
+                    lambda df: append_gap_ids(
+                        spark, index_path, df, text_col=text_col
+                    ),
+                    "curate_corpus_daily",
+                    "fsck_dedup_index",
+                    "band",
+                    audit,
+                )
             audit["index"] = {"built": fresh_index, "appended": appended}
             _mark("index_ingest")
 
@@ -699,6 +714,42 @@ def curate_corpus_daily_vec(
     gated = vecs_delta.filter(ok).persist()
 
     try:
+        # -- pre-mutation refusals: every caller-config mistake that
+        # would otherwise crash AFTER the index/clustering changed is
+        # checked here, before the claim, so the job dies clean with
+        # zero structures touched instead of costing a half-epoch.
+        if keep_score_col is None:
+            # lowest-id-wins (stage 3's default) needs a numeric id —
+            # a string id would cast to NULL and make the winner
+            # arbitrary. Schema-only, so check it FIRST.
+            keep_src = corpus if corpus is not None else gated
+            id_type = keep_src.schema[id_col].dataType.simpleString()
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    "curate_corpus_daily_vec: the default keep score "
+                    f"(lowest id wins) needs an integral id_col, got "
+                    f"{id_type} — pass keep_score_col"
+                )
+        if corpus is not None and threshold is not None:
+            # delta-side coverage for the exact-cosine verify (the
+            # common stale-corpus mistake) — the same delta-sized
+            # anti-join ingest_and_update_clusters_vec runs, and for
+            # the same reason: the probe's own coverage gate would
+            # only fire AFTER the append mutated the index
+            n_missing = (
+                gated.select(F.col(id_col))
+                .join(corpus.select(F.col(id_col)), id_col, "left_anti")
+                .count()
+            )
+            if n_missing:
+                raise ValueError(
+                    f"curate_corpus_daily_vec: {n_missing} delta id(s) "
+                    "are missing from `corpus` — the exact-cosine "
+                    "verify would silently drop their pairs. Pass the "
+                    "UNION including this delta (nothing has been "
+                    "appended yet)"
+                )
+
         # -- stage 2: index ingest + cluster merge under the writer
         # claim for the whole mutation span (claim before append —
         # a concurrent run refuses with zero structures touched)
@@ -722,42 +773,19 @@ def curate_corpus_daily_vec(
                 )
                 appended = True
             else:
-                try:
-                    append_to_vec_dedup_index(gated, index_path)
-                    appended = True
-                except ValueError as exc:
-                    if "already exist" not in str(exc):
-                        raise
-                    # overlap: classify per id — replay (probe-only),
-                    # never-landed (self-heal append), or torn bucket
-                    # set (refuse with the fsck recipe); gaps stays
-                    # persisted through the append that consumes it
-                    gaps = vec_append_gap_ids(
-                        spark, index_path, gated
-                    ).persist()
-                    try:
-                        n_partial = gaps.filter(F.col("n_rows") > 0).count()
-                        if n_partial:
-                            raise RuntimeError(
-                                f"curate_corpus_daily_vec: {n_partial} "
-                                "delta id(s) are PARTIALLY appended (a "
-                                "crashed append's torn bucket rows, not a "
-                                "replay) — run fsck_vec_dedup_index("
-                                f"'{index_path}', repair=True) to prune "
-                                "them back to never-appended, then retry"
-                            ) from exc
-                        missing = gated.join(
-                            gaps.select(id_col), id_col, "left_semi"
-                        )
-                        n_missing = missing.count()
-                        if n_missing:
-                            append_to_vec_dedup_index(missing, index_path)
-                            appended = True
-                            audit["healed_ids"] = n_missing
-                        else:
-                            appended = False
-                    finally:
-                        gaps.unpersist()
+                # overlap with the standing index self-heals through
+                # the shared classified fallback (_ingest_delta_with_heal)
+                appended = _ingest_delta_with_heal(
+                    gated,
+                    index_path,
+                    id_col,
+                    lambda df: append_to_vec_dedup_index(df, index_path),
+                    lambda df: vec_append_gap_ids(spark, index_path, df),
+                    "curate_corpus_daily_vec",
+                    "fsck_vec_dedup_index",
+                    "bucket",
+                    audit,
+                )
             audit["index"] = {"built": fresh_index, "appended": appended}
             _mark("index_ingest")
 
@@ -792,16 +820,7 @@ def curate_corpus_daily_vec(
         # the gated delta); default score = lowest id wins
         keep_docs = corpus if corpus is not None else gated
         if keep_score_col is None:
-            # lowest-id-wins needs a numeric id (a string id would
-            # cast to NULL and make the winner arbitrary) — refuse
-            # loudly rather than pick silently
-            id_type = keep_docs.schema[id_col].dataType.simpleString()
-            if id_type not in ("tinyint", "smallint", "int", "bigint"):
-                raise ValueError(
-                    "curate_corpus_daily_vec: the default keep score "
-                    f"(lowest id wins) needs an integral id_col, got "
-                    f"{id_type} — pass keep_score_col"
-                )
+            # integral id already verified in the pre-mutation block
             keep_docs = keep_docs.withColumn(
                 "__keep_score", -F.col(id_col).cast("long")
             )

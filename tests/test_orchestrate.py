@@ -957,6 +957,23 @@ def test_curate_corpus_daily_vec_end_to_end(spark, sf_small, tmp_path):
         )
     release_cluster_writer(spark, cl, owner_token=foreign)
 
+    # config-mistake refusals fire BEFORE any mutation: a stale corpus
+    # on the exact-verify arm (missing delta ids) dies clean with the
+    # index untouched — not mid-epoch after the append landed
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+
+    tail = vecs.filter(F.col("vec_id") >= 450)
+    with pytest.raises(ValueError, match="missing from"):
+        curate_corpus_daily_vec(
+            tail, idx, cl, snap, corpus=day1, threshold=0.9,
+            n_planes=4, n_tables=4,
+        )
+    root = resolve_serving_root(spark, idx)
+    bands = spark.read.parquet(f"{root}/bands")
+    assert bands.filter(F.col("vec_id") >= 450).count() == 0
+
     # the triple this job maintained passes the composed vec sweep
     report = fsck_curation(spark, idx, cl, snap, vec=True)
     assert report["clean"] and report["unindexed_cluster_nodes"] == 0

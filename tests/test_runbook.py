@@ -31,16 +31,24 @@ def _runbook_cli_lines() -> list[str]:
 
 
 def test_runbook_names_real_contracts():
-    """Every `tests/…py` file the runbook cites as a contract exists
-    (modulo the one explicitly hedged with 'if present')."""
+    """Every `tests/…py[::test_fn]` citation the runbook makes as a
+    contract resolves: the file exists, and a ::-qualified function
+    name appears in it — renaming a pinned test without updating the
+    runbook fails here, which is the doc-drift this test exists to
+    catch."""
     text = open(RUNBOOK).read()
-    for m in re.finditer(r"`tests/([A-Za-z0-9_*]+\.py)`( if present)?", text):
-        name, hedged = m.group(1), m.group(2)
-        if hedged or "*" in name:
+    cites = re.findall(r"`tests/([A-Za-z0-9_*]+\.py)(?:::(\w+))?`", text)
+    assert cites, "runbook lost its contract citations"
+    for name, func in cites:
+        if "*" in name:
             continue
-        assert os.path.exists(
-            os.path.join(REPO_ROOT, "tests", name)
-        ), f"RUNBOOK.md cites missing contract tests/{name}"
+        path = os.path.join(REPO_ROOT, "tests", name)
+        assert os.path.exists(path), f"RUNBOOK.md cites missing tests/{name}"
+        if func:
+            assert f"def {func}(" in open(path).read(), (
+                f"RUNBOOK.md cites tests/{name}::{func} but no such "
+                "function exists"
+            )
 
 
 def test_runbook_cli_lines_execute_clean(
