@@ -81,22 +81,28 @@ def _queries_from_doc(doc) -> dict[str, float]:
 
 
 def _load_prior_queries() -> tuple[dict[str, float], str | None]:
-    """Previous round's per-query seconds, preferring the full records
+    """PREVIOUS round's per-query seconds, preferring the full records
     bench writes itself (BENCH_FULL_r*.json — complete by
     construction) over the driver's BENCH_r*.json (tail-capture
     wrappers that can truncate, see _queries_from_doc). Newest round
     wins within each family; a full record for round N beats a driver
-    wrapper for the same N. Missing/corrupt files degrade to no-prior
-    (no re-runs) — but a null "parsed" alone no longer does."""
+    wrapper for the same N. Records from the CURRENT round
+    (_bench_round()) are excluded: an in-round re-run must compare
+    against the prior ROUND, not against its own first reading — a
+    contention-inflated first record would otherwise both raise the
+    2.5x bar for the re-run AND be what the re-run overwrites.
+    Missing/corrupt files degrade to no-prior (no re-runs) — but a
+    null "parsed" alone no longer does."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    cur = _bench_round()
     candidates: list[tuple[int, int, str]] = []  # (round, full?, path)
     for pattern, is_full in (("BENCH_FULL_r*.json", 1), ("BENCH_r*.json", 0)):
         for p in glob.glob(os.path.join(here, pattern)):
             m = re.search(r"BENCH(?:_FULL)?_r(\d+)\.json$", p)
-            if m:
+            if m and int(m.group(1)) < cur:
                 candidates.append((int(m.group(1)), is_full, p))
     for _, _, path in sorted(candidates, reverse=True):
         try:

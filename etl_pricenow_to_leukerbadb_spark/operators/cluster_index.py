@@ -861,7 +861,9 @@ def probe_and_merge_delta(
     return _merge_compact_tail(
         spark,
         clusters_path,
-        query_dedup_candidates(spark, index_path, docs_delta, text_col=text_col),
+        lambda: query_dedup_candidates(
+            spark, index_path, docs_delta, text_col=text_col
+        ),
         reliable_checkpoints,
         compact_log_threshold,
         writer_token,
@@ -873,7 +875,7 @@ def probe_and_merge_delta(
 def _merge_compact_tail(
     spark: SparkSession,
     clusters_path: str,
-    pairs: DataFrame,
+    pairs_fn,
     reliable_checkpoints: bool,
     compact_log_threshold: int | None,
     writer_token: str | None,
@@ -884,10 +886,20 @@ def _merge_compact_tail(
     share — ONE implementation of the pair-column contract, the
     optional pair count (persisted so the count and the merge read one
     materialization), the compaction trigger, and the stage-timing
-    attribution, so the text and vector twins cannot drift."""
+    attribution, so the text and vector twins cannot drift.
+
+    ``pairs_fn`` is a THUNK, not a DataFrame: the probe queries do
+    eager work at construction time (``localCheckpoint`` + the
+    prefix-layout driver collect in ``_probe_bucket_index``; the vec
+    coverage-gate count), and that cost belongs to the recorded
+    ``probe_merge`` stage — taking an already-built frame here was
+    measured shifting ~0.8 s of dd_cluster_merge's probe cost into
+    bench's unattributed "rest" (r12 review), which would let a probe
+    regression hide from the stage tripwire."""
     import time as _time
 
     t1 = _time.perf_counter()
+    pairs = pairs_fn()
     n_pairs = None
     if count_pairs:
         pairs = pairs.persist()
@@ -950,7 +962,7 @@ def probe_and_merge_delta_vec(
     return _merge_compact_tail(
         spark,
         clusters_path,
-        query_vec_dedup_candidates(
+        lambda: query_vec_dedup_candidates(
             spark, index_path, vecs_delta, corpus=corpus, threshold=threshold
         ),
         reliable_checkpoints,
@@ -959,6 +971,31 @@ def probe_and_merge_delta_vec(
         count_pairs,
         stage_timings,
     )
+
+
+def require_corpus_covers_delta(
+    delta: DataFrame, corpus: DataFrame, id_col: str, job: str
+) -> None:
+    """Refuse an exact-verify ``corpus`` that is missing any delta id —
+    the common stale-corpus mistake (yesterday's corpus without
+    today's delta), checked delta-sized BEFORE anything is appended.
+    Shared by ``ingest_and_update_clusters_vec`` and
+    ``orchestrate.curate_corpus_daily_vec`` so the check's semantics
+    and error text cannot drift; the INDEXED-id coverage gate (which
+    can only fire at probe time) lives inside
+    ``query_vec_dedup_candidates``."""
+    n_missing = (
+        delta.select(F.col(id_col))
+        .join(corpus.select(F.col(id_col)), id_col, "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"{job}: {n_missing} delta id(s) are missing from `corpus` "
+            "— the exact-cosine verify would silently drop their pairs. "
+            "Pass the UNION including this delta (nothing has been "
+            "appended yet)"
+        )
 
 
 def ingest_and_update_clusters_vec(
@@ -1005,19 +1042,10 @@ def ingest_and_update_clusters_vec(
         from .dedup_index import load_vec_dedup_index
 
         _, params = load_vec_dedup_index(spark, index_path)
-        id_col = params["id_col"]
-        n_missing = (
-            vecs_delta.select(F.col(id_col))
-            .join(corpus.select(F.col(id_col)), id_col, "left_anti")
-            .count()
+        require_corpus_covers_delta(
+            vecs_delta, corpus, params["id_col"],
+            "ingest_and_update_clusters_vec",
         )
-        if n_missing:
-            raise ValueError(
-                f"ingest_and_update_clusters_vec: {n_missing} delta id(s) "
-                "are missing from `corpus` — the exact-cosine verify "
-                "would silently drop their pairs. Pass the UNION "
-                "including this delta (nothing has been appended yet)"
-            )
     append_to_vec_dedup_index(vecs_delta, index_path)
     # the probe -> merge -> auto-compact tail is the SHARED
     # implementation (probe_and_merge_delta_vec) — one pair-column

@@ -592,20 +592,34 @@ def append_gap_ids(
     expected = minhash_signatures(
         docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
     ).select(id_col)
-    return _bucket_gap_ids(bands_df, expected, id_col, int(params["bands"]))
+    return _bucket_gap_ids(
+        bands_df, expected, docs_delta, id_col, int(params["bands"])
+    )
 
 
 def _bucket_gap_ids(
-    bands_df: DataFrame, expected: DataFrame, id_col: str, rows_expected: int
+    bands_df: DataFrame,
+    expected: DataFrame,
+    span_of: DataFrame,
+    id_col: str,
+    rows_expected: int,
 ) -> DataFrame:
     """The per-id completeness classification both gap reporters
     share: every EXPECTED id not carrying exactly ``rows_expected``
     band rows, as ``(id_col, n_rows)``. Corpus-side scan range-pruned
-    to the expected ids' span (the same shape as the append guard);
+    to the delta's id span (the same shape as the append guard);
     only the frontends differ — what "expected" means (shinglable
     docs vs all delta ids) and the per-id row constant (bands vs
-    n_tables)."""
-    estats = expected.agg(
+    n_tables).
+
+    ``span_of`` supplies the pruning bounds and is the RAW delta
+    frame, not ``expected``: aggregating min/max on the text
+    frontend's ``expected`` would evaluate the whole minhash pipeline
+    just for two bounds (Catalyst cannot prune the signature agg),
+    where the raw frame's id column is a cheap scan — and a superset
+    span is still exact, because the left_semi join restricts to
+    expected ids."""
+    estats = span_of.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     if estats["lo"] is None:
@@ -651,7 +665,9 @@ def vec_append_gap_ids(
     )
     id_col = params["id_col"]
     expected = vecs_delta.select(F.col(id_col))
-    return _bucket_gap_ids(bands_df, expected, id_col, int(params["n_tables"]))
+    return _bucket_gap_ids(
+        bands_df, expected, vecs_delta, id_col, int(params["n_tables"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -660,6 +660,7 @@ def curate_corpus_daily_vec(
         claim_cluster_writer,
         probe_and_merge_delta_vec,
         release_cluster_writer,
+        require_corpus_covers_delta,
         snapshot_if_stale,
         snapshot_provenance,
     )
@@ -732,23 +733,13 @@ def curate_corpus_daily_vec(
                 )
         if corpus is not None and threshold is not None:
             # delta-side coverage for the exact-cosine verify (the
-            # common stale-corpus mistake) — the same delta-sized
-            # anti-join ingest_and_update_clusters_vec runs, and for
-            # the same reason: the probe's own coverage gate would
-            # only fire AFTER the append mutated the index
-            n_missing = (
-                gated.select(F.col(id_col))
-                .join(corpus.select(F.col(id_col)), id_col, "left_anti")
-                .count()
+            # common stale-corpus mistake) — the SHARED gate
+            # ingest_and_update_clusters_vec runs, and for the same
+            # reason: the probe's own coverage gate would only fire
+            # AFTER the append mutated the index
+            require_corpus_covers_delta(
+                gated, corpus, id_col, "curate_corpus_daily_vec"
             )
-            if n_missing:
-                raise ValueError(
-                    f"curate_corpus_daily_vec: {n_missing} delta id(s) "
-                    "are missing from `corpus` — the exact-cosine "
-                    "verify would silently drop their pairs. Pass the "
-                    "UNION including this delta (nothing has been "
-                    "appended yet)"
-                )
 
         # -- stage 2: index ingest + cluster merge under the writer
         # claim for the whole mutation span (claim before append —

@@ -977,3 +977,40 @@ def test_curate_corpus_daily_vec_end_to_end(spark, sf_small, tmp_path):
     # the triple this job maintained passes the composed vec sweep
     report = fsck_curation(spark, idx, cl, snap, vec=True)
     assert report["clean"] and report["unindexed_cluster_nodes"] == 0
+
+
+def test_curate_corpus_daily_vec_string_id_refused_pre_mutation(
+    spark, tmp_path
+):
+    """The default keep score (lowest id wins) needs an integral id —
+    and the refusal must fire BEFORE the claim/build/append (r12
+    review: it originally sat at the keep stage, after every mutation,
+    so an unattended loop would re-crash there each retry with the
+    index already changed). With an explicit keep_score_col, string
+    ids are fully supported end to end."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily_vec,
+    )
+
+    delta = spark.createDataFrame(
+        [("a", [0.0] * 64), ("b", [1.0] * 64)],
+        "vec_id string, embedding array<float>",
+    )
+    idx, cl, snap = (str(tmp_path / p) for p in ("vidx", "vcl", "vsnap"))
+    with pytest.raises(ValueError, match="integral id_col"):
+        curate_corpus_daily_vec(delta, idx, cl, snap, n_planes=4, n_tables=4)
+    # refused pre-mutation: no index meta, no clustering, no claim
+    assert try_read_parquet(spark, f"{idx}/meta") is None
+    assert try_read_parquet(spark, f"{cl}/meta") is None
+
+    a = curate_corpus_daily_vec(
+        delta.withColumn("score", F.size("embedding")),
+        idx, cl, snap,
+        keep_score_col="score", n_planes=4, n_tables=4,
+    )
+    assert a["index"] == {"built": True, "appended": True}
+    assert a["keep"]["docs_covered"] == 2
