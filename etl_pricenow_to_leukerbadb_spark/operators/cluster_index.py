@@ -1028,9 +1028,9 @@ def ingest_and_update_clusters_vec(
     coverage gate — silently dropping the pair is never an option. In
     that second case the index append has already landed; recover
     WITHOUT re-appending by fixing ``corpus`` and running the loop's
-    own tail directly: ``merge_cluster_delta(spark, clusters_path,
-    query_dedup_candidates(...), src_col="probe_id",
-    dst_col="corpus_id")`` — the merge is idempotent, so a partial
+    own tail directly: ``probe_and_merge_delta_vec(spark, index_path,
+    clusters_path, vecs_delta, corpus=fixed_corpus,
+    threshold=threshold)`` — the merge is idempotent, so a partial
     prior attempt is harmless."""
     from .dedup_index import append_to_vec_dedup_index
 

@@ -618,7 +618,13 @@ def _bucket_gap_ids(
     just for two bounds (Catalyst cannot prune the signature agg),
     where the raw frame's id column is a cheap scan — and a superset
     span is still exact, because the left_semi join restricts to
-    expected ids."""
+    expected ids. The degenerate shape (non-empty delta, EMPTY
+    expected — an all-unshinglable text delta) deliberately gets no
+    explicit early-exit: detecting it would cost a delta-sized
+    minhash evaluation on EVERY call to optimize a rare case, while
+    AQE's runtime empty-side propagation already collapses the
+    left_semi (and with it the ranged bands scan) when the broadcast
+    side materializes empty."""
     estats = span_of.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]

@@ -68,14 +68,21 @@ DELTA_VECS = int(os.environ.get("SPARK_GRAFT_PROBE_DELTA", "250"))
 def _replica(vecs, r: int, max_id: int):
     """Replica ``r`` with disjoint ids and a per-replica orthogonal
     sign flip: coordinate j is negated iff ``(j+1)*(r+3) % 97 < 48``
-    — a distinct flip pattern per replica (r up to dozens), identity
-    preserved for r=0 comparisons is NOT needed, only determinism."""
+    — a distinct flip pattern per replica (r up to dozens). Replica 0
+    is the IDENTITY: the probe's fixed delta carries raw corpus
+    vectors, and they must be true near-dups of replica 0's standing
+    vectors (a flipped replica 0 would leave the delta with only
+    chance-collision pairs, measuring a workload that never exercises
+    the true-partner merge path)."""
+    ids = (F.col("vec_id") + F.lit(r * (max_id + 1))).alias("vec_id")
+    if r == 0:
+        return vecs.select(ids, "embedding")
     flip = lambda x, j: x * F.when(  # noqa: E731
         F.pmod((j + F.lit(1)) * F.lit(r + 3), F.lit(97)) < F.lit(48),
         F.lit(-1.0),
     ).otherwise(F.lit(1.0))
     return vecs.select(
-        (F.col("vec_id") + F.lit(r * (max_id + 1))).alias("vec_id"),
+        ids,
         F.transform("embedding", flip).cast("array<float>").alias("embedding"),
     )
 
