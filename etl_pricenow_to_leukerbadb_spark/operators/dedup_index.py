@@ -622,9 +622,10 @@ def _bucket_gap_ids(
     expected — an all-unshinglable text delta) deliberately gets no
     explicit early-exit: detecting it would cost a delta-sized
     minhash evaluation on EVERY call to optimize a rare case, while
-    AQE's runtime empty-side propagation already collapses the
-    left_semi (and with it the ranged bands scan) when the broadcast
-    side materializes empty."""
+    the case's own cost is one bands scan range-pruned to the delta's
+    id span by the pushed min/max filter (checked empirically: AQE
+    does NOT collapse this join on an empty build side — the scan
+    runs, pruned; returns the correct empty frame)."""
     estats = span_of.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
