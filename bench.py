@@ -37,6 +37,7 @@ import json
 import os
 import sys
 import time
+from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -73,8 +74,14 @@ def _queries_from_doc(doc) -> dict[str, float]:
     if isinstance(tail, str):
         m = re.search(r'"queries"\s*:\s*\{([^{}]*)', tail)
         if m:
+            # optional exponent: json.dumps emits scientific notation
+            # for sub-1e-4 timings (e.g. 8.3e-05) — capturing the
+            # mantissa alone would salvage 8.3s for an 83µs prior and
+            # skew the 2.5x re-run baseline (ADVICE r12)
             pairs = re.findall(
-                r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', m.group(1)
+                r'"([A-Za-z0-9_]+)"\s*:\s*'
+                r"([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)",
+                m.group(1),
             )
             return {k: float(v) for k, v in pairs}
     return {}
@@ -413,6 +420,22 @@ def main() -> None:
         "reruns": reruns,
         "prior_bench": prior_file,
         "sf": sf_val,
+        # Provenance (r12 verdict, what's-missing #2): the builder's
+        # committed full record and the driver's official run OVERWRITE
+        # the same BENCH_FULL_r{N}.json, so prose quoting one session's
+        # numbers needs a marker saying which session produced the
+        # record on disk. recorded_by is taken from
+        # $SPARK_GRAFT_BENCH_RECORDER (the builder sets "builder"; an
+        # unset var — the driver's harness — records "unattributed");
+        # the timestamp and the session's calibration floor (the
+        # drift-flag median) identify the run even without the tag.
+        "recorded_by": os.environ.get(
+            "SPARK_GRAFT_BENCH_RECORDER", "unattributed"
+        ),
+        "recorded_utc": datetime.now(timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "calibration_floor": ctx_median,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, f"BENCH_FULL_r{_bench_round()}.json")

@@ -687,6 +687,26 @@ def curate_corpus_daily_vec(
             )
         _t_last = now
 
+    # -- pre-gate refusal: against a STANDING index the gate must size
+    # vectors by the index's recorded dim, not the caller's argument —
+    # a forgotten/wrong `dim` would otherwise classify every vector as
+    # dropped_malformed and return a silent noop_empty_delta audit,
+    # stopping the unattended loop without any error (ADVICE r12).
+    # Recorded dim wins; a conflicting caller dim refuses loudly here,
+    # before the validity aggregation, with zero structures touched.
+    standing_meta = try_read_parquet(spark, f"{index_path}/meta")
+    if standing_meta is not None:
+        recorded_dim = int(standing_meta.collect()[0]["dim"])
+        if int(dim) != recorded_dim:
+            raise ValueError(
+                "curate_corpus_daily_vec: caller dim "
+                f"{int(dim)} != the standing index's recorded dim "
+                f"{recorded_dim} ({index_path}/meta) — pass "
+                f"dim={recorded_dim} (or omit a stale override); the "
+                "index geometry is frozen at build time"
+            )
+        dim = recorded_dim
+
     # -- stage 1: validity gate + audit in ONE delta pass. The flag is
     # exactly the predicate _vec_buckets refuses on, so everything the
     # gate keeps is appendable by construction.

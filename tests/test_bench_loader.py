@@ -59,6 +59,30 @@ def test_tail_recovery_salvages_marginal_overflow(monkeypatch, tmp_path):
     assert queries == {"q1": 1.25, "q2": 3.0} and src == "BENCH_r9.json"
 
 
+def test_tail_recovery_handles_scientific_notation(monkeypatch, tmp_path):
+    """json.dumps emits scientific notation for sub-1e-4 timings
+    (ADVICE r12): the salvage regex must capture the exponent, not the
+    mantissa alone — 8.3e-05 read as 8.3s would inflate the 2.5x
+    re-run baseline for that query by five orders of magnitude."""
+    _point_at(monkeypatch, tmp_path)
+    (tmp_path / "BENCH_r9.json").write_text(
+        json.dumps(
+            {
+                "parsed": None,
+                "tail": '{"metric": "x", "queries": {"q1": 8.3e-05, '
+                '"q2": 1.2E+01, "q3": 2e3, "q4": 0.5}, "spr',
+            }
+        )
+    )
+    queries, src = bench._load_prior_queries()
+    assert queries == {
+        "q1": 8.3e-05,
+        "q2": 12.0,
+        "q3": 2000.0,
+        "q4": 0.5,
+    } and src == "BENCH_r9.json"
+
+
 def test_full_record_preferred_over_same_round_wrapper(
     monkeypatch, tmp_path
 ):

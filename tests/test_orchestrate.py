@@ -1014,3 +1014,55 @@ def test_curate_corpus_daily_vec_string_id_refused_pre_mutation(
     )
     assert a["index"] == {"built": True, "appended": True}
     assert a["keep"]["docs_covered"] == 2
+
+
+def test_curate_corpus_daily_vec_dim_mismatch_refused_pre_gate(
+    spark, tmp_path
+):
+    """Against a STANDING index the gate sizes vectors by the index's
+    RECORDED dim, and a conflicting caller `dim` refuses loudly BEFORE
+    the validity aggregation (ADVICE r12: a forgotten/wrong dim used to
+    classify every vector as dropped_malformed and return a silent
+    noop_empty_delta audit — the unattended loop stopped ingesting with
+    zero errors, the opposite of the job's pre-mutation-refusal
+    contract). The refusal leaves every structure untouched."""
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily_vec,
+    )
+
+    idx, cl, snap = (str(tmp_path / p) for p in ("vidx", "vcl", "vsnap"))
+    day1 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    a1 = curate_corpus_daily_vec(
+        day1, idx, cl, snap, dim=8, n_planes=4, n_tables=4
+    )
+    assert a1["index"] == {"built": True, "appended": True}
+    bands_before = spark.read.parquet(f"{idx}/bands").count()
+
+    # the exact ADVICE scenario: day 2 forgets dim (falls to the
+    # default 64) against the dim-8 index — must raise, NOT return a
+    # silent noop_empty_delta audit
+    day2 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6, 12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="recorded dim"):
+        curate_corpus_daily_vec(day2, idx, cl, snap, n_planes=4, n_tables=4)
+    # an explicitly wrong dim refuses identically
+    with pytest.raises(ValueError, match="recorded dim"):
+        curate_corpus_daily_vec(
+            day2, idx, cl, snap, dim=16, n_planes=4, n_tables=4
+        )
+    # refused pre-mutation: zero new band rows landed
+    assert spark.read.parquet(f"{idx}/bands").count() == bands_before
+
+    # the correct dim still appends; the gate keeps every row
+    a2 = curate_corpus_daily_vec(
+        day2, idx, cl, snap, dim=8, n_planes=4, n_tables=4
+    )
+    assert a2["validity"]["dropped_malformed"] == 0
+    assert a2["index"] == {"built": False, "appended": True}
