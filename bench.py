@@ -390,6 +390,17 @@ def main() -> None:
     # end calibration AFTER the settle pass — it bounds everything the
     # record contains, settled re-runs included
     calibration_end = calibrate()
+    # Sub-threshold riser watch (r12 verdict, what's-wrong #1): the
+    # drift machinery only REACTS at 1.3x calibration-ctx / 2.5x prior,
+    # which is coarser than the 15-20% risers the round-over-round
+    # review actually audits. Record (don't act on) every query >=15%
+    # above its prior so consecutive-round risers are mechanically
+    # visible in the committed record instead of recomputed by hand.
+    risers_vs_prior = {
+        n: round(v / prior[n], 3)
+        for n, v in timings.items()
+        if n in prior and prior[n] > 0 and v >= 1.15 * prior[n]
+    }
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Two-channel output (the BENCH_r11 lesson: the single JSON line,
@@ -419,6 +430,7 @@ def main() -> None:
         "stages": stages,
         "reruns": reruns,
         "prior_bench": prior_file,
+        "risers_vs_prior": risers_vs_prior,
         "sf": sf_val,
         # Provenance (r12 verdict, what's-missing #2): the builder's
         # committed full record and the driver's official run OVERWRITE
