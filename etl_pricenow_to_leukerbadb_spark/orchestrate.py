@@ -702,8 +702,8 @@ def curate_corpus_daily_vec(
                 "curate_corpus_daily_vec: caller dim "
                 f"{int(dim)} != the standing index's recorded dim "
                 f"{recorded_dim} ({index_path}/meta) — pass "
-                f"dim={recorded_dim} (or omit a stale override); the "
-                "index geometry is frozen at build time"
+                f"dim={recorded_dim}; the index geometry is frozen at "
+                "build time"
             )
         dim = recorded_dim
 
@@ -728,6 +728,22 @@ def curate_corpus_daily_vec(
     }
     _mark("validity_gate")
     if (audit_row["kept"] or 0) == 0:
+        if standing_meta is None and (audit_row["vecs_in"] or 0) > 0:
+            # FRESH index and the gate dropped EVERY row: almost
+            # certainly the day-1 wrong-dim config mistake, and unlike
+            # the standing-index case there is no recorded dim to
+            # reconcile against. A noop here would be PERMANENT — the
+            # index never builds, so the recorded-dim refusal above
+            # never arms, and the unattended loop silently ingests
+            # nothing forever (r13 review on the ADVICE r12 fix).
+            raise ValueError(
+                "curate_corpus_daily_vec: first epoch dropped all "
+                f"{audit_row['vecs_in']} delta rows as malformed — "
+                f"check dim={int(dim)} against the data (and for NULL "
+                "vectors/components); refusing instead of a no-op "
+                "because no index was built, which would leave the "
+                "loop permanently ingesting nothing"
+            )
         # empty-after-gate no-op epoch, same contract as the text job
         audit["index"] = {"built": False, "appended": False}
         audit["noop_empty_delta"] = True

@@ -1037,6 +1037,17 @@ def test_curate_corpus_daily_vec_dim_mismatch_refused_pre_gate(
         [(i, [float(i + j) for j in range(8)]) for i in range(6)],
         "vec_id bigint, embedding array<float>",
     )
+
+    # FRESH-path arm (r13 review): on the FIRST epoch there is no
+    # recorded dim to reconcile, so a wrong dim that drops every row
+    # must refuse — a noop would be permanent (no index built means
+    # the recorded-dim gate never arms on any later day)
+    with pytest.raises(ValueError, match="dropped all"):
+        curate_corpus_daily_vec(day1, idx, cl, snap, n_planes=4, n_tables=4)
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+
+    assert try_read_parquet(spark, f"{idx}/meta") is None
+
     a1 = curate_corpus_daily_vec(
         day1, idx, cl, snap, dim=8, n_planes=4, n_tables=4
     )
