@@ -367,6 +367,7 @@ def curate_corpus_daily(
         append_to_dedup_index,
         build_dedup_index,
     )
+    from .operators.serving import resolve_serving_root
 
     import time as _time
 
@@ -480,7 +481,16 @@ def curate_corpus_daily(
             spark, clusters_path, f"curate_corpus_daily:{clusters_path.rstrip('/')}"
         )
         try:
-            fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
+            # resolve CURRENT first: a serving-layout root
+            # (migrate_dedup_index_to_serving) keeps meta under the
+            # live generation, and the unresolved read would misread
+            # the standing index as fresh
+            fresh_index = (
+                try_read_parquet(
+                    spark, f"{resolve_serving_root(spark, index_path)}/meta"
+                )
+                is None
+            )
             if fresh_index:
                 build_dedup_index(
                     scrubbed,
@@ -669,6 +679,7 @@ def curate_corpus_daily_vec(
         build_vec_dedup_index,
         vec_append_gap_ids,
     )
+    from .operators.serving import resolve_serving_root
 
     import time as _time
 
@@ -694,14 +705,27 @@ def curate_corpus_daily_vec(
     # stopping the unattended loop without any error (ADVICE r12).
     # Recorded dim wins; a conflicting caller dim refuses loudly here,
     # before the validity aggregation, with zero structures touched.
-    standing_meta = try_read_parquet(spark, f"{index_path}/meta")
+    # A serving-layout root (migrate_vec_dedup_index_to_serving) keeps
+    # meta under the live generation — resolve CURRENT first, exactly
+    # as the append path does, or the gate never arms post-migration.
+    index_root = resolve_serving_root(spark, index_path)
+    standing_meta = try_read_parquet(spark, f"{index_root}/meta")
     if standing_meta is not None:
-        recorded_dim = int(standing_meta.collect()[0]["dim"])
+        meta_rows = standing_meta.collect()
+        if len(meta_rows) != 1 or "dim" not in meta_rows[0].asDict():
+            raise ValueError(
+                "curate_corpus_daily_vec: malformed meta at "
+                f"{index_root}/meta — expected exactly one row with a "
+                "'dim' column (a TEXT dedup index's meta has none — "
+                "wrong index_path? — and zero rows means a torn "
+                "write: run fsck_vec_dedup_index)"
+            )
+        recorded_dim = int(meta_rows[0]["dim"])
         if int(dim) != recorded_dim:
             raise ValueError(
                 "curate_corpus_daily_vec: caller dim "
                 f"{int(dim)} != the standing index's recorded dim "
-                f"{recorded_dim} ({index_path}/meta) — pass "
+                f"{recorded_dim} ({index_root}/meta) — pass "
                 f"dim={recorded_dim}; the index geometry is frozen at "
                 "build time"
             )
@@ -786,7 +810,12 @@ def curate_corpus_daily_vec(
             f"curate_corpus_daily_vec:{clusters_path.rstrip('/')}",
         )
         try:
-            fresh_index = try_read_parquet(spark, f"{index_path}/meta") is None
+            # reuse the pre-gate meta read: the claim serializes
+            # writers, and the rare build racing into the gap between
+            # that read and our claim is refused loudly by the build's
+            # own errorifexists meta write — no silent path, and one
+            # fewer 1-row parquet open per epoch
+            fresh_index = standing_meta is None
             if fresh_index:
                 build_vec_dedup_index(
                     gated,

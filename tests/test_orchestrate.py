@@ -1077,3 +1077,138 @@ def test_curate_corpus_daily_vec_dim_mismatch_refused_pre_gate(
     )
     assert a2["validity"]["dropped_malformed"] == 0
     assert a2["index"] == {"built": False, "appended": True}
+
+
+def test_curate_corpus_daily_vec_serving_layout_gate_and_append(
+    spark, tmp_path
+):
+    """The dim gate and the fresh/append decision survive a serving
+    migration (r13 review): a serving-layout root keeps meta under the
+    live generation, so BOTH reads must resolve CURRENT first — the
+    unresolved read saw no meta, sized the gate by the caller's dim,
+    and misread the standing index as fresh (for the text twin that
+    build would even SUCCEED at the flat root, splitting the structure
+    across two layouts)."""
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        migrate_vec_dedup_index_to_serving,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily_vec,
+    )
+
+    idx, cl, snap = (str(tmp_path / p) for p in ("vidx", "vcl", "vsnap"))
+    day1 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    a1 = curate_corpus_daily_vec(
+        day1, idx, cl, snap, dim=8, n_planes=4, n_tables=4
+    )
+    assert a1["index"] == {"built": True, "appended": True}
+
+    migrate_vec_dedup_index_to_serving(spark, idx)
+    live = resolve_serving_root(spark, idx)
+    assert live != idx.rstrip("/")
+    bands_before = spark.read.parquet(f"{live}/bands").count()
+
+    # the ADVICE scenario against the MIGRATED index: a forgotten dim
+    # must still hit the recorded-dim refusal, not the fresh-path
+    # "first epoch dropped all" misdiagnosis
+    day2 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6, 12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="recorded dim"):
+        curate_corpus_daily_vec(day2, idx, cl, snap, n_planes=4, n_tables=4)
+
+    # the correct dim APPENDS into the live generation (pre-fix the
+    # job misread the migrated index as fresh and attempted a rebuild)
+    a2 = curate_corpus_daily_vec(
+        day2, idx, cl, snap, dim=8, n_planes=4, n_tables=4
+    )
+    assert a2["index"] == {"built": False, "appended": True}
+    assert (
+        spark.read.parquet(f"{live}/bands").count() == bands_before + 6 * 4
+    )
+
+
+def test_curate_corpus_daily_vec_foreign_meta_named_refusal(
+    spark, tmp_path
+):
+    """An index_path mistakenly pointing at a TEXT dedup index (meta
+    without a 'dim' column) refuses with the job's named malformed-meta
+    error, not a bare KeyError from an unguarded row access (r13
+    review)."""
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        build_dedup_index,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily_vec,
+    )
+
+    text_idx = str(tmp_path / "tidx")
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i} with enough words")
+         for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    build_dedup_index(docs, text_idx, allow_short=True)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="malformed meta"):
+        curate_corpus_daily_vec(
+            vecs,
+            text_idx,
+            str(tmp_path / "vcl"),
+            str(tmp_path / "vsnap"),
+            dim=8,
+            n_planes=4,
+            n_tables=4,
+        )
+
+
+def test_curate_corpus_daily_serving_layout_appends_not_rebuilds(
+    spark, sf_small, tmp_path
+):
+    """Text twin of the serving-layout fix (r13 review): after
+    migrate_dedup_index_to_serving the job must APPEND to the live
+    generation — the unresolved meta read misread the standing index
+    as fresh, and the rebuild would SUCCEED at the flat root
+    (errorifexists sees no flat meta), leaving a split-brain structure
+    with a flat meta next to the generation dirs."""
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.fs import try_read_parquet
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        migrate_dedup_index_to_serving,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx, cl, snap = (str(tmp_path / p) for p in ("idx", "cl", "snap"))
+    a1 = curate_corpus_daily(
+        docs.filter(F.col("doc_id") % 3 == 0), idx, cl, snap
+    )
+    assert a1["index"] == {"built": True, "appended": True}
+
+    migrate_dedup_index_to_serving(spark, idx)
+    a2 = curate_corpus_daily(
+        docs.filter(F.col("doc_id") % 3 == 1), idx, cl, snap
+    )
+    assert a2["index"] == {"built": False, "appended": True}
+    # no split-brain: the flat root holds generations + CURRENT, not
+    # a second meta
+    assert try_read_parquet(spark, f"{idx}/meta") is None
