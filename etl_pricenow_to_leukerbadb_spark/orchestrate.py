@@ -485,12 +485,25 @@ def curate_corpus_daily(
             # (migrate_dedup_index_to_serving) keeps meta under the
             # live generation, and the unresolved read would misread
             # the standing index as fresh
+            text_index_root = resolve_serving_root(spark, index_path)
             fresh_index = (
-                try_read_parquet(
-                    spark, f"{resolve_serving_root(spark, index_path)}/meta"
-                )
-                is None
+                try_read_parquet(spark, f"{text_index_root}/meta") is None
             )
+            if fresh_index and text_index_root != index_path.rstrip("/"):
+                # resolved to a live generation whose meta is
+                # unreadable — a torn write, not a fresh index; the
+                # fresh arm would otherwise build a SECOND flat index
+                # next to the generation dirs (readers resolve CURRENT
+                # and keep hitting the torn generation while the epoch
+                # reports built:True)
+                raise RuntimeError(
+                    "curate_corpus_daily: serving-layout index at "
+                    f"{index_path} resolves to {text_index_root} but "
+                    "its meta is unreadable — a torn write in the live "
+                    "generation, not a fresh index. Run "
+                    "fsck_dedup_index(repair=True) or restore CURRENT "
+                    "to the newest complete generation"
+                )
             if fresh_index:
                 build_dedup_index(
                     scrubbed,
@@ -710,6 +723,20 @@ def curate_corpus_daily_vec(
     # as the append path does, or the gate never arms post-migration.
     index_root = resolve_serving_root(spark, index_path)
     standing_meta = try_read_parquet(spark, f"{index_root}/meta")
+    if standing_meta is None and index_root != index_path.rstrip("/"):
+        # the root RESOLVED to a live generation whose meta is
+        # unreadable — a torn write, not a fresh index. Refusing here
+        # (before any work) closes the silent split-brain path where
+        # the fresh arm would build a SECOND flat index next to the
+        # generation dirs: readers resolve CURRENT and keep hitting
+        # the torn generation while the epoch reports built:True.
+        raise RuntimeError(
+            "curate_corpus_daily_vec: serving-layout index at "
+            f"{index_path} resolves to {index_root} but its meta is "
+            "unreadable — a torn write in the live generation, not a "
+            "fresh index. Run fsck_vec_dedup_index(repair=True) or "
+            "restore CURRENT to the newest complete generation"
+        )
     if standing_meta is not None:
         meta_rows = standing_meta.collect()
         if len(meta_rows) != 1 or "dim" not in meta_rows[0].asDict():
@@ -810,12 +837,21 @@ def curate_corpus_daily_vec(
             f"curate_corpus_daily_vec:{clusters_path.rstrip('/')}",
         )
         try:
-            # reuse the pre-gate meta read: the claim serializes
-            # writers, and the rare build racing into the gap between
-            # that read and our claim is refused loudly by the build's
-            # own errorifexists meta write — no silent path, and one
-            # fewer 1-row parquet open per epoch
-            fresh_index = standing_meta is None
+            # the pre-gate read answers the common case (a standing
+            # index) with no extra I/O; ONLY a fresh-looking root is
+            # re-probed here, under the claim, so a build racing into
+            # the pre-gate gap routes this run into the self-healing
+            # append arm instead of crashing on the build's meta write
+            # (the claim serializes same-clusters_path writers only —
+            # it cannot order two jobs misconfigured onto one
+            # index_path)
+            fresh_index = standing_meta is None and (
+                try_read_parquet(
+                    spark,
+                    f"{resolve_serving_root(spark, index_path)}/meta",
+                )
+                is None
+            )
             if fresh_index:
                 build_vec_dedup_index(
                     gated,

@@ -1212,3 +1212,64 @@ def test_curate_corpus_daily_serving_layout_appends_not_rebuilds(
     # no split-brain: the flat root holds generations + CURRENT, not
     # a second meta
     assert try_read_parquet(spark, f"{idx}/meta") is None
+
+
+def test_curation_jobs_refuse_torn_serving_generation(
+    spark, sf_small, tmp_path
+):
+    """A serving root whose LIVE generation's meta is unreadable (torn
+    write) must refuse with a named error, for both twins (r13 review,
+    second pass): try_read_parquet returns None there, so the fresh
+    arm would otherwise silently build a SECOND flat index next to the
+    generation dirs — readers resolve CURRENT and keep hitting the
+    torn generation while the epoch reports built:True."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_delete, fs_exists
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        migrate_dedup_index_to_serving,
+        migrate_vec_dedup_index_to_serving,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        resolve_serving_root,
+    )
+    from etl_pricenow_to_leukerbadb_spark.orchestrate import (
+        curate_corpus_daily,
+        curate_corpus_daily_vec,
+    )
+    from etl_pricenow_to_leukerbadb_spark.sources.tables import load_table
+
+    # vec twin — refuses PRE-GATE, before any validity aggregation
+    vidx, vcl, vsnap = (
+        str(tmp_path / p) for p in ("vidx", "vcl", "vsnap")
+    )
+    day1 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    curate_corpus_daily_vec(day1, vidx, vcl, vsnap, dim=8, n_planes=4, n_tables=4)
+    migrate_vec_dedup_index_to_serving(spark, vidx)
+    fs_delete(spark, f"{resolve_serving_root(spark, vidx)}/meta")
+    day2 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6, 12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(RuntimeError, match="torn write in the live"):
+        curate_corpus_daily_vec(
+            day2, vidx, vcl, vsnap, dim=8, n_planes=4, n_tables=4
+        )
+    # no split-brain flat index appeared at the root
+    assert not fs_exists(spark, f"{vidx}/meta")
+
+    # text twin — refuses at the ingest stage, pre-mutation
+    docs = load_table(spark, sf_small, "documents")
+    idx, cl, snap = (str(tmp_path / p) for p in ("idx", "cl", "snap"))
+    curate_corpus_daily(docs.filter(F.col("doc_id") % 3 == 0), idx, cl, snap)
+    migrate_dedup_index_to_serving(spark, idx)
+    fs_delete(spark, f"{resolve_serving_root(spark, idx)}/meta")
+    with pytest.raises(RuntimeError, match="torn write in the live"):
+        curate_corpus_daily(
+            docs.filter(F.col("doc_id") % 3 == 1), idx, cl, snap
+        )
+    assert not fs_exists(spark, f"{idx}/meta")
