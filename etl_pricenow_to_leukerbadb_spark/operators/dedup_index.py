@@ -211,7 +211,20 @@ def _load_bucket_index(
         if len(rows) == 1 and rows[0]["build_id"] == cached["build_id"]:
             return spark.read.parquet(f"{path}/bands"), dict(cached["params"])
         _HANDLE_CACHE.pop(key, None)  # superseded or crashed generation
-    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    meta_df = _try_read_parquet(spark, f"{path}/meta")
+    if meta_df is None:
+        # a raw AnalysisException here sent the operator chasing a
+        # path typo; name the two real states instead — not an index,
+        # or a torn write/crashed build (the incident recipe the
+        # curation jobs' torn-serving refusal points at)
+        raise ValueError(
+            f"{name}: no readable meta at {path}/meta — either the "
+            "path is not a bucket index, or a torn write/crashed "
+            "build left meta unreadable. Check the path; for a "
+            "serving root restore CURRENT to the newest complete "
+            "generation, else rebuild with overwrite=True"
+        )
+    meta_rows = meta_df.collect()
     if len(meta_rows) != 1 or set(meta_cols) - set(meta_rows[0].asDict()):
         raise ValueError(f"{name}: malformed meta at {path}/meta")
     params = meta_rows[0].asDict()

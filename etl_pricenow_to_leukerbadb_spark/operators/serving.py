@@ -92,6 +92,34 @@ def resolve_serving_root(spark: SparkSession, path: str) -> str:
     )
 
 
+def require_untorn_serving_root(
+    spark: SparkSession, path: str, job: str
+) -> tuple[str, "DataFrame | None"]:
+    """Resolve ``path`` and read its ``meta``, refusing with a named
+    error when the root RESOLVED to a live generation whose meta is
+    unreadable — a torn write, not a fresh structure. Returns
+    ``(resolved_root, meta_df_or_None)``; ``None`` meta on an
+    unresolved (flat) root genuinely means "nothing here yet".
+
+    Callers with a build-if-fresh arm need this exact refusal: treating
+    the torn state as fresh would build a SECOND flat structure next to
+    the generation dirs, and readers — which resolve ``CURRENT`` — keep
+    hitting the torn generation while the job reports success
+    (split-brain). One shared site keeps the two daily-curation twins'
+    refusal condition and recovery recipe from drifting apart."""
+    root = resolve_serving_root(spark, path)
+    meta = try_read_parquet(spark, f"{root}/meta")
+    if meta is None and root != path.rstrip("/"):
+        raise RuntimeError(
+            f"{job}: serving-layout root at {path} resolves to {root} "
+            "but its meta is unreadable — a torn write in the live "
+            "generation, not a fresh structure. Restore CURRENT to the "
+            "newest complete generation (then the structure's fsck "
+            "sweeps clean), or rebuild with overwrite=True"
+        )
+    return root, meta
+
+
 def write_current_pointer(spark: SparkSession, path: str, gen_name: str) -> None:
     """Swap the generation pointer: stage the new marker, then
     delete + rename. The sub-millisecond pointer-absent window is

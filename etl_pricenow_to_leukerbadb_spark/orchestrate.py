@@ -367,7 +367,7 @@ def curate_corpus_daily(
         append_to_dedup_index,
         build_dedup_index,
     )
-    from .operators.serving import resolve_serving_root
+    from .operators.serving import require_untorn_serving_root
 
     import time as _time
 
@@ -484,26 +484,14 @@ def curate_corpus_daily(
             # resolve CURRENT first: a serving-layout root
             # (migrate_dedup_index_to_serving) keeps meta under the
             # live generation, and the unresolved read would misread
-            # the standing index as fresh
-            text_index_root = resolve_serving_root(spark, index_path)
+            # the standing index as fresh; the shared helper also
+            # refuses a torn live generation (split-brain guard)
             fresh_index = (
-                try_read_parquet(spark, f"{text_index_root}/meta") is None
+                require_untorn_serving_root(
+                    spark, index_path, "curate_corpus_daily"
+                )[1]
+                is None
             )
-            if fresh_index and text_index_root != index_path.rstrip("/"):
-                # resolved to a live generation whose meta is
-                # unreadable — a torn write, not a fresh index; the
-                # fresh arm would otherwise build a SECOND flat index
-                # next to the generation dirs (readers resolve CURRENT
-                # and keep hitting the torn generation while the epoch
-                # reports built:True)
-                raise RuntimeError(
-                    "curate_corpus_daily: serving-layout index at "
-                    f"{index_path} resolves to {text_index_root} but "
-                    "its meta is unreadable — a torn write in the live "
-                    "generation, not a fresh index. Run "
-                    "fsck_dedup_index(repair=True) or restore CURRENT "
-                    "to the newest complete generation"
-                )
             if fresh_index:
                 build_dedup_index(
                     scrubbed,
@@ -692,7 +680,7 @@ def curate_corpus_daily_vec(
         build_vec_dedup_index,
         vec_append_gap_ids,
     )
-    from .operators.serving import resolve_serving_root
+    from .operators.serving import require_untorn_serving_root
 
     import time as _time
 
@@ -721,22 +709,12 @@ def curate_corpus_daily_vec(
     # A serving-layout root (migrate_vec_dedup_index_to_serving) keeps
     # meta under the live generation — resolve CURRENT first, exactly
     # as the append path does, or the gate never arms post-migration.
-    index_root = resolve_serving_root(spark, index_path)
-    standing_meta = try_read_parquet(spark, f"{index_root}/meta")
-    if standing_meta is None and index_root != index_path.rstrip("/"):
-        # the root RESOLVED to a live generation whose meta is
-        # unreadable — a torn write, not a fresh index. Refusing here
-        # (before any work) closes the silent split-brain path where
-        # the fresh arm would build a SECOND flat index next to the
-        # generation dirs: readers resolve CURRENT and keep hitting
-        # the torn generation while the epoch reports built:True.
-        raise RuntimeError(
-            "curate_corpus_daily_vec: serving-layout index at "
-            f"{index_path} resolves to {index_root} but its meta is "
-            "unreadable — a torn write in the live generation, not a "
-            "fresh index. Run fsck_vec_dedup_index(repair=True) or "
-            "restore CURRENT to the newest complete generation"
-        )
+    # The shared helper also refuses (before any work) when the root
+    # resolves to a generation whose meta is unreadable: treating that
+    # torn state as fresh would build a split-brain flat index.
+    index_root, standing_meta = require_untorn_serving_root(
+        spark, index_path, "curate_corpus_daily_vec"
+    )
     if standing_meta is not None:
         meta_rows = standing_meta.collect()
         if len(meta_rows) != 1 or "dim" not in meta_rows[0].asDict():
@@ -844,12 +822,14 @@ def curate_corpus_daily_vec(
             # append arm instead of crashing on the build's meta write
             # (the claim serializes same-clusters_path writers only —
             # it cannot order two jobs misconfigured onto one
-            # index_path)
+            # index_path). The re-probe repeats the FULL torn-serving
+            # check, not just the meta read, so a migration tearing in
+            # that same gap refuses rather than re-opening the
+            # split-brain build path.
             fresh_index = standing_meta is None and (
-                try_read_parquet(
-                    spark,
-                    f"{resolve_serving_root(spark, index_path)}/meta",
-                )
+                require_untorn_serving_root(
+                    spark, index_path, "curate_corpus_daily_vec"
+                )[1]
                 is None
             )
             if fresh_index:

@@ -734,3 +734,24 @@ def test_vec_point_probe_layout_and_stream_inherit(
     # bit-prefix alphabet: exactly the 2^2 sentinel'd values
     bps = {r.bp for r in bands.select("bp").distinct().collect()}
     assert bps <= {"p00", "p01", "p10", "p11"}
+
+
+def test_load_names_missing_meta(spark, tmp_path):
+    """Loading a path with no readable meta raises the NAMED error,
+    not a raw AnalysisException (r13 review: the raw error sent an
+    operator chasing a path typo during the exact torn-write incident
+    the curation jobs' serving refusal points at this recipe for)."""
+    import pytest
+
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup_index import (
+        load_dedup_index,
+        load_vec_dedup_index,
+    )
+
+    with pytest.raises(ValueError, match="no readable meta"):
+        load_dedup_index(spark, str(tmp_path / "nope"))
+    # an existing-but-meta-less dir (torn write shape) gets the same
+    # named error
+    (tmp_path / "torn" / "bands").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no readable meta"):
+        load_vec_dedup_index(spark, str(tmp_path / "torn"))
