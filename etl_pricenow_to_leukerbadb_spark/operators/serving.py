@@ -31,7 +31,7 @@ import re
 import time
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..fs import (
     fs_delete,
@@ -94,7 +94,7 @@ def resolve_serving_root(spark: SparkSession, path: str) -> str:
 
 def require_untorn_serving_root(
     spark: SparkSession, path: str, job: str
-) -> tuple[str, "DataFrame | None"]:
+) -> tuple[str, DataFrame | None]:
     """Resolve ``path`` and read its ``meta``, refusing with a named
     error when the root RESOLVED to a live generation whose meta is
     unreadable — a torn write, not a fresh structure. Returns
@@ -115,7 +115,10 @@ def require_untorn_serving_root(
             "but its meta is unreadable — a torn write in the live "
             "generation, not a fresh structure. Restore CURRENT to the "
             "newest complete generation (then the structure's fsck "
-            "sweeps clean), or rebuild with overwrite=True"
+            "sweeps clean); as a last resort delete the ENTIRE root "
+            "and rebuild from the corpus (a flat rebuild at this root "
+            "would land next to the generation dirs and never be read "
+            "— CURRENT keeps resolving past it)"
         )
     return root, meta
 
