@@ -269,13 +269,25 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
 
     # default age gate: aged debris swept, fresh orphan retained
     out = gc_serving_root(spark, path, min_age_sec=3600)
-    assert out["deleted"] == [debris]
-    assert out["retained_young"] == [orphan]
-    assert out["kept_current"] == cur and out["kept_grace"] == grace
+    assert out["deleted"] == [debris], out
+    assert out["retained_young"] == [orphan], out
+    assert out["kept_current"] == cur and out["kept_grace"] == grace, out
 
-    # age gate lowered: the orphan goes too; current + grace survive
+    # age gate lowered: the orphan goes too; current + grace survive.
+    # One full-suite run (r13) saw this sweep retain the orphan with
+    # deleted == [] — unreproduced in 3 immediate standalone re-runs
+    # and arithmetically impossible from the recorded mtimes (the
+    # orphan sat minutes in the past by here); if it recurs, the
+    # failure payload below now carries the whole report plus the
+    # mtimes needed to tell a classification flip from an age-gate
+    # miss.
+    mtimes = {
+        n: fs_mtime(spark, f"{path}/{n}")
+        for n in fs_list_names(spark, path)
+        if _GEN_RE.match(n)
+    }
     out = gc_serving_root(spark, path, min_age_sec=0)
-    assert out["deleted"] == [orphan]
+    assert out["deleted"] == [orphan], (out, mtimes)
     gens = sorted(n for n in fs_list_names(spark, path) if _GEN_RE.match(n))
     assert gens == sorted([cur, grace])
     assert fs_read_text(spark, f"{path}/CURRENT").strip() == cur
