@@ -152,7 +152,25 @@ from . import analytics_olap  # noqa: F401,E402
 #       dq_fk_orphans, k9_evolve_merge, dq_drift_tvd — reach age 3 in
 #       r14 and MUST head that window, plus any r14 registrations, then
 #       backfill the ~35 remaining slots from the 50 r12-green entries
-#       in REGISTRATION_ORDER.
+#       in REGISTRATION_ORDER. Precomputed end-of-r13 (all 50 are
+#       driver-window entries, hence oracle-paired), the backfill is:
+#       u1_u2_set_ops, dd_exact, dd_minhash_lsh, dd_ngram_jaccard,
+#       dd_simhash, dd_embedding_near_dup, dd_embedding_near_dup_hi,
+#       ann_lsh_buckets, mm_media_pipeline, st_windowed_counts,
+#       st_stream_static_join, st_dedup_keys, st_sessionize,
+#       tx_chunk_windows, tx_hash_sample, tx_cap_per_source,
+#       tx_token_budget_mix, tx_pii_scrub, tx_pack_sequences,
+#       tx_tfidf_topk, dq_profile, tx_vocab_topk, tx_repetition,
+#       tx_contamination, tx_quality_filter, emb_source_centroids,
+#       emb_kmeans_assign, ann_ivf_lists, tx_dedup_keep_best,
+#       a2_topk_per_group, a4_pivot_event_matrix, a5_rollup_summary,
+#       a12_cube, a13_unpivot, dq_anomaly_zscore — leaving the 15
+#       remaining r12-greens (q6_revenue_forecast, q10_returned_items,
+#       q9_product_profit, q18_large_volume, a7_percentiles,
+#       a9_portable_stats, k1_upsert_merge, k5_partition_merge,
+#       a10_salted_agg, q12_priority_by_flag, q14_promo_share,
+#       q20_correlated_max, q21_suppliers_waiting, j6_range_join,
+#       q2_min_cost_supplier) as the r15 age-3 heads.
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).
