@@ -248,8 +248,11 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
     shutil.copytree(f"{path}/{cur}", f"{path}/{orphan}")
     # copytree preserves the source's mtime — anchor the orphan's at
     # CURRENT's + 1 s so it classifies as newer (the crashed-compaction
-    # shape) regardless of how fast the test got here; by the time the
-    # min_age_sec=0 sweep below runs, it is comfortably in the past
+    # shape) regardless of how fast the test got here. A full SECOND,
+    # not less: a 1 ms margin was observed collapsing under the local
+    # filesystem's mtime granularity (the orphan then classified OLDER
+    # and usurped the grace slot); the future-dating race this opens
+    # against the age-0 sweep is closed deterministically below.
     from etl_pricenow_to_leukerbadb_spark.fs import fs_mtime
 
     new = fs_mtime(spark, f"{path}/{cur}") / 1000 + 1
@@ -275,17 +278,27 @@ def test_gc_serving_root_sweeps_debris_keeps_grace(
 
     # age gate lowered: the orphan goes too; current + grace survive.
     # One full-suite run (r13) saw this sweep retain the orphan with
-    # deleted == [] — unreproduced in 3 immediate standalone re-runs
-    # and arithmetically impossible from the recorded mtimes (the
-    # orphan sat minutes in the past by here); if it recurs, the
-    # failure payload below now carries the whole report plus the
-    # mtimes needed to tell a classification flip from an age-gate
+    # deleted == []: the orphan is future-dated (cur + 1 s) and the
+    # fully-warm run reached this sweep inside that second, so the
+    # fs-clock age gate saw a NEGATIVE age and correctly retained it.
+    # Close the race deterministically: wait until the filesystem's
+    # own clock passes the orphan's mtime (bounded by the 1 s anchor),
+    # and carry the clock reference in the failure payload so any
+    # recurrence distinguishes a classification flip from an age-gate
     # miss.
+    from etl_pricenow_to_leukerbadb_spark.operators.serving import (
+        fs_now_ms,
+    )
+
+    orphan_m = fs_mtime(spark, f"{path}/{orphan}")
+    while fs_now_ms(spark, path) <= orphan_m:
+        _t.sleep(0.05)
     mtimes = {
         n: fs_mtime(spark, f"{path}/{n}")
         for n in fs_list_names(spark, path)
         if _GEN_RE.match(n)
     }
+    mtimes["__fs_now_ms__"] = fs_now_ms(spark, path)
     out = gc_serving_root(spark, path, min_age_sec=0)
     assert out["deleted"] == [orphan], (out, mtimes)
     gens = sorted(n for n in fs_list_names(spark, path) if _GEN_RE.match(n))
