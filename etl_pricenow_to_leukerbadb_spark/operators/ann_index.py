@@ -1111,31 +1111,42 @@ def build_ivfpq_index(
         ivf_list_assign(
             corpus, id_col, vec_col, n_centroids, centroids=cents_disk
         ).select(id_col, "cent_id").write.mode(mode).parquet(f"{path}/lists")
+        # persist the residual table for the span of the PQ build (r13
+        # optimization): build_pq_index(train=True) evaluates its input
+        # four times — codebook seed slice, trained-code assignment,
+        # subvector means, and the final codes write — and each
+        # evaluation of the lazy residual plan re-runs the corpus scan
+        # plus the lists/centroids joins. One materialization (spilling
+        # past memory) replaces four full passes; released in finally
+        # so a failed build never leaks blocks into a long session.
         resid = ivf_residuals(
             corpus,
             spark.read.parquet(f"{path}/lists"),
             cents_disk,
             id_col,
             vec_col,
-        )
-        build_id = build_pq_index(
-            resid,
-            path,
-            id_col,
-            vec_col,
-            n_subspaces,
-            sub_dim,
-            n_codes,
-            overwrite=False,  # this path already cleaned the dir
-            train=train,
-            _commit=False,
-            # meta records the RAW corpus element type (it defines the
-            # ingest stream schema), not the residual table's double
-            _meta_vec_elem_type=corpus.schema[
-                vec_col
-            ].dataType.elementType.simpleString(),
-            _meta_residual=True,
-        )
+        ).persist()
+        try:
+            build_id = build_pq_index(
+                resid,
+                path,
+                id_col,
+                vec_col,
+                n_subspaces,
+                sub_dim,
+                n_codes,
+                overwrite=False,  # this path already cleaned the dir
+                train=train,
+                _commit=False,
+                # meta records the RAW corpus element type (it defines the
+                # ingest stream schema), not the residual table's double
+                _meta_vec_elem_type=corpus.schema[
+                    vec_col
+                ].dataType.elementType.simpleString(),
+                _meta_residual=True,
+            )
+        finally:
+            resid.unpersist()
         _write_commit(spark, path, build_id)
         return build_id
     # _commit=False: the marker must land only after the IVF artifacts

@@ -74,11 +74,12 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..fs import (
     fs_delete,
     fs_exists,
+    fs_is_dir,
     fs_list_names,
     fs_mtime,
     fs_read_text,
@@ -146,6 +147,13 @@ def _restore_if_crashed(
     see is their own predecessor's crash residue."""
     now_ms = None
     for live, stage in (("remap", ".remap_stage"), ("base", ".base_stage")):
+        # fast path (r13 optimization): a stage dir only exists in the
+        # steady state as crash residue, so probe its EXISTENCE first —
+        # one driver metadata call — before paying two parquet schema
+        # inferences per table per mutator load (this runs on every
+        # merge, i.e. once per micro-batch)
+        if not fs_exists(spark, f"{path}/{stage}"):
+            continue
         if (
             _try_read_parquet(spark, f"{path}/{live}") is None
             and _try_read_parquet(spark, f"{path}/{stage}") is not None
@@ -264,10 +272,23 @@ def _refuse_if_foreign_writer(
 
 def _read_pending(spark: SparkSession, path: str) -> str | None:
     """The pending-operation token, if one is persisted: the op
-    fingerprint a mutator wrote before opening its mutation window."""
-    pend = _try_read_parquet(spark, f"{path}/pending")
-    rows = pend.collect() if pend is not None else []
-    return rows[0]["op_fp"] if len(rows) == 1 else None
+    fingerprint a mutator wrote before opening its mutation window.
+
+    Stored as a driver-written text marker (r13 optimization): the
+    token is read on EVERY merge's ``_guard_pending`` and written once
+    per mutation window, and the previous 1-row-parquet form cost a
+    Spark job on each side where a text marker is two filesystem
+    calls — the same format every claim marker already uses. A
+    parquet ``pending/`` DIRECTORY from an older layout is still
+    honored (legacy arm)."""
+    p = f"{path}/pending"
+    if not fs_exists(spark, p):
+        return None
+    if fs_is_dir(spark, p):  # legacy 1-row-parquet token layout
+        pend = _try_read_parquet(spark, p)
+        rows = pend.collect() if pend is not None else []
+        return rows[0]["op_fp"] if len(rows) == 1 else None
+    return fs_read_text(spark, p)
 
 
 def _guard_pending(
@@ -327,14 +348,14 @@ def _guard_pending(
 
 
 def _write_pending(spark: SparkSession, path: str, op_fp: str) -> None:
-    """Persist the token. The delete-then-write pair is only reachable
-    by the operation that owns the token (``_guard_pending`` already
-    refused foreign ones), so a crash between the two metadata ops
-    merely downgrades a replay to the pre-token permissive state."""
+    """Persist the token (text marker — see ``_read_pending``). The
+    delete-then-write pair is only reachable by the operation that owns
+    the token (``_guard_pending`` already refused foreign ones), so a
+    crash between the two metadata ops merely downgrades a replay to
+    the pre-token permissive state. The delete also clears a legacy
+    parquet token DIRECTORY so the text write never lands inside one."""
     _fs_delete(spark, f"{path}/pending")
-    tiny_local_df(spark, [(op_fp,)], "op_fp string").coalesce(1).write.parquet(
-        f"{path}/pending"
-    )
+    fs_write_text(spark, f"{path}/pending", op_fp)
 
 
 def build_cluster_assignments(
@@ -602,6 +623,13 @@ def merge_cluster_delta(
         .select(
             "node",
             F.coalesce(F.col("component"), F.col("node")).alias("rep"),
+            # carried so labels_now below derives from THIS checkpointed
+            # frame: deriving it from `assigned` re-evaluated the whole
+            # range-pruned base scan + broadcast-log join once per
+            # downstream branch (remap entries, new rows, composed log,
+            # both stat counts) — five extra base scans per merge (r13
+            # optimization, guide §1.2: remove redundant passes)
+            F.col("component").isNotNull().alias("had"),
         )
         .localCheckpoint()  # reused for both edge endpoints + label set
     )
@@ -642,18 +670,28 @@ def merge_cluster_delta(
     cc = connected_components_twophase(
         contracted, "ru", "rv", reliable_checkpoints=reliable_checkpoints
     )  # (node = rep, component = merged label)
-    labels_now = assigned.select(F.col("component").alias("lbl")).distinct()
+    # existing labels from the CHECKPOINTED rep frame (the `had` flag),
+    # not from `assigned` — see the rep construction note above
+    labels_now = rep.filter(F.col("had")).select(F.col("rep").alias("lbl")).distinct()
+    # ONE materialization of cc x existing-labels; every downstream
+    # branch (remap entries, new base rows, the composed log, the stat
+    # counts) filters this delta-sized frame instead of re-running the
+    # join per consumer. lbl is never NULL (labels are node ids), so
+    # `existed` splits the frame exactly as the previous left_semi /
+    # left_anti pair did.
+    cjoin = (
+        cc.join(labels_now, cc.node == labels_now.lbl, "left")
+        .select("node", "component", F.col("lbl").isNotNull().alias("existed"))
+        .localCheckpoint()
+    )
     remap_new = (
-        cc.join(labels_now, cc.node == labels_now.lbl, "left_semi")
-        .filter(F.col("component") != F.col("node"))
+        cjoin.filter(F.col("existed") & (F.col("component") != F.col("node")))
         .select(
             F.col("node").alias("old_label"),
             F.col("component").alias("new_label"),
         )
     )
-    new_rows = cc.join(labels_now, cc.node == labels_now.lbl, "left_anti").select(
-        "node", "component"
-    )
+    new_rows = cjoin.filter(~F.col("existed")).select("node", "component")
     # compose the flattened log: entries pointing at a just-merged
     # label are redirected to its final label, then the new entries
     # are unioned in (their keys are CURRENT labels, which by
@@ -678,7 +716,10 @@ def merge_cluster_delta(
     _fs_delete(spark, f"{path}/commit")
     # base append, replay-safe: rows already landed by a crashed prior
     # attempt are anti-joined out (same discipline as the ANN lists
-    # append) — range-pruned, so the probe cost tracks the delta
+    # append) — range-pruned, so the probe cost tracks the delta.
+    # Count and write share ONE evaluation via an observation (r13
+    # optimization): the previous count-then-write pair ran the
+    # anti-join's pruned base scan twice per merge.
     to_insert = new_rows.join(
         base.filter(
             F.col("node").between(F.lit(stats["lo"]), F.lit(stats["hi"]))
@@ -686,11 +727,22 @@ def merge_cluster_delta(
         "node",
         "left_anti",
     )
-    n_new = to_insert.count()
-    to_insert.write.mode("append").parquet(f"{path}/base")
+    obs_ins = Observation()
+    to_insert.observe(obs_ins, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(f"{path}/base")
+    n_new = int(obs_ins.get["n"])
     _fs_delete(spark, f"{path}/.remap_stage")
-    composed.coalesce(1).write.parquet(f"{path}/.remap_stage")
-    n_log = spark.read.parquet(f"{path}/.remap_stage").count()
+    # same fusion for the composed log: the observation counts the rows
+    # streaming into the stage write, so the post-write read-back count
+    # (one extra job per merge) is gone; the parquet job either commits
+    # the stage completely or raises, so the swap below still only ever
+    # sees a fully-written stage
+    obs_log = Observation()
+    composed.observe(obs_log, F.count(F.lit(1)).alias("n")).coalesce(
+        1
+    ).write.parquet(f"{path}/.remap_stage")
+    n_log = int(obs_log.get["n"])
     _swap_staged(spark, path, "remap", ".remap_stage")
     _write_commit(spark, path, params["build_id"])
     _fs_delete(spark, f"{path}/pending")

@@ -212,7 +212,15 @@ def lsh_candidate_pairs(
     blocked on (band, bucket_key) — no quadratic blow-up unless the
     data genuinely collides. Parameter validation lives in
     :func:`band_table`."""
-    banded = band_table(signatures, id_col, n_hashes, bands)
+    # materialize the SIGNATURES once before the banded self-join (r13
+    # optimization, guide §1.2/§2.4): the join's two sides are separate
+    # subtrees, so without this the whole signature pipeline — shingle
+    # explode + n_hashes md5 minima, the dominant cost — ran twice, once
+    # per side (verified in the captured before plan: two full
+    # scan→explode→SortAggregate pipelines, no exchange reuse). The
+    # checkpointed frame is one narrow row per document; the cheap
+    # band explode stays lazy on both sides.
+    banded = band_table(signatures.localCheckpoint(), id_col, n_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -247,7 +255,14 @@ def _shingle_pair_counts(
     n_a=n_b=10 — Jaccard 0.05 for a true duplicate). With the cap,
     every downstream metric is therefore the EXACT metric over the
     rare-shingle universe; without it, over the full shingle sets."""
-    sh = doc_shingles(df, id_col, text_col, k_shingle)
+    # materialize the distinct shingle set once (r13 optimization,
+    # guide §1.2): it feeds the rare-shingle DF count, the per-id
+    # sizes, AND both sides of the intersection self-join — four
+    # separate subtrees that each re-ran the tokenize+explode+distinct
+    # pipeline. This is the operator's working set either way (the
+    # distinct already shuffles it); checkpointing trades one
+    # materialization for three recomputations.
+    sh = doc_shingles(df, id_col, text_col, k_shingle).localCheckpoint()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")

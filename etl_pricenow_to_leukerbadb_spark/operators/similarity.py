@@ -1576,7 +1576,18 @@ def lsh_near_dup_pairs(
     pairs with two id-equi-joins, which AQE turns into broadcasts when
     the corpus is small and leaves as co-partitioned shuffle joins at
     scale."""
-    b = sign_lsh_buckets_long(fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim)
+    # materialize the bucket table ONCE before the self-join (r13
+    # optimization, guide §1.2/§2.4): the two join sides are separate
+    # plan subtrees (the alias lands below the exchange, so Spark's
+    # exchange reuse never fires — verified in the captured before
+    # plan: two full scan→repartition→hash pipelines), which ran the
+    # n_tables x n_planes plane projections — the query's dominant
+    # per-row cost — twice per vector. The checkpointed frame is the
+    # narrow (id, tbl, bucket) blocking table, the same thing the
+    # persisted vec index stores; the 64-float vectors stay out of it.
+    b = sign_lsh_buckets_long(
+        fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim
+    ).localCheckpoint()
     cand = (
         b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
         .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
