@@ -199,14 +199,26 @@ def triangle_counts(
     pure function of the edge set.
     """
     a, b = F.col(src), F.col(dst)
+    # materialize the cleaned edge set and the oriented edge set ONCE
+    # (r13 optimization, guide §1.2). Without the checkpoints, every
+    # multi-consumer frame here re-evaluated its whole upstream per
+    # consumer — `e` fed the degree union (2x) plus the orientation
+    # join, `oriented` fed both wedge sides plus the closing probe —
+    # and because the fan-outs MULTIPLY through the tree, the caller's
+    # edge derivation (for gr_triangle_count: the per-order quadratic
+    # pair self-join over lineitem) sat under up to 27 plan copies.
+    # Exchange reuse recovers some of that inside one plan, but the
+    # measured cost at sf0.1 was 38-50 s/run vs ~1.3 s with the two
+    # checkpoints. The degree and corner unions also fold into single
+    # explode passes (one subtree instead of 2-3 in-plan copies).
     e = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") < F.col("v"))  # drops self-loops and null ends
         .distinct()
+        .localCheckpoint()
     )
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -221,7 +233,7 @@ def triangle_counts(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    )
+    ).localCheckpoint()
     w1 = oriented.select(
         F.col("src").alias("apex"), F.col("dst").alias("b"), F.col("dst_deg").alias("db")
     )
@@ -234,9 +246,7 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
-    corners = (
-        tri.select(F.col("apex").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    corners = tri.select(
+        F.explode(F.array("apex", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -555,6 +555,48 @@ def test_merge_proceeds_through_a_crashed_compaction_token(
     )
 
 
+def test_legacy_parquet_pending_token_is_honored_and_upgraded(
+    spark, tmp_path, monkeypatch
+):
+    """r13 stored the pending token as a text marker (two fs calls
+    instead of a Spark job per read); a parquet ``pending/`` DIRECTORY
+    written by the older layout must still be read — a crashed pre-r13
+    merge's residue has to refuse foreign mutations across the upgrade
+    — and the next owned mutation window must replace it with the text
+    form cleanly."""
+    from etl_pricenow_to_leukerbadb_spark.fs import fs_is_dir
+    from etl_pricenow_to_leukerbadb_spark.operators import cluster_index as ci
+    from etl_pricenow_to_leukerbadb_spark.operators.cluster_index import (
+        tiny_local_df,
+    )
+
+    path = str(tmp_path / "cl")
+    _build_from_pairs(spark, [(1, 2)], path)
+    # plant an old-layout token: 1-row parquet directory
+    tiny_local_df(spark, [("merge:1:123",)], "op_fp string").coalesce(
+        1
+    ).write.parquet(f"{path}/pending")
+    assert fs_is_dir(spark, f"{path}/pending")
+    assert ci._read_pending(spark, path) == "merge:1:123"
+    # a foreign merge refuses over the legacy token + missing marker
+    ci._fs_delete(spark, f"{path}/commit")
+    with pytest.raises(RuntimeError, match="different operation"):
+        merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    # restore the marker: the stale legacy token is debris; the next
+    # mutation clears it, writes its own TEXT token mid-window, and
+    # commits
+    ci._write_commit(
+        spark, path, ci.load_cluster_assignments(
+            spark, path, _allow_uncommitted=True
+        )[2]["build_id"],
+    )
+    merge_cluster_delta(spark, path, _pairs_df(spark, [(2, 3)]))
+    assert ci._read_pending(spark, path) is None
+    assert _resolved_set(spark, path) == _cc_set(
+        _pairs_df(spark, [(1, 2), (2, 3)])
+    )
+
+
 def test_stale_pending_token_after_a_committed_state_is_cleared(
     spark, tmp_path, monkeypatch
 ):
