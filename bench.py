@@ -123,6 +123,27 @@ def _load_prior_queries() -> tuple[dict[str, float], str | None]:
     return {}, None
 
 
+def _prior_floor(prior_file: str | None) -> float | None:
+    """The PRIOR record's calibration floor (the drift-flag median its
+    session measured), if the record carries one — only the full
+    records do; the driver's tail-capture wrappers hold just the
+    compact line. Lets the full record COMPUTE the machine-state
+    normalization the r13 round-over-round comparison had to do by
+    hand across four files (r13 verdict, what's-wrong #3): a per-query
+    delta that tracks ``floor_ratio_vs_prior`` is machine state, one
+    that exceeds it is code."""
+    if prior_file is None:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, prior_file)) as fh:
+            doc = json.load(fh)
+        floor = doc.get("calibration_floor")
+        return float(floor) if floor else None
+    except Exception:
+        return None
+
+
 def _bench_round() -> int:
     """Round number for this run's BENCH_FULL_r{N}.json. The DRIVER's
     records (BENCH_r*.json) anchor the numbering — the driver writes
@@ -448,6 +469,23 @@ def main() -> None:
             timespec="seconds"
         ),
         "calibration_floor": ctx_median,
+        # Machine-state self-documentation (r13 verdict, what's-wrong
+        # #3 / next-round #2): the per-query ratio vs the prior record
+        # and the two sessions' calibration-floor ratio, COMPUTED into
+        # the record instead of eyeballed across files. Reading rule: a
+        # query whose delta_vs_prior ≈ floor_ratio_vs_prior moved with
+        # the machine, not the code; only deltas well beyond the floor
+        # ratio are plan-level signals. All three fields are additive —
+        # the compact stdout line (the driver contract) is unchanged.
+        "prior_floor": (prior_floor := _prior_floor(prior_file)),
+        "floor_ratio_vs_prior": (
+            round(ctx_median / prior_floor, 3) if prior_floor else None
+        ),
+        "delta_vs_prior": {
+            n: round(v / prior[n], 3)
+            for n, v in sorted(timings.items())
+            if n in prior and prior[n] > 0
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, f"BENCH_FULL_r{_bench_round()}.json")

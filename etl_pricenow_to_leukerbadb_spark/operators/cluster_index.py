@@ -288,7 +288,14 @@ def _read_pending(spark: SparkSession, path: str) -> str | None:
         pend = _try_read_parquet(spark, p)
         rows = pend.collect() if pend is not None else []
         return rows[0]["op_fp"] if len(rows) == 1 else None
-    return fs_read_text(spark, p)
+    txt = fs_read_text(spark, p)
+    # a torn write (crash inside the marker write leaving a 0-byte or
+    # whitespace file) degrades to "no token" — the documented
+    # pre-token PERMISSIVE state — instead of reading as a DIFFERENT
+    # operation's fingerprint and permanently refusing even the
+    # crashed operation's own replay (ADVICE r13); matches the old
+    # 1-row-parquet form, whose unreadable/partial token read as None
+    return (txt.strip() or None) if txt is not None else None
 
 
 def _guard_pending(
@@ -553,33 +560,46 @@ def merge_cluster_delta(
         spark, path, _allow_uncommitted=True
     )
     src, dst = F.col(src_col), F.col(dst_col)
-    edges = (
-        new_pairs.select(src.alias("u"), dst.alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        # delta-sized by contract; materialize once — it feeds the
-        # endpoint lookup, the contraction, and the stats below
-        .localCheckpoint()
-    )
-    # ONE agg job over the already-checkpointed delta frame computes
-    # both the operation fingerprint and the endpoint id range:
+    # The operation fingerprint and the endpoint id range ride the
+    # checkpoint materialization as OBSERVED metrics (r14: the r13
+    # form already fused them into one agg job over the checkpointed
+    # frame; the observation folds that remaining job into the
+    # checkpoint itself — zero extra actions per merge):
     # - fingerprint: order-independent over the canonical distinct
     #   edge set (bit_xor of per-edge xxhash64 — XOR is safe because
     #   the set is distinct, and it cannot overflow under ANSI the way
     #   a sum can — plus the count), so a replay of the SAME delta —
     #   the documented crash recovery — fingerprints identically,
-    #   while any other delta does not;
+    #   while any other delta does not. The checkpoint job is the
+    #   query's result stage, so the metrics are applied exactly once
+    #   per task in local mode; a cluster stage-retry could in
+    #   principle skew them, which for the FINGERPRINT could only
+    #   refuse a replay loudly (guard raises; retry again), never
+    #   bless a foreign one — op_fp gates equality, and the honest
+    #   value is recomputed on the retry.
     # - range: edges are canonicalized u = least, v = greatest, so
-    #   min(u) / max(v) ARE the endpoint set's global [lo, hi] — no
-    #   separate pass over the endpoints frame (a merge runs per
-    #   micro-batch; every fused driver job is cadence headroom).
-    fp_row = edges.agg(
-        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        F.count(F.lit(1)).alias("n"),
-        F.min("u").alias("lo"),
-        F.max("v").alias("hi"),
-    ).collect()[0]
+    #   min(u) / max(v) ARE the endpoint set's global [lo, hi] (min and
+    #   max are retry-insensitive) — no separate pass over the
+    #   endpoints frame (a merge runs per micro-batch; every fused
+    #   driver job is cadence headroom).
+    obs_fp = Observation()
+    edges = (
+        new_pairs.select(src.alias("u"), dst.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .observe(
+            obs_fp,
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        # delta-sized by contract; materialize once — it feeds the
+        # endpoint lookup, the contraction, and the stats above
+        .localCheckpoint()
+    )
+    fp_row = obs_fp.get
     op_fp = f"merge:{fp_row['n']}:{fp_row['h']}"
     _guard_pending(spark, path, op_fp, params, compatible=("compact",))
     endpoints = (
@@ -679,9 +699,26 @@ def merge_cluster_delta(
     # join per consumer. lbl is never NULL (labels are node ids), so
     # `existed` splits the frame exactly as the previous left_semi /
     # left_anti pair did.
+    # merged-label count observed on the checkpoint materialization
+    # (r14): the previous remap_new.count() was a separate driver job
+    # over this just-checkpointed frame. n_merged feeds only the
+    # returned stats dict (same caveat as n_new below).
+    obs_m = Observation()
     cjoin = (
         cc.join(labels_now, cc.node == labels_now.lbl, "left")
         .select("node", "component", F.col("lbl").isNotNull().alias("existed"))
+        .observe(
+            obs_m,
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("existed") & (F.col("component") != F.col("node")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_merged"),
+        )
         .localCheckpoint()
     )
     remap_new = (
@@ -707,7 +744,7 @@ def merge_cluster_delta(
         .filter(F.col("old_label") != F.col("new_label"))
     )
 
-    n_merged = remap_new.count()
+    n_merged = int(obs_m.get["n_merged"])
     # --- mutation window: pending token on, marker off, idempotent
     # writes, marker on, token off — a crash anywhere in the window
     # leaves a token naming THIS operation, so only its own replay can
@@ -720,6 +757,13 @@ def merge_cluster_delta(
     # Count and write share ONE evaluation via an observation (r13
     # optimization): the previous count-then-write pair ran the
     # anti-join's pruned base scan twice per merge.
+    # Cluster caveat (ADVICE r13): CollectMetrics accumulators can
+    # over-count when a stage is retried or tasks run speculatively.
+    # n_new feeds only the returned stats dict (and through it the
+    # streaming jobs' rows_since_snapshot cadence HEURISTIC — snapshot
+    # a little early/late, never a correctness input); a deployment
+    # that needs the exact landed count derives it from the committed
+    # parquet instead.
     to_insert = new_rows.join(
         base.filter(
             F.col("node").between(F.lit(stats["lo"]), F.lit(stats["hi"]))
@@ -936,8 +980,7 @@ def _merge_compact_tail(
 ) -> dict:
     """The merge → auto-compact tail both probe_and_merge variants
     share — ONE implementation of the pair-column contract, the
-    optional pair count (persisted so the count and the merge read one
-    materialization), the compaction trigger, and the stage-timing
+    optional pair count, the compaction trigger, and the stage-timing
     attribution, so the text and vector twins cannot drift.
 
     ``pairs_fn`` is a THUNK, not a DataFrame: the probe queries do
@@ -947,28 +990,33 @@ def _merge_compact_tail(
     ``probe_merge`` stage — taking an already-built frame here was
     measured shifting ~0.8 s of dd_cluster_merge's probe cost into
     bench's unattributed "rest" (r12 review), which would let a probe
-    regression hide from the stage tripwire."""
+    regression hide from the stage tripwire.
+
+    ``count_pairs`` rides the merge's own edge materialization as an
+    observed metric (r14): the previous persist-then-count pair cost a
+    separate driver job and a cached copy of the candidate frame per
+    audited run; the merge consumes ``pairs`` exactly once (its edge
+    canonicalization is checkpointed), so the observation sees every
+    candidate row with zero extra actions. Audit-only value — the
+    same retry caveat as the merge's other observed counts applies."""
     import time as _time
 
     t1 = _time.perf_counter()
     pairs = pairs_fn()
-    n_pairs = None
+    obs_p = None
     if count_pairs:
-        pairs = pairs.persist()
-        n_pairs = pairs.count()
-    try:
-        stats = merge_cluster_delta(
-            spark,
-            clusters_path,
-            pairs,
-            src_col="probe_id",
-            dst_col="corpus_id",
-            reliable_checkpoints=reliable_checkpoints,
-            writer_token=writer_token,
-        )
-    finally:
-        if count_pairs:
-            pairs.unpersist()
+        obs_p = Observation()
+        pairs = pairs.observe(obs_p, F.count(F.lit(1)).alias("n"))
+    stats = merge_cluster_delta(
+        spark,
+        clusters_path,
+        pairs,
+        src_col="probe_id",
+        dst_col="corpus_id",
+        reliable_checkpoints=reliable_checkpoints,
+        writer_token=writer_token,
+    )
+    n_pairs = int(obs_p.get["n"]) if obs_p is not None else None
     t2 = _time.perf_counter()
     out = _compact_if_log_large(
         spark, clusters_path, stats, compact_log_threshold, writer_token

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..functions.text import content_fingerprint, tokens, word_shingles
 from ..sources.tables import fan_out
@@ -208,29 +208,35 @@ def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Band the signature (rows_per_band = n_hashes // bands) and emit
-    distinct candidate pairs sharing any band bucket. The self-join is
-    blocked on (band, bucket_key) — no quadratic blow-up unless the
+    distinct candidate pairs sharing any band bucket. Pair generation
+    is blocked on (band, bucket_key) — no quadratic blow-up unless the
     data genuinely collides. Parameter validation lives in
-    :func:`band_table`."""
-    # materialize the SIGNATURES once before the banded self-join (r13
-    # optimization, guide §1.2/§2.4): the join's two sides are separate
-    # subtrees, so without this the whole signature pipeline — shingle
-    # explode + n_hashes md5 minima, the dominant cost — ran twice, once
-    # per side (verified in the captured before plan: two full
-    # scan→explode→SortAggregate pipelines, no exchange reuse). The
-    # checkpointed frame is one narrow row per document; the cheap
-    # band explode stays lazy on both sides.
-    banded = band_table(signatures.localCheckpoint(), id_col, n_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    :func:`band_table`.
+
+    Pairs come from ONE pass: group the band table by (band, bucket),
+    collect each bucket's member ids, and explode the ordered pairs —
+    not from a bucket-keyed self-join (r14 restructure, guide
+    §1.2/§2.4). The self-join's two sides were separate plan subtrees,
+    so the whole signature pipeline — shingle explode + n_hashes md5
+    minima, the dominant cost — ran once PER SIDE; r13 fixed that with
+    an eager localCheckpoint of the signatures, which de-duplicated the
+    compute but serialized the query into checkpoint-then-join jobs and
+    cost 25-45% wall at bench scale (the r13 driver record). The
+    grouped form needs no materialization at all: the signatures have
+    exactly one consumer, the plan stays lazy end to end, and one
+    (band, bucket) shuffle replaces the join's two. Work and skew match
+    the self-join exactly — a bucket of B members yields B(B-1)/2 pairs
+    either way, all on one key's partition (the collected id array is
+    O(B) next to that quadratic output; LSH blocking exists to keep B
+    small). Result set pytest+oracle-identical to the join form."""
+    banded = band_table(signatures, id_col, n_hashes, bands)
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -241,6 +247,7 @@ def _shingle_pair_counts(
     text_col: str,
     k_shingle: int,
     max_shingle_df: int | None,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Shared inverted-index stage for the n-gram pair metrics:
     (id_a, id_b, n_common, n_a, n_b) over the distinct k-shingle sets
@@ -262,7 +269,15 @@ def _shingle_pair_counts(
     # pipeline. This is the operator's working set either way (the
     # distinct already shuffles it); checkpointing trades one
     # materialization for three recomputations.
-    sh = doc_shingles(df, id_col, text_col, k_shingle).localCheckpoint()
+    # ``reliable_checkpoints=True`` (r14, threading the existing
+    # iter_checkpoint knob — ADVICE r13): on a real cluster an
+    # executor loss mid-self-join cannot recompute executor-local
+    # blocks; the reliable path writes the one materialization to the
+    # session's checkpoint dir instead, same trade the iterative
+    # operators already expose.
+    sh = iter_checkpoint(
+        doc_shingles(df, id_col, text_col, k_shingle), reliable_checkpoints
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -295,13 +310,18 @@ def ngram_jaccard_pairs(
     k_shingle: int = 5,
     min_jaccard: float = 0.2,
     max_shingle_df: int | None = None,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-shingle sets for every
     pair sharing at least one (sufficiently rare) shingle — see
-    ``_shingle_pair_counts`` for the blocking and the hot-shingle cap
-    semantics (sizes and intersections share one shingle universe)."""
+    ``_shingle_pair_counts`` for the blocking, the hot-shingle cap
+    semantics (sizes and intersections share one shingle universe),
+    and the ``reliable_checkpoints`` cluster-scale trade."""
     return (
-        _shingle_pair_counts(df, id_col, text_col, k_shingle, max_shingle_df)
+        _shingle_pair_counts(
+            df, id_col, text_col, k_shingle, max_shingle_df,
+            reliable_checkpoints,
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -319,6 +339,7 @@ def ngram_containment_pairs(
     k_shingle: int = 5,
     min_containment: float = 0.5,
     max_shingle_df: int | None = None,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup detection by shingle CONTAINMENT:
     ``n_common / min(|A|, |B|)`` — catches quote/excerpt/superset
@@ -326,9 +347,13 @@ def ngram_containment_pairs(
     contained in a long one has Jaccard ~ |short|/|long| -> 0 but
     containment 1.0; Broder's resemblance-vs-containment distinction).
     Shares ``_shingle_pair_counts`` with ``ngram_jaccard_pairs`` —
-    shuffle proportional to shared-shingle pairs, never all-pairs."""
+    shuffle proportional to shared-shingle pairs, never all-pairs;
+    ``reliable_checkpoints`` as there."""
     return (
-        _shingle_pair_counts(df, id_col, text_col, k_shingle, max_shingle_df)
+        _shingle_pair_counts(
+            df, id_col, text_col, k_shingle, max_shingle_df,
+            reliable_checkpoints,
+        )
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
@@ -374,10 +399,15 @@ def connected_components(
     ``iter_checkpoint`` for the cluster-scale trade.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    # the edge count rides the checkpoint materialization as an
+    # observed metric (r14 optimization, guide §1.2-adjacent: don't run
+    # an action per statistic) — the separate edges.count() job is gone
+    obs_e = Observation()
     edges = iter_checkpoint(
         pairs.select(src.alias("a"), dst.alias("b"))
         .unionByName(pairs.select(dst.alias("a"), src.alias("b")))
-        .distinct(),
+        .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n")),
         # eager materialization per round — measured faster and far
         # more stable than lazy (module NOTE above)
         reliable_checkpoints,
@@ -388,7 +418,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     changed = -1
-    n_edges = edges.count()  # cheap: just checkpointed; sizes the loop
+    n_edges = int(obs_e.get["n"])  # sizes the loop
     with _loop_shuffle_partitions(pairs.sparkSession, n_edges):
         for _ in range(max_iter):
             neighbor_min = (
@@ -396,6 +426,16 @@ def connected_components(
                 .groupBy(F.col("b").alias("node2"))
                 .agg(F.min("component").alias("nmin"))
             )
+            # convergence count observed ON the round's checkpoint
+            # materialization (r14): the previous per-round
+            # filter().count() was a second driver job over the
+            # just-checkpointed frame — pure job-cadence cost in a loop
+            # whose data is usually tiny. Accumulator caveat: a retried
+            # task could over-count, but `changed` only gates LOOP EXIT
+            # (changed == 0), and a retry can never turn a genuinely
+            # zero count nonzero — every task of a no-change round
+            # contributes 0 — so convergence is exact.
+            obs_r = Observation()
             new_labels = iter_checkpoint(
                 labels.join(neighbor_min, labels.node == F.col("node2"), "left")
                 .select(
@@ -405,12 +445,21 @@ def connected_components(
                         F.coalesce(F.col("nmin"), F.col("component")),
                     ).alias("new_component"),
                     "component",
+                )
+                .observe(
+                    obs_r,
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("new_component") != F.col("component"), 1
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias("changed"),
                 ),
                 reliable_checkpoints,
             )
-            changed = new_labels.filter(
-                F.col("new_component") != F.col("component")
-            ).count()
+            changed = int(obs_r.get["changed"])
             # per-round block hygiene lives inside iter_checkpoint: the
             # reliable path releases its backing cache right after the
             # eager checkpoint write (unpersisting the RETURNED frame
@@ -460,11 +509,15 @@ def connected_components_twophase(
     executor-local blocks — see ``iter_checkpoint``.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    # edge count observed on the checkpoint materialization — see the
+    # matching note in connected_components (r14: one job, not two)
+    obs_e = Observation()
     edges = iter_checkpoint(
         pairs.select(src.alias("u"), dst.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct(),
+        .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n")),
         # eager materialization — see connected_components
         reliable_checkpoints,
     )
@@ -496,7 +549,7 @@ def connected_components_twophase(
         # growth across rounds and makes the count fixpoint test exact).
         return out.distinct() if dedup else out
 
-    prev_count = edges.count()  # cheap: edges just checkpointed
+    prev_count = int(obs_e.get["n"])
     spark = pairs.sparkSession
     converged = False
     with _loop_shuffle_partitions(spark, prev_count):
@@ -508,20 +561,42 @@ def connected_components_twophase(
             # chain recomputes the intermediate O(4^depth) times —
             # measured 2.97 -> 11.2 s at sf0.1. The checkpoint every
             # pair IS the optimization.
+            # The round's edge count rides the checkpoint job as an
+            # observed metric (r14, verdict ask #5): the separate
+            # after.count() was a second driver job per round — pure
+            # job cadence over a usually-tiny edge set.
+            obs_r = Observation()
             after = iter_checkpoint(
-                star_round(star_round(edges, large=True, dedup=False), large=False),
+                star_round(
+                    star_round(edges, large=True, dedup=False), large=False
+                ).observe(obs_r, F.count(F.lit(1)).alias("n")),
                 reliable_checkpoints,
             )
-            # Fixpoint test, cheapest-first: a count mismatch (one light
-            # job over checkpointed data) proves non-convergence without
-            # any join; only on a count match run ONE one-sided exceptAll
-            # — after ⊆ edges as multisets plus |after| = |edges| implies
-            # set equality, so the second exceptAll the naive check runs
-            # every round is never needed. Saves a shuffle join per
-            # round, which dominates when the edge set is small and
-            # per-job overhead is the cost driver.
-            cnt = after.count()
-            converged = cnt == prev_count and after.exceptAll(edges).isEmpty()
+            # Fixpoint test, cheapest-first: a count mismatch (now free
+            # — observed on the checkpoint) proves non-convergence
+            # without any join; only on a count MATCH re-count exactly
+            # and run ONE one-sided exceptAll — after ⊆ edges as
+            # multisets plus |after| = |edges| implies set equality, so
+            # the second exceptAll the naive check runs every round is
+            # never needed. The exact re-count guards the one scenario
+            # an observation cannot: a stage-retried task over-counting
+            # the metric into a false |after| = |edges| on a round where
+            # after ⊊ edges, which the subset-only exceptAll would then
+            # bless as convergence. Match rounds are rare (normally just
+            # the final one), so the count job the observation removed
+            # from EVERY round comes back at most once per query; a
+            # mismatch round — the common case — stays one job. An
+            # over-count on a mismatch round only delays the probe a
+            # round (prev_count is re-exacted on every match round),
+            # never passes it wrongly.
+            cnt = int(obs_r.get["n"])
+            if cnt == prev_count:
+                cnt = after.count()
+                converged = (
+                    cnt == prev_count and after.exceptAll(edges).isEmpty()
+                )
+            else:
+                converged = False
             # block hygiene lives inside iter_checkpoint — see the
             # matching note in connected_components
             edges, prev_count = after, cnt

@@ -73,7 +73,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..session import tiny_local_df
 from ..sources.tables import fan_out
@@ -480,21 +480,40 @@ def _compact_bucket_index(
     return report
 
 
+def _delta_stats(delta: DataFrame, id_col: str, extra: list | None = None):
+    """One agg job over the delta: row count, distinct-id count and the
+    id range — the shared input of every append guard (r14 fusion:
+    previously each gate ran its own pass over the delta). ``extra``
+    appends caller-specific aggregate columns (e.g. the vector
+    malformedness count) so a frontend's whole gate battery reads from
+    this single evaluation."""
+    return delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+        *(extra or []),
+    ).collect()[0]
+
+
 def _guard_append_delta(
-    bands_df: DataFrame, delta: DataFrame, id_col: str, path: str, name: str
+    bands_df: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    path: str,
+    name: str,
+    dstats=None,
 ) -> bool:
     """Delta-scoped append guards (same range-pruning shape as
     ``append_to_pq_index``): reject internally duplicated delta ids
     and delta ids already present in ``bands/`` — a double-append
     would duplicate bucket rows, and although the probe's
     ``distinct()`` hides duplicates from RESULTS, they'd inflate the
-    join fan-out forever. Returns False when the delta is empty."""
-    dstats = delta.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-        F.min(F.col(id_col)).alias("lo"),
-        F.max(F.col(id_col)).alias("hi"),
-    ).collect()[0]
+    join fan-out forever. Returns False when the delta is empty.
+    ``dstats`` accepts a precomputed ``_delta_stats`` row so a caller
+    running other delta-sized gates shares ONE stats job (r14)."""
+    if dstats is None:
+        dstats = _delta_stats(delta, id_col)
     if dstats["n"] == 0:
         return False
     if dstats["n"] != dstats["nd"]:
@@ -886,15 +905,48 @@ def append_to_dedup_index(
     path = _resolve_index_root(spark, path)
     bands_df, params = load_dedup_index(spark, path)
     id_col = params["id_col"]
+    # Guard-job fusion (r14, guide §1.2: a merge/ingest runs per
+    # micro-batch, so every fused driver job is cadence headroom). ONE
+    # delta-stats job feeds the empty/dup/overlap guards AND the
+    # unshinglable gate: with the dup guard proven first, delta rows =
+    # distinct ids, so the gate's "ids missing a signature" count is
+    # simply nd - |sigs| — and |sigs| rides the signature
+    # materialization the gate already paid (observed on the
+    # localCheckpoint) instead of a separate docs-vs-sigs anti-join
+    # job. Net: 5 jobs/append -> 4, identical raises (the dup raise now
+    # precedes the unshinglable one — both states are caller bugs and
+    # each message still names its own condition).
+    dstats = _delta_stats(docs_delta, id_col)
+    if dstats["n"] == 0:
+        return
     sigs = minhash_signatures(
         docs_delta, id_col, text_col, params["k_shingle"], params["n_hashes"]
     )
     if not allow_short:
-        sigs = _guard_unshinglable(
-            docs_delta, sigs, id_col, params["k_shingle"], "append_to_dedup_index"
-        )
+        if dstats["n"] != dstats["nd"]:
+            raise ValueError(
+                f"append_to_dedup_index: delta carries internally "
+                f"duplicated ids ({dstats['n']} rows, {dstats['nd']} "
+                "distinct) — each would double its bucket rows"
+            )
+        obs = Observation()
+        # the checkpoint both materializes the guarded snapshot (the
+        # guarded rows ARE the indexed rows, as _guard_unshinglable
+        # documents) and fires the observed signature count
+        sigs = sigs.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_bad = int(dstats["nd"]) - int(obs.get["n"])
+        if n_bad:
+            raise ValueError(
+                f"append_to_dedup_index: {n_bad} document(s) have NULL "
+                f"text or fewer than k_shingle={params['k_shingle']} "
+                "tokens — they produce no shingles, so indexing would "
+                "silently exempt them from every future near-dup check. "
+                "Pre-filter them (route short docs through an exact-dup "
+                "check instead), or pass allow_short=True to accept "
+                "that shingle LSH cannot block them"
+            )
     if not _guard_append_delta(
-        bands_df, docs_delta, id_col, path, "append_to_dedup_index"
+        bands_df, docs_delta, id_col, path, "append_to_dedup_index", dstats
     ):
         return
     buckets = band_table(sigs, id_col, params["n_hashes"], params["bands"])

@@ -174,7 +174,10 @@ def pagerank_fixed_iters(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph, by
     degree-oriented wedge enumeration — the shape that scales to
@@ -197,7 +200,15 @@ def triangle_counts(
     close). The (degree, id) total order ties identical degrees
     deterministically, so the enumeration — hence the count — is a
     pure function of the edge set.
+
+    ``reliable_checkpoints=True`` writes the two working-set
+    materializations below to the session's checkpoint directory
+    instead of executor-local blocks (r14, threading the existing
+    ``iter_checkpoint`` knob — ADVICE r13: at cluster scale an
+    executor loss mid-wedge-join cannot recompute local blocks).
     """
+    from .dedup import iter_checkpoint
+
     a, b = F.col(src), F.col(dst)
     # materialize the cleaned edge set and the oriented edge set ONCE
     # (r13 optimization, guide §1.2). Without the checkpoints, every
@@ -211,11 +222,11 @@ def triangle_counts(
     # measured cost at sf0.1 was 38-50 s/run vs ~1.3 s with the two
     # checkpoints. The degree and corner unions also fold into single
     # explode passes (one subtree instead of 2-3 in-plan copies).
-    e = (
+    e = iter_checkpoint(
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") < F.col("v"))  # drops self-loops and null ends
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoints,
     )
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
@@ -229,11 +240,14 @@ def triangle_counts(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    ).localCheckpoint()
+    oriented = iter_checkpoint(
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+        ),
+        reliable_checkpoints,
+    )
     w1 = oriented.select(
         F.col("src").alias("apex"), F.col("dst").alias("b"), F.col("dst_deg").alias("db")
     )

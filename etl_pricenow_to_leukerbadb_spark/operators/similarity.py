@@ -1576,23 +1576,29 @@ def lsh_near_dup_pairs(
     pairs with two id-equi-joins, which AQE turns into broadcasts when
     the corpus is small and leaves as co-partitioned shuffle joins at
     scale."""
-    # materialize the bucket table ONCE before the self-join (r13
-    # optimization, guide §1.2/§2.4): the two join sides are separate
-    # plan subtrees (the alias lands below the exchange, so Spark's
-    # exchange reuse never fires — verified in the captured before
-    # plan: two full scan→repartition→hash pipelines), which ran the
-    # n_tables x n_planes plane projections — the query's dominant
-    # per-row cost — twice per vector. The checkpointed frame is the
-    # narrow (id, tbl, bucket) blocking table, the same thing the
-    # persisted vec index stores; the 64-float vectors stay out of it.
+    # candidates from ONE lazy pass (r14 restructure, guide §1.2/§2.4):
+    # group the bucket table by (tbl, bucket), collect member ids,
+    # explode the ordered pairs. The previous bucket-keyed self-join's
+    # two sides were separate plan subtrees that each ran the n_tables
+    # x n_planes plane projections — the query's dominant per-row cost
+    # — once PER SIDE; r13's eager localCheckpoint de-duplicated the
+    # compute but serialized the query into checkpoint-then-join jobs
+    # (a measured bench regression). The grouped form has exactly one
+    # consumer of the bucket table, so nothing needs materializing:
+    # one (tbl, bucket) shuffle replaces the join's two, the vectors
+    # still never ride through it, and skew matches the join exactly
+    # (B bucket members -> B(B-1)/2 pairs on one key either way; the
+    # collected id array is O(B) next to that quadratic output).
     b = sign_lsh_buckets_long(
         fan_out(corpus), id_col, vec_col, n_planes, n_tables, dim
-    ).localCheckpoint()
+    )
     cand = (
-        b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-        .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        b.groupBy("tbl", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     vecs = corpus.select(

@@ -144,92 +144,105 @@ from . import analytics_olap  # noqa: F401,E402
 #       the standing index's recorded dim, and the bench tail-salvage
 #       regex accepts scientific notation — plus bench-record
 #       provenance per the r12 verdict).
-#   r14 (next): the 15 r11-green entries that did not fit this window —
-#       w2_lag_delta, w3_sessionize, j7_bucketed_join,
-#       j9_interval_overlap, j8_salted_join, k8_compaction,
-#       j10_asof_forward, dq_expectations, gr_pagerank,
-#       gr_triangle_count, ts_ohlc_rollup, ts_ewma_smooth,
-#       dq_fk_orphans, k9_evolve_merge, dq_drift_tvd — reach age 3 in
-#       r14 and MUST head that window, plus any r14 registrations, then
-#       backfill the ~35 remaining slots from the 50 r12-green entries
-#       in REGISTRATION_ORDER. Precomputed end-of-r13 (all 50 are
-#       driver-window entries, hence oracle-paired), the backfill is:
-#       u1_u2_set_ops, dd_exact, dd_minhash_lsh, dd_ngram_jaccard,
-#       dd_simhash, dd_embedding_near_dup, dd_embedding_near_dup_hi,
-#       ann_lsh_buckets, mm_media_pipeline, st_windowed_counts,
-#       st_stream_static_join, st_dedup_keys, st_sessionize,
-#       tx_chunk_windows, tx_hash_sample, tx_cap_per_source,
-#       tx_token_budget_mix, tx_pii_scrub, tx_pack_sequences,
-#       tx_tfidf_topk, dq_profile, tx_vocab_topk, tx_repetition,
-#       tx_contamination, tx_quality_filter, emb_source_centroids,
-#       emb_kmeans_assign, ann_ivf_lists, tx_dedup_keep_best,
-#       a2_topk_per_group, a4_pivot_event_matrix, a5_rollup_summary,
-#       a12_cube, a13_unpivot, dq_anomaly_zscore — leaving the 15
-#       remaining r12-greens (q6_revenue_forecast, q10_returned_items,
-#       q9_product_profit, q18_large_volume, a7_percentiles,
-#       a9_portable_stats, k1_upsert_merge, k5_partition_merge,
-#       a10_salted_agg, q12_priority_by_flag, q14_promo_share,
-#       q20_correlated_max, q21_suppliers_waiting, j6_range_join,
-#       q2_min_cost_supplier) as the r15 age-3 heads.
+#   r14 (this file): the pre-committed plan landed as written — the 15
+#       r11-green entries that did not fit the r13 window
+#       (w2_lag_delta … dq_drift_tvd, list below) reach age 3 =
+#       exactly the staleness budget and head the window, then backfill
+#       to 50 from the 50 r12-green entries in REGISTRATION_ORDER
+#       (first 35 — the exact list precomputed end-of-r13 and landed
+#       verbatim below). No new registrations this round at all (r13
+#       verdict: r14 is the second OPTIMIZATION round — the work is the
+#       LSH materialization fix, observation-fused loop counts, the
+#       ingest-guard fusion, and bench-record self-documentation; no
+#       query surface changes).
+#   r15 (next): the 15 r12-green entries that did not fit this window —
+#       q6_revenue_forecast, q10_returned_items, q9_product_profit,
+#       q18_large_volume, a7_percentiles, a9_portable_stats,
+#       k1_upsert_merge, k5_partition_merge, a10_salted_agg,
+#       q12_priority_by_flag, q14_promo_share, q20_correlated_max,
+#       q21_suppliers_waiting, j6_range_join, q2_min_cost_supplier —
+#       reach age 3 in r15 and MUST head that window, plus any r15
+#       registrations, then backfill the ~35 remaining slots from the
+#       50 r13-green entries in REGISTRATION_ORDER. Precomputed
+#       end-of-r14, the backfill is: t6_forward_fill_daily,
+#       t7_calendar_grid, t3_duration_parse, t8_active_flag,
+#       t4_t5_filter_valid, s5_json_extract, j1_broadcast_join,
+#       j2_asof_join, j3_semi_join, a1_pricing_summary,
+#       a3_distinct_keys, r1_r2_sort_limit, e2_products_flatten,
+#       e3_prices_daily, s2_rest_pushdown_scan, e1_full_pipeline,
+#       e4_season_reference_2025, tx_doc_profile,
+#       dd_cluster_components, dd_ngram_containment,
+#       ann_topk_bruteforce, dd_embedding_cosine, st_incremental_agg,
+#       st_stream_stream_join, st_ewma_fold, llm_prep_pipeline,
+#       emb_pq_codes_battery, tx_ngram_lm_score, a11_grouping_sets,
+#       w6_w7_window_functions, a6_count_distinct,
+#       q3_shipping_priority, q5_region_revenue, j4_anti_join,
+#       w1_running_total — leaving the 15 remaining r13-greens
+#       (w4_linear_interp, w5_rolling_revenue, q4_order_priority,
+#       q22_global_sales, q15_top_supplier, q7_nation_volume,
+#       q8_market_share, q11_important_stock, q13_order_distribution,
+#       q16_supplier_variety, q17_small_quantity,
+#       q19_discounted_revenue, k6_cdc_merge, j5_asof_two_table,
+#       k7_scd2_history) as the r16 age-3 heads.
 # Names not listed keep their registration order after the pinned block.
 # Pinning is by name: a listed name that does not exist is ignored (keeps
 # this list safe while queries are being added).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # last green r10 — age 3 = exactly the staleness budget; the
-    # 15-entry debt pre-committed in the r12 plan MUST head the window
-    "w4_linear_interp",
-    "w5_rolling_revenue",
-    "q4_order_priority",
-    "q22_global_sales",
-    "q15_top_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_order_distribution",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "k6_cdc_merge",
-    "j5_asof_two_table",
-    "k7_scd2_history",
-    # last green r11 — backfill in REGISTRATION_ORDER (the first 35 of
-    # the 50 r11-green entries; the remaining 15 head the r14 window)
-    "t6_forward_fill_daily",
-    "t7_calendar_grid",
-    "t3_duration_parse",
-    "t8_active_flag",
-    "t4_t5_filter_valid",
-    "s5_json_extract",
-    "j1_broadcast_join",
-    "j2_asof_join",
-    "j3_semi_join",
-    "a1_pricing_summary",
-    "a3_distinct_keys",
-    "r1_r2_sort_limit",
-    "e2_products_flatten",
-    "e3_prices_daily",
-    "s2_rest_pushdown_scan",
-    "e1_full_pipeline",
-    "e4_season_reference_2025",
-    "tx_doc_profile",
-    "dd_cluster_components",
-    "dd_ngram_containment",
-    "ann_topk_bruteforce",
-    "dd_embedding_cosine",
-    "st_incremental_agg",
-    "st_stream_stream_join",
-    "st_ewma_fold",
-    "llm_prep_pipeline",
-    "emb_pq_codes_battery",
-    "tx_ngram_lm_score",
-    "a11_grouping_sets",
-    "w6_w7_window_functions",
-    "a6_count_distinct",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "j4_anti_join",
-    "w1_running_total",
+    # last green r11 — age 3 = exactly the staleness budget; the
+    # 15-entry debt pre-committed in the r13 plan MUST head the window
+    "w2_lag_delta",
+    "w3_sessionize",
+    "j7_bucketed_join",
+    "j9_interval_overlap",
+    "j8_salted_join",
+    "k8_compaction",
+    "j10_asof_forward",
+    "dq_expectations",
+    "gr_pagerank",
+    "gr_triangle_count",
+    "ts_ohlc_rollup",
+    "ts_ewma_smooth",
+    "dq_fk_orphans",
+    "k9_evolve_merge",
+    "dq_drift_tvd",
+    # last green r12 — backfill in REGISTRATION_ORDER (the first 35 of
+    # the 50 r12-green entries; the remaining 15 head the r15 window)
+    "u1_u2_set_ops",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_embedding_near_dup",
+    "dd_embedding_near_dup_hi",
+    "ann_lsh_buckets",
+    "mm_media_pipeline",
+    "st_windowed_counts",
+    "st_stream_static_join",
+    "st_dedup_keys",
+    "st_sessionize",
+    "tx_chunk_windows",
+    "tx_hash_sample",
+    "tx_cap_per_source",
+    "tx_token_budget_mix",
+    "tx_pii_scrub",
+    "tx_pack_sequences",
+    "tx_tfidf_topk",
+    "dq_profile",
+    "tx_vocab_topk",
+    "tx_repetition",
+    "tx_contamination",
+    "tx_quality_filter",
+    "emb_source_centroids",
+    "emb_kmeans_assign",
+    "ann_ivf_lists",
+    "tx_dedup_keep_best",
+    "a2_topk_per_group",
+    "a4_pivot_event_matrix",
+    "a5_rollup_summary",
+    "a12_cube",
+    "a13_unpivot",
+    "dq_anomaly_zscore",
 )
 
 

@@ -1987,12 +1987,19 @@ def dd_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs_write_text(spark, f"{root}/cut.txt", str(cut))
     else:
         cut_txt = fs_read_text(spark, f"{root}/cut.txt")
-        cut = (
-            int(cut_txt.strip())
-            if cut_txt  # missing marker next to a standing index: fall
-            # back to the agg the marker caches (never rebuild here)
-            else int(docs.agg((F.max("doc_id") * 0.9).cast("long")).collect()[0][0])
-        )
+        if cut_txt:
+            cut = int(cut_txt.strip())
+        else:
+            # missing marker next to a standing index: fall back to the
+            # agg the marker caches (never rebuild here), then WRITE the
+            # marker (ADVICE r13) — the cut is a pure function of the sf
+            # dir, so caching it here is exactly as safe as in the build
+            # arm, and later probes in this session stop re-paying the
+            # job the marker exists to remove
+            cut = int(
+                docs.agg((F.max("doc_id") * 0.9).cast("long")).collect()[0][0]
+            )
+            fs_write_text(spark, f"{root}/cut.txt", str(cut))
     delta = docs.filter(F.col("doc_id") > F.lit(cut))
     return query_dedup_candidates(spark, path, delta)
 

@@ -1111,3 +1111,101 @@ def test_dd_index_probe_builds_once_and_probes_consistently(spark, sf_small):
     assert second == first
     # same generation -> the second invocation probed, it didn't rebuild
     assert spark.read.parquet(f"{path}/meta").first()["build_id"] == build_id
+
+
+def test_lsh_candidate_pairs_grouped_matches_banded_self_join(spark):
+    """r14 internals pin: lsh_candidate_pairs now generates pairs by
+    grouping the band table per (band, bucket) and exploding ordered
+    pairs — ONE lazy pass over the signatures — instead of a
+    bucket-keyed self-join whose two sides each re-ran (r12) or
+    checkpointed (r13, a measured bench regression) the signature
+    pipeline. The pair SET must equal the self-join reference exactly,
+    including multi-bucket collisions deduped across bands."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import band_table
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (6, "the quick brown fox jumps over the lazy dog near the river bank"),
+                (7, "spark query engines and shuffles are completely different content about"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=8)
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()
+    }
+    banded = band_table(sigs, "doc_id", 8, 4)
+    a, b = banded.alias("a"), banded.alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and (1, 4) in got  # exact dups always collide
+
+
+def test_pair_operators_reliable_checkpoints_match_local(spark, tmp_path):
+    """r14: the reliable-checkpoint knob threaded through the two
+    remaining raw-localCheckpoint operators (ADVICE r13 — executor-
+    local blocks die with their executor at cluster scale) must
+    produce identical results to the local default, and fail fast with
+    setup instructions when no checkpoint dir is configured."""
+    from etl_pricenow_to_leukerbadb_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from etl_pricenow_to_leukerbadb_spark.operators.graph import triangle_counts
+
+    docs = _docs(spark)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", k_shingle=5, reliable_checkpoints=True
+        ).collect()
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        triangle_counts(edges, reliable_checkpoints=True).collect()
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for fn, kw in (
+            (ngram_jaccard_pairs, {"k_shingle": 5}),
+            (ngram_containment_pairs, {"k_shingle": 5, "max_shingle_df": 3}),
+        ):
+            local = {
+                tuple(r) for r in fn(docs, "doc_id", "text", **kw).collect()
+            }
+            reliable = {
+                tuple(r)
+                for r in fn(
+                    docs, "doc_id", "text", reliable_checkpoints=True, **kw
+                ).collect()
+            }
+            assert local == reliable and local
+        tri_local = {
+            (r.node, r.triangles) for r in triangle_counts(edges).collect()
+        }
+        tri_rel = {
+            (r.node, r.triangles)
+            for r in triangle_counts(edges, reliable_checkpoints=True).collect()
+        }
+        assert tri_local == tri_rel == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    finally:
+        # conftest's session is shared and tmp_path is torn down: reset
+        # the dir so no later test checkpoints into it (the scala
+        # setter's JVM name contains '$', hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
