@@ -79,9 +79,9 @@ from .serving import (
 from .similarity import (
     _RESIDUAL_LUT_ROW_BUDGET,
     _pq_codebook,
+    ivf_assign_residuals,
     ivf_list_assign,
     ivf_pq_search,
-    ivf_residuals,
     kmeans_centroids_2iter,
     pq_adc_search,
     pq_assign_codes,
@@ -636,10 +636,20 @@ def append_to_pq_index(
         # once: the lists append below filters it, and a residual
         # layout also needs the assignment for ids anti-joined OUT of
         # that append (their prior half-append wrote list rows, and
-        # the frozen quantizer makes the recomputed cent_id identical)
-        assign_full = ivf_list_assign(
-            delta, id_col, vec_col, n_centroids, centroids=centroids
-        ).select(id_col, "cent_id")
+        # the frozen quantizer makes the recomputed cent_id identical).
+        # Residual layouts use the fused assignment+residual operator
+        # (r14, guide §8 — same change as the build): the codes pass
+        # then reads its residuals from the SAME one-pass frame instead
+        # of re-scanning the delta and joining it by id against the
+        # assignment.
+        ar_delta = None
+        if params.get("residual"):
+            ar_delta = ivf_assign_residuals(delta, centroids, id_col, vec_col)
+            assign_full = ar_delta.select(id_col, "cent_id")
+        else:
+            assign_full = ivf_list_assign(
+                delta, id_col, vec_col, n_centroids, centroids=centroids
+            ).select(id_col, "cent_id")
         to_list = assign_full
         if lists_now is not None:
             to_list = assign_full.join(
@@ -662,7 +672,10 @@ def append_to_pq_index(
                 "were built against is gone. The index is corrupt; rebuild "
                 "with build_ivfpq_index(..., residual=True, overwrite=True)"
             )
-        to_code = ivf_residuals(delta, assign_full, centroids, id_col, vec_col)
+        # ar_delta was computed above (ivf_meta is present on every
+        # residual layout — just validated); its residual column is the
+        # same one-pass frame the lists append read cent_id from
+        to_code = ar_delta.select(F.col(id_col), F.col(vec_col))
     new_codes = pq_assign_codes(
         to_code,
         id_col,
@@ -1104,31 +1117,32 @@ def build_ivfpq_index(
             ).select("cent_id", "__cent")
         cents.write.mode(mode).parquet(f"{path}/centroids")
         # persisted-artifact discipline (same as the codebook): assign
-        # lists and residualize against the centroids read BACK from
-        # disk, so codes are encoded against byte-identical entries to
-        # what every later search's probe and query-residual will use
+        # and residualize against the centroids read BACK from disk, so
+        # codes are encoded against byte-identical entries to what
+        # every later search's probe and query-residual will use
         cents_disk = spark.read.parquet(f"{path}/centroids")
-        ivf_list_assign(
-            corpus, id_col, vec_col, n_centroids, centroids=cents_disk
-        ).select(id_col, "cent_id").write.mode(mode).parquet(f"{path}/lists")
-        # persist the residual table for the span of the PQ build (r13
-        # optimization): build_pq_index(train=True) evaluates its input
-        # four times — codebook seed slice, trained-code assignment,
-        # subvector means, and the final codes write — and each
-        # evaluation of the lazy residual plan re-runs the corpus scan
-        # plus the lists/centroids joins. One materialization (spilling
-        # past memory) replaces four full passes; released in finally
-        # so a failed build never leaks blocks into a long session.
-        resid = ivf_residuals(
-            corpus,
-            spark.read.parquet(f"{path}/lists"),
-            cents_disk,
-            id_col,
-            vec_col,
-        ).persist()
+        # ONE corpus pass computes the list assignment AND the residual
+        # (r14, guide §8; pinned identical to ivf_list_assign ∘
+        # ivf_residuals in pytest): the unfused pair re-scanned the
+        # corpus and joined it by id against the corpus-sized lists
+        # table just to attach cent_id — at cluster scale that join
+        # shuffles the raw vectors (the heavy payload) to attach a
+        # 2-column decision. The fused operator computes the argmax in
+        # the same row as the vector, so nothing data-sized is shuffled.
+        # The persist spans the lists write AND build_pq_index's four
+        # evaluations (r13 persisted only the residual side; this one
+        # materialization replaces what were two passes plus a join),
+        # and — since lists/ is written from the SAME materialized
+        # frame the codes derive from — assignment/codes consistency
+        # holds by construction, not just by determinism. Released in
+        # finally so a failed build never leaks blocks.
+        ar = ivf_assign_residuals(corpus, cents_disk, id_col, vec_col).persist()
         try:
+            ar.select(id_col, "cent_id").write.mode(mode).parquet(
+                f"{path}/lists"
+            )
             build_id = build_pq_index(
-                resid,
+                ar.select(F.col(id_col), F.col(vec_col)),
                 path,
                 id_col,
                 vec_col,
@@ -1146,7 +1160,7 @@ def build_ivfpq_index(
                 _meta_residual=True,
             )
         finally:
-            resid.unpersist()
+            ar.unpersist()
         _write_commit(spark, path, build_id)
         return build_id
     # _commit=False: the marker must land only after the IVF artifacts

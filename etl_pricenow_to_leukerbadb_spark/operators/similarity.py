@@ -325,7 +325,9 @@ def ivf_residuals(
     (cent_id, __cent), broadcast here (always quantizer-sized). The
     corpus⋈assign join is id-keyed — the same co-partitioned shape as
     the codes⋈lists join every IVFADC search already does; nothing
-    quadratic, nothing collected."""
+    quadratic, nothing collected. When the assignment is being
+    COMPUTED rather than loaded, prefer ``ivf_assign_residuals`` —
+    it produces the identical result without this join."""
     return (
         corpus.join(assign.select(F.col(id_col), "cent_id"), id_col)
         .join(F.broadcast(centroids.select("cent_id", "__cent")), "cent_id")
@@ -337,6 +339,92 @@ def ivf_residuals(
                 lambda x, y: x.cast("double") - y.cast("double"),
             ).alias(vec_col),
         )
+    )
+
+
+def ivf_assign_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cent_id, vec_col = residual): the coarse assignment
+    AND the IVFADC residual in ONE broadcast pass over the corpus —
+    exactly ``ivf_list_assign`` composed with ``ivf_residuals``
+    (pytest-pinned identical, including tie-breaks and degenerate
+    vectors), with neither the assignment group-by exchange nor the
+    corpus⋈assign id join.
+
+    Why it exists (r14, guide §8): the unfused pair re-scans the
+    corpus and joins it BY ID against the corpus-sized assignment just
+    to attach a 2-column decision — at cluster scale that join
+    shuffles the raw vectors (the heavy payload) to attach the
+    lightweight proxy that decided their routing. Here the decision is
+    computed in the same row as the payload: the centroids —
+    quantizer-sized by the same contract that broadcasts them
+    everywhere else — are gathered into ONE array row and
+    broadcast-nested-loop-joined onto the scan, the per-row argmax
+    unpacks the same packed BIGINT as ``ivf_list_assign`` (rounded
+    cosine in 1e-6 fixed point, ties toward the lower cent_id,
+    zero-norm/NaN vectors coalesced to cosine −1), and the residual is
+    the same double-precision ``zip_with`` as ``ivf_residuals``.
+    Nothing data-sized is shuffled at all.
+
+    ``centroids`` is (cent_id, __cent) with cent_id in [0, 1023] —
+    the same packing bound ``ivf_list_assign`` validates at build
+    time; callers pass a table a build already validated."""
+    carr = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col("cent_id"),
+                F.col("__cent"),
+                F.sqrt(norm_sq(F.col("__cent"))).alias("__centn"),
+            ).alias("__c")
+        ).agg(F.collect_list("__c").alias("__cents"))
+    )
+    corpus_n = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), F.sqrt(norm_sq(F.col(vec_col))).alias("__vn")
+    )
+
+    def _enc(c):
+        # identical arithmetic to ivf_list_assign — see the packing
+        # and degenerate-vector notes there
+        cos_r = F.round(
+            cosine_prenormed(
+                F.col(vec_col), c["__cent"], F.col("__vn"), c["__centn"]
+            ),
+            6,
+        )
+        cos_fp = F.round(
+            F.coalesce(F.nanvl(cos_r, F.lit(-1.0)), F.lit(-1.0)) * 1_000_000
+        ).cast("long")
+        return (cos_fp + F.lit(1_000_000)) * F.lit(1024) + (
+            F.lit(1023) - c["cent_id"]
+        )
+
+    with_encs = corpus_n.join(carr).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cents"),
+        F.transform(F.col("__cents"), _enc).alias("__encs"),
+    )
+    # enc values are unique per centroid within a row (the packed
+    # tie-break), so position-of-max is well-defined regardless of
+    # collect_list's row order
+    best = F.element_at(
+        F.col("__cents"),
+        F.array_position(F.col("__encs"), F.array_max(F.col("__encs"))).cast("int"),
+    )
+    return with_encs.select(
+        F.col(id_col),
+        # cast matches ivf_list_assign's output dtype exactly, so the
+        # persisted lists/ schema is independent of which path wrote it
+        best["cent_id"].cast("long").alias("cent_id"),
+        F.zip_with(
+            F.col(vec_col),
+            best["__cent"],
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias(vec_col),
     )
 
 

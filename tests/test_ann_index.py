@@ -1455,3 +1455,43 @@ def test_residual_index_survives_compaction(spark, corpus, queries, tmp_path):
         ).collect()
     )
     assert after == before and len(after) == 15
+
+
+def test_fused_assign_residuals_matches_unfused_pair(spark, corpus):
+    """ivf_assign_residuals (the r14 one-pass build/append path) is
+    pinned identical to ivf_list_assign ∘ ivf_residuals — assignment
+    (incl. argmax tie-breaks) AND residual vectors, including a
+    zero-norm vector (cosine NULL -> coalesced to -1, lowest cent_id
+    wins the all-tie) and a NaN component."""
+    from etl_pricenow_to_leukerbadb_spark.operators.similarity import (
+        ivf_assign_residuals,
+        ivf_list_assign,
+        ivf_residuals,
+    )
+
+    dim = corpus.select(F.size("embedding")).first()[0]
+    degenerate = spark.createDataFrame(
+        [
+            (900_001, [0.0] * dim),                      # zero norm
+            (900_002, [float("nan")] + [0.5] * (dim - 1)),  # NaN component
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cases = corpus.select("vec_id", "embedding").unionByName(degenerate)
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("__cent")
+    )
+    unfused_assign = ivf_list_assign(
+        cases, "vec_id", "embedding", 16, centroids=cents
+    )
+    unfused = {
+        r["vec_id"]: (r["cent_id"], tuple(map(repr, r["embedding"])))
+        for r in ivf_residuals(cases, unfused_assign, cents)
+        .join(unfused_assign.select("vec_id", "cent_id"), "vec_id")
+        .collect()
+    }
+    fused = {
+        r["vec_id"]: (r["cent_id"], tuple(map(repr, r["embedding"])))
+        for r in ivf_assign_residuals(cases, cents).collect()
+    }
+    assert fused == unfused and len(fused) == cases.count()
